@@ -1,0 +1,80 @@
+"""Canonical ASR model configs as Python builders.
+
+Mirrors the reference YAMLs in `examples/asr/conf/**` (quartznet/jasper/
+citrinet/conformer families); configs are plain ConfigDicts accepted by the
+model constructors, so reference YAMLs load directly too.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from nemo_tpu.core.config import ConfigDict
+
+# Reference char vocabulary for English ASR (quartznet15x5.yaml labels)
+EN_CHAR_LABELS = [
+    " ", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z", "'",
+]
+
+
+def quartznet15x5(labels: Optional[List[str]] = None, feat_in: int = 64) -> ConfigDict:
+    """QuartzNet15x5 (reference examples/asr/conf/quartznet/quartznet_15x5.yaml):
+    prologue C1(k33,s2) → 15 separable residual blocks (B1-B5 ×3, R=5) →
+    C2(k87,dil2) → C3(k1,1024) → decoder."""
+    labels = labels or EN_CHAR_LABELS
+
+    def block(filters, kernel, repeat=5, residual=True, separable=True, **kw):
+        return dict(
+            filters=filters,
+            repeat=repeat,
+            kernel=kernel,
+            stride=1,
+            dilation=1,
+            dropout=0.0,
+            residual=residual,
+            separable=separable,
+            **kw,
+        )
+
+    jasper = [block(256, 33, repeat=1, residual=False, stride=2)]
+    for filters, kernel in [(256, 33), (256, 39), (512, 51), (512, 63), (512, 75)]:
+        for _ in range(3):
+            jasper.append(block(filters, kernel))
+    jasper.append(block(512, 87, repeat=1, residual=False, dilation=2))
+    jasper.append(block(1024, 1, repeat=1, residual=False, separable=False))
+
+    return ConfigDict(
+        sample_rate=16000,
+        labels=labels,
+        preprocessor=dict(
+            features=feat_in,
+            window_size=0.02,
+            window_stride=0.01,
+            normalize="per_feature",
+            dither=1e-5,
+            pad_to=16,
+        ),
+        encoder=dict(feat_in=feat_in, jasper=jasper),
+        decoder=dict(feat_in=1024, vocabulary=labels),
+    )
+
+
+def quartznet_tiny(labels: Optional[List[str]] = None, feat_in: int = 64) -> ConfigDict:
+    """Small test-sized variant (same topology shape, 2 blocks)."""
+    labels = labels or EN_CHAR_LABELS
+    jasper = [
+        dict(filters=32, repeat=1, kernel=33, stride=2, dilation=1, dropout=0.0,
+             residual=False, separable=True),
+        dict(filters=32, repeat=2, kernel=33, stride=1, dilation=1, dropout=0.0,
+             residual=True, separable=True),
+        dict(filters=64, repeat=1, kernel=1, stride=1, dilation=1, dropout=0.0,
+             residual=False, separable=False),
+    ]
+    return ConfigDict(
+        sample_rate=16000,
+        labels=labels,
+        preprocessor=dict(features=feat_in, dither=1e-5),
+        encoder=dict(feat_in=feat_in, jasper=jasper),
+        decoder=dict(feat_in=64, vocabulary=labels),
+    )

@@ -1,0 +1,137 @@
+"""CTC ASR models (QuartzNet / Jasper / Citrinet / Conformer-CTC).
+
+Reference parity: EncDecCTCModel (`nemo/collections/asr/models/ctc_models.py:49`)
+with `transcribe()` mirroring the TranscriptionMixin flow
+(`asr/parts/mixins/transcription.py:175`): input processing → batched
+forward → decoding, with train-only augmentation disabled.
+
+TPU-first: one jitted forward per padded-length bucket (audio is padded to
+power-of-two sample counts so jit caches stay small); features are computed
+on-chip by the fused mel frontend.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, List, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nemo_tpu.core.config import ConfigDict
+from nemo_tpu.core.model import Model
+from nemo_tpu.data.audio_io import read_wav
+from nemo_tpu.models.asr.modules.conv_asr import ConvASRDecoder, ConvASREncoder
+from nemo_tpu.models.asr.parts.ctc_decoding import CTCDecoding
+from nemo_tpu.ops.audio import MelSpectrogramConfig, mel_spectrogram
+from nemo_tpu.ops.ctc import ctc_loss_mean
+from nemo_tpu.utils.logging import logging
+
+
+def _mel_cfg_from(cfg: ConfigDict) -> MelSpectrogramConfig:
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(MelSpectrogramConfig)}
+    kwargs = {k: v for k, v in dict(cfg or {}).items() if k in names}
+    # normalize yaml nulls
+    return MelSpectrogramConfig(**kwargs)
+
+
+class _CTCNet(nn.Module):
+    feat_in: int
+    jasper: Sequence[Any]
+    d_enc: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, feats, lengths, *, train: bool = False):
+        enc, enc_len = ConvASREncoder(feat_in=self.feat_in, jasper=self.jasper, name="encoder")(
+            feats, lengths, train=train
+        )
+        log_probs = ConvASRDecoder(
+            feat_in=self.d_enc, num_classes=self.num_classes, name="decoder"
+        )(enc)
+        return log_probs, enc_len
+
+
+class EncDecCTCModel(Model):
+    """Accepts reference-style model configs:
+    model.{sample_rate, labels, preprocessor, encoder{feat_in, jasper}, decoder{num_classes, vocabulary}}
+    (see SURVEY.md §2.4 ASR config contract)."""
+
+    def __init__(self, cfg: ConfigDict, init_params: bool = True):
+        super().__init__(cfg)
+        cfg = self.cfg
+        self.sample_rate = int(cfg.get("sample_rate", 16000))
+        self.mel_cfg = _mel_cfg_from(cfg.get("preprocessor", {}))
+        labels = cfg.get("labels") or cfg.get("decoder", {}).get("vocabulary")
+        if labels is None:
+            raise ValueError("config must provide labels / decoder.vocabulary")
+        self.labels = list(labels)
+        enc_cfg = cfg.encoder
+        dec_cfg = cfg.get("decoder", ConfigDict())
+        d_enc = int(dec_cfg.get("feat_in") or enc_cfg.jasper[-1]["filters"])
+        self.net = _CTCNet(
+            feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
+            jasper=tuple(dict(b) for b in enc_cfg.jasper),
+            d_enc=d_enc,
+            num_classes=len(self.labels),
+        )
+        self.decoding = CTCDecoding(self.labels)
+        if init_params:
+            self._init_params()
+        self._jit_infer = jax.jit(self._infer_fn)
+
+    # ------------------------------------------------------------------
+    def _init_params(self, seed: int = 0):
+        feats = jnp.zeros((1, self.mel_cfg.features, 128), jnp.float32)
+        lens = jnp.array([128], jnp.int32)
+        self.variables = self.net.init(jax.random.PRNGKey(seed), feats, lens, train=False)
+
+    def _infer_fn(self, variables, signal, length):
+        feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
+        return self.net.apply(variables, feats, feat_len, train=False)
+
+    def forward(self, signal: jnp.ndarray, length: jnp.ndarray):
+        """[B, T] float audio, [B] sample counts → (log_probs [B,F,V+1], frame lens)."""
+        return self._jit_infer(self.variables, signal, length)
+
+    # -- loss (training) -------------------------------------------------
+    def loss(self, log_probs, encoded_len, targets, target_len):
+        return ctc_loss_mean(log_probs, encoded_len, targets, target_len)
+
+    # -- transcription API (reference transcription.py:175) --------------
+    def transcribe(
+        self,
+        audio: Sequence[Union[str, np.ndarray]],
+        batch_size: int = 4,
+        verbose: bool = False,
+    ) -> List[str]:
+        results: List[str] = []
+        for start in range(0, len(audio), batch_size):
+            batch = audio[start : start + batch_size]
+            sigs = []
+            for a in batch:
+                if isinstance(a, str):
+                    x, _ = read_wav(a, target_sr=self.sample_rate)
+                else:
+                    x = np.asarray(a, np.float32)
+                sigs.append(x)
+            lens = np.array([len(s) for s in sigs], np.int32)
+            pad_len = _bucket(int(lens.max()))
+            padded = np.zeros((len(sigs), pad_len), np.float32)
+            for i, s in enumerate(sigs):
+                padded[i, : len(s)] = s
+            log_probs, enc_len = self.forward(jnp.asarray(padded), jnp.asarray(lens))
+            results.extend(self.decoding.decode(log_probs, enc_len))
+            if verbose:
+                logging.info(f"transcribed {start + len(batch)}/{len(audio)}")
+        return results
+
+
+def _bucket(n: int, minimum: int = 16000) -> int:
+    """Pad target: next power of two ≥ n (bounds the number of jit compiles)."""
+    return max(minimum, 2 ** math.ceil(math.log2(max(n, 1))))
