@@ -1,0 +1,291 @@
+"""`.nemo` checkpoint importer: reference archives → nemo_tpu models.
+
+Reference formats (SURVEY.md §5.4): `.nemo` = tar of `model_config.yaml` +
+`model_weights.ckpt` (torch state dict) + artifacts
+(save_restore_connector.py:49). This module converts:
+- config: reference YAML (ASR config contract, SURVEY.md §2.4) → our ConfigDict
+- weights: torch name/layout → flax variable tree
+  (Conv1d [out,in/g,k]→[k,in/g,out]; Conv2d [out,in,kh,kw]→[kh,kw,in,out];
+   Linear [out,in]→[in,out]; BN weight/bias/running_* → scale/bias + batch_stats)
+
+Torch key layouts handled (verified against reference module definitions):
+- ConvASREncoder:  encoder.encoder.{b}.mconv.{j}.(conv.weight|weight|bias|running_*)
+                   with per-repeat mconv strides of 5 (separable: dw,pw,bn,act,drop)
+                   or 4 (conv,bn,act,drop); last repeat omits act/drop; optional
+                   res.0.{0,1} pointwise+BN; optional trailing SqueezeExcite
+                   (jasper.py:743-844)
+- ConformerEncoder: encoder.pre_encode.conv.{i}.*, encoder.pre_encode.out.*,
+                   encoder.layers.{i}.{norm_*,feed_forward1/2.linear1/2,
+                   self_attn.linear_{q,k,v,out,pos},self_attn.pos_bias_{u,v},
+                   conv.pointwise_conv1/2,conv.depthwise_conv,conv.batch_norm}
+                   (conformer_modules.py:94-158,277-311)
+- ConvASRDecoder:  decoder.decoder_layers.0.{weight,bias}
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import yaml
+
+from nemo_tpu.core.config import ConfigDict
+from nemo_tpu.utils.logging import logging
+
+
+# ---------------------------------------------------------------------------
+# Archive reading
+# ---------------------------------------------------------------------------
+
+
+def load_nemo_archive(path: str) -> Tuple[ConfigDict, Dict[str, np.ndarray]]:
+    """Read (model_config, torch state dict as numpy) from a .nemo tar."""
+    import torch
+
+    with tarfile.open(path, "r:*") as tar:
+        names = tar.getnames()
+        if any(n.startswith("/") or ".." in n for n in names):
+            raise ValueError("Unsafe tar member paths")
+        cfg_name = next(n for n in names if n.endswith("model_config.yaml"))
+        cfg = ConfigDict(yaml.safe_load(tar.extractfile(cfg_name).read()))
+        wname = next(
+            n for n in names if n.endswith("model_weights.ckpt") or n.endswith(".pt")
+        )
+        buf = io.BytesIO(tar.extractfile(wname).read())
+    sd = torch.load(buf, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return cfg, {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Layout converters
+# ---------------------------------------------------------------------------
+
+
+def t2f_conv1d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))
+
+
+def t2f_conv2d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t2f_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w)
+
+
+class _Tree:
+    def __init__(self):
+        self.params: Dict[str, Any] = {}
+        self.batch_stats: Dict[str, Any] = {}
+
+    @staticmethod
+    def _set(root: dict, path: str, value: np.ndarray):
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(value)
+
+    def p(self, path: str, value: np.ndarray):
+        self._set(self.params, path, value)
+
+    def bs(self, path: str, value: np.ndarray):
+        self._set(self.batch_stats, path, value)
+
+    def bn(self, our: str, sd: Dict[str, np.ndarray], torch_prefix: str):
+        self.p(f"{our}/scale", sd[f"{torch_prefix}.weight"])
+        self.p(f"{our}/bias", sd[f"{torch_prefix}.bias"])
+        self.bs(f"{our}/mean", sd[f"{torch_prefix}.running_mean"])
+        self.bs(f"{our}/var", sd[f"{torch_prefix}.running_var"])
+
+    def ln(self, our: str, sd: Dict[str, np.ndarray], torch_prefix: str):
+        self.p(f"{our}/scale", sd[f"{torch_prefix}.weight"])
+        self.p(f"{our}/bias", sd[f"{torch_prefix}.bias"])
+
+    def dense(self, our: str, sd: Dict[str, np.ndarray], torch_prefix: str):
+        self.p(f"{our}/kernel", t2f_linear(sd[f"{torch_prefix}.weight"]))
+        if f"{torch_prefix}.bias" in sd:
+            self.p(f"{our}/bias", sd[f"{torch_prefix}.bias"])
+
+    def conv1d_as_dense(self, our: str, sd: Dict[str, np.ndarray], torch_prefix: str):
+        """torch Conv1d k=1 [out,in,1] → flax Dense [in,out]."""
+        w = sd[f"{torch_prefix}.weight"][:, :, 0]
+        self.p(f"{our}/kernel", t2f_linear(w))
+        if f"{torch_prefix}.bias" in sd:
+            self.p(f"{our}/bias", sd[f"{torch_prefix}.bias"])
+
+    def variables(self) -> Dict[str, Any]:
+        out = {"params": self.params}
+        if self.batch_stats:
+            out["batch_stats"] = self.batch_stats
+        return out
+
+
+# ---------------------------------------------------------------------------
+# ConvASR (Jasper/QuartzNet/Citrinet) encoder conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_conv_asr(jasper_cfg, sd: Dict[str, np.ndarray], tree: _Tree, prefix="encoder"):
+    for b, blk in enumerate(jasper_cfg):
+        blk = dict(blk)
+        repeat = int(blk.get("repeat", 1))
+        separable = bool(blk.get("separable", False))
+        tb = f"encoder.encoder.{b}"
+        ours = f"{prefix}/block{b}"
+        idx = 0
+        for r in range(repeat):
+            if separable:
+                tree.p(f"{ours}/dw{r}/conv/kernel", t2f_conv1d(sd[f"{tb}.mconv.{idx}.conv.weight"]))
+                tree.p(f"{ours}/pw{r}/conv/kernel", t2f_conv1d(sd[f"{tb}.mconv.{idx+1}.conv.weight"]))
+                tree.bn(f"{ours}/bn{r}", sd, f"{tb}.mconv.{idx+2}")
+                idx += 3
+            else:
+                tree.p(f"{ours}/conv{r}/conv/kernel", t2f_conv1d(sd[f"{tb}.mconv.{idx}.conv.weight"]))
+                tree.bn(f"{ours}/bn{r}", sd, f"{tb}.mconv.{idx+1}")
+                idx += 2
+            if r < repeat - 1:
+                idx += 2  # activation + dropout entries hold no params
+        if bool(blk.get("residual", False)):
+            tree.p(f"{ours}/res_pw/conv/kernel", t2f_conv1d(sd[f"{tb}.res.0.0.conv.weight"]))
+            tree.bn(f"{ours}/res_bn", sd, f"{tb}.res.0.1")
+        if bool(blk.get("se", False)):
+            tree.dense(f"{ours}/se/fc1", sd, f"{tb}.mconv.{idx}.fc.0")
+            tree.dense(f"{ours}/se/fc2", sd, f"{tb}.mconv.{idx}.fc.2")
+
+
+# ---------------------------------------------------------------------------
+# Conformer encoder conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_conformer(enc_cfg, sd: Dict[str, np.ndarray], tree: _Tree, prefix="encoder"):
+    import math
+
+    n_layers = int(enc_cfg["n_layers"])
+    subsampling = str(enc_cfg.get("subsampling", "striding"))
+    factor = int(enc_cfg.get("subsampling_factor", 4))
+    n_sub = int(math.log2(factor))
+
+    # pre_encode convs: torch Sequential indices skip activations
+    t_idx = 0
+    for i in range(n_sub):
+        if subsampling == "dw_striding" and i > 0:
+            tree.p(
+                f"{prefix}/pre_encode/dw{i}/kernel",
+                t2f_conv2d(sd[f"encoder.pre_encode.conv.{t_idx}.weight"]),
+            )
+            tree.p(f"{prefix}/pre_encode/dw{i}/bias", sd[f"encoder.pre_encode.conv.{t_idx}.bias"])
+            tree.p(
+                f"{prefix}/pre_encode/pw{i}/kernel",
+                t2f_conv2d(sd[f"encoder.pre_encode.conv.{t_idx+1}.weight"]),
+            )
+            tree.p(f"{prefix}/pre_encode/pw{i}/bias", sd[f"encoder.pre_encode.conv.{t_idx+1}.bias"])
+            t_idx += 3  # dw, pw, act
+        else:
+            tree.p(
+                f"{prefix}/pre_encode/conv{i}/kernel",
+                t2f_conv2d(sd[f"encoder.pre_encode.conv.{t_idx}.weight"]),
+            )
+            tree.p(f"{prefix}/pre_encode/conv{i}/bias", sd[f"encoder.pre_encode.conv.{t_idx}.bias"])
+            t_idx += 2  # conv, act
+
+    # pre_encode.out: torch flattens [B,C,T,F]→(c,f); ours is [B,T,F,C]→(f,c).
+    w = sd["encoder.pre_encode.out.weight"]  # [d_model, C*F]
+    d_model = w.shape[0]
+    conv_ch = int(enc_cfg.get("subsampling_conv_channels") or -1)
+    if conv_ch <= 0:
+        conv_ch = d_model
+    f_out = w.shape[1] // conv_ch
+    w = w.reshape(d_model, conv_ch, f_out).transpose(0, 2, 1).reshape(d_model, f_out * conv_ch)
+    tree.p(f"{prefix}/pre_encode/out/kernel", t2f_linear(w))
+    tree.p(f"{prefix}/pre_encode/out/bias", sd["encoder.pre_encode.out.bias"])
+
+    for i in range(n_layers):
+        tl = f"encoder.layers.{i}"
+        ol = f"{prefix}/layer{i}"
+        tree.ln(f"{ol}/norm_ff1", sd, f"{tl}.norm_feed_forward1")
+        tree.dense(f"{ol}/ff1/linear1", sd, f"{tl}.feed_forward1.linear1")
+        tree.dense(f"{ol}/ff1/linear2", sd, f"{tl}.feed_forward1.linear2")
+        tree.ln(f"{ol}/norm_attn", sd, f"{tl}.norm_self_att")
+        for name in ("q", "k", "v", "out"):
+            tree.dense(f"{ol}/attn/linear_{name}", sd, f"{tl}.self_attn.linear_{name}")
+        tree.dense(f"{ol}/attn/linear_pos", sd, f"{tl}.self_attn.linear_pos")
+        H = int(enc_cfg["n_heads"])
+        tree.p(f"{ol}/attn/pos_bias_u", sd[f"{tl}.self_attn.pos_bias_u"].reshape(H, -1))
+        tree.p(f"{ol}/attn/pos_bias_v", sd[f"{tl}.self_attn.pos_bias_v"].reshape(H, -1))
+        tree.ln(f"{ol}/norm_conv", sd, f"{tl}.norm_conv")
+        tree.conv1d_as_dense(f"{ol}/conv/pointwise1", sd, f"{tl}.conv.pointwise_conv1")
+        tree.p(
+            f"{ol}/conv/depthwise/kernel", t2f_conv1d(sd[f"{tl}.conv.depthwise_conv.weight"])
+        )
+        if f"{tl}.conv.depthwise_conv.bias" in sd:
+            tree.p(f"{ol}/conv/depthwise/bias", sd[f"{tl}.conv.depthwise_conv.bias"])
+        norm_type = str(enc_cfg.get("conv_norm_type", "batch_norm"))
+        if norm_type == "batch_norm":
+            tree.bn(f"{ol}/conv/norm", sd, f"{tl}.conv.batch_norm")
+        else:
+            tree.ln(f"{ol}/conv/norm", sd, f"{tl}.conv.batch_norm")
+        tree.conv1d_as_dense(f"{ol}/conv/pointwise2", sd, f"{tl}.conv.pointwise_conv2")
+        tree.ln(f"{ol}/norm_ff2", sd, f"{tl}.norm_feed_forward2")
+        tree.dense(f"{ol}/ff2/linear1", sd, f"{tl}.feed_forward2.linear1")
+        tree.dense(f"{ol}/ff2/linear2", sd, f"{tl}.feed_forward2.linear2")
+        tree.ln(f"{ol}/norm_out", sd, f"{tl}.norm_out")
+
+
+# ---------------------------------------------------------------------------
+# Config + model conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_asr_config(nemo_cfg: ConfigDict) -> ConfigDict:
+    """Reference model_config.yaml → our EncDecCTCModel config."""
+    cfg = ConfigDict()
+    cfg.sample_rate = nemo_cfg.get("sample_rate", 16000)
+    labels = nemo_cfg.get("labels") or nemo_cfg.get("decoder", {}).get("vocabulary")
+    if labels is not None:
+        cfg.labels = list(labels)
+    pre = dict(nemo_cfg.get("preprocessor", {}))
+    pre.pop("_target_", None)
+    cfg.preprocessor = pre
+    enc = dict(nemo_cfg.get("encoder", {}))
+    tgt = enc.pop("_target_", "")
+    if tgt.endswith("ConformerEncoder"):
+        enc["_target_"] = "nemo_tpu.models.asr.modules.conformer.ConformerEncoder"
+    cfg.encoder = enc
+    dec = dict(nemo_cfg.get("decoder", {}))
+    dec.pop("_target_", None)
+    cfg.decoder = dec
+    return cfg
+
+
+def import_ctc_model(path: str):
+    """`.nemo` CTC checkpoint (QuartzNet/Jasper/Citrinet/Conformer-CTC) →
+    EncDecCTCModel with converted weights (reference: llm.import_ckpt-style
+    connector flow, io/connector.py:86)."""
+    from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+
+    nemo_cfg, sd = load_nemo_archive(path)
+    cfg = convert_asr_config(nemo_cfg)
+    model = EncDecCTCModel(cfg, init_params=True)
+    model.variables = convert_ctc_state(cfg, sd)
+    logging.info(f"Imported .nemo checkpoint from {path}")
+    return model
+
+
+def convert_ctc_state(cfg: ConfigDict, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree = _Tree()
+    enc = cfg.encoder
+    if "d_model" in enc or str(enc.get("_target_", "")).endswith("ConformerEncoder"):
+        convert_conformer(enc, sd, tree)
+    else:
+        convert_conv_asr(enc["jasper"], sd, tree)
+    # decoder: Conv1d k=1 → our nn.Conv (1,in,out) kernel
+    w = sd["decoder.decoder_layers.0.weight"]  # [V+1, C, 1]
+    tree.p("decoder/proj/kernel", np.transpose(w, (2, 1, 0)))
+    tree.p("decoder/proj/bias", sd["decoder.decoder_layers.0.bias"])
+    return tree.variables()

@@ -60,6 +60,59 @@ def quartznet15x5(labels: Optional[List[str]] = None, feat_in: int = 64) -> Conf
     )
 
 
+_CONFORMER_SIZES = {
+    # name: (d_model, n_layers, n_heads)  — conformer_ctc_bpe.yaml:7-17
+    "small": (176, 16, 4),
+    "medium": (256, 18, 4),
+    "large": (512, 18, 8),
+    "xlarge": (1024, 24, 8),
+}
+
+
+def conformer_ctc(
+    size: str = "large",
+    labels: Optional[List[str]] = None,
+    feat_in: int = 80,
+    subsampling: str = "striding",
+    subsampling_factor: int = 4,
+) -> ConfigDict:
+    """Conformer-CTC (reference examples/asr/conf/conformer/conformer_ctc_bpe.yaml):
+    mel-80 → ConvSubsampling ×4 → N×ConformerLayer(rel_pos MHSA, conv k=31)."""
+    labels = labels or EN_CHAR_LABELS
+    d_model, n_layers, n_heads = _CONFORMER_SIZES[size]
+    return ConfigDict(
+        sample_rate=16000,
+        labels=labels,
+        preprocessor=dict(features=feat_in, window_size=0.025, window_stride=0.01,
+                          normalize="per_feature", dither=1e-5, pad_to=0),
+        encoder=dict(
+            _target_="nemo_tpu.models.asr.modules.conformer.ConformerEncoder",
+            feat_in=feat_in,
+            n_layers=n_layers,
+            d_model=d_model,
+            n_heads=n_heads,
+            subsampling=subsampling,
+            subsampling_factor=subsampling_factor,
+            subsampling_conv_channels=-1,
+            ff_expansion_factor=4,
+            conv_kernel_size=31,
+            conv_norm_type="batch_norm",
+            dropout=0.1,
+            dropout_att=0.1,
+            xscaling=True,
+            pos_emb_max_len=5000,
+        ),
+        decoder=dict(feat_in=d_model, vocabulary=labels),
+    )
+
+
+def fastconformer_ctc(size: str = "large", labels: Optional[List[str]] = None) -> ConfigDict:
+    """FastConformer: ×8 depthwise-striding subsampling (fastconformer yamls)."""
+    cfg = conformer_ctc(size, labels, subsampling="dw_striding", subsampling_factor=8)
+    cfg.encoder.subsampling_conv_channels = 256
+    return cfg
+
+
 def quartznet_tiny(labels: Optional[List[str]] = None, feat_in: int = 64) -> ConfigDict:
     """Small test-sized variant (same topology shape, 2 blocks)."""
     labels = labels or EN_CHAR_LABELS

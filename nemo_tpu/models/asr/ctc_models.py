@@ -40,17 +40,38 @@ def _mel_cfg_from(cfg: ConfigDict) -> MelSpectrogramConfig:
     return MelSpectrogramConfig(**kwargs)
 
 
+def build_encoder(enc_cfg: ConfigDict, default_feat_in: int) -> nn.Module:
+    """Encoder dispatch from reference-style config nodes: `_target_` ending in
+    ConformerEncoder / ConvASREncoder, or inferred from the keys present."""
+    target = str(enc_cfg.get("_target_", ""))
+    is_conformer = target.endswith("ConformerEncoder") or "d_model" in enc_cfg
+    if is_conformer:
+        import dataclasses as _dc
+
+        from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
+
+        names = {f.name for f in _dc.fields(ConformerEncoder) if f.name != "parent"}
+        kwargs = {k: v for k, v in dict(enc_cfg).items() if k in names}
+        kwargs.setdefault("feat_in", default_feat_in)
+        return ConformerEncoder(name="encoder", **kwargs)
+    return ConvASREncoder(
+        feat_in=int(enc_cfg.get("feat_in", default_feat_in)),
+        jasper=tuple(dict(b) for b in enc_cfg.jasper),
+        name="encoder",
+    )
+
+
 class _CTCNet(nn.Module):
+    enc_cfg: Any  # hashable config tuple; rebuilt into ConfigDict
     feat_in: int
-    jasper: Sequence[Any]
     d_enc: int
     num_classes: int
 
     @nn.compact
     def __call__(self, feats, lengths, *, train: bool = False):
-        enc, enc_len = ConvASREncoder(feat_in=self.feat_in, jasper=self.jasper, name="encoder")(
-            feats, lengths, train=train
-        )
+        enc_cfg = ConfigDict(dict(self.enc_cfg))
+        encoder = build_encoder(enc_cfg, self.feat_in)
+        enc, enc_len = encoder(feats, lengths, train=train)
         log_probs = ConvASRDecoder(
             feat_in=self.d_enc, num_classes=self.num_classes, name="decoder"
         )(enc)
@@ -73,10 +94,13 @@ class EncDecCTCModel(Model):
         self.labels = list(labels)
         enc_cfg = cfg.encoder
         dec_cfg = cfg.get("decoder", ConfigDict())
-        d_enc = int(dec_cfg.get("feat_in") or enc_cfg.jasper[-1]["filters"])
+        if "d_model" in enc_cfg:
+            d_enc = int(dec_cfg.get("feat_in") or enc_cfg.d_model)
+        else:
+            d_enc = int(dec_cfg.get("feat_in") or enc_cfg.jasper[-1]["filters"])
         self.net = _CTCNet(
+            enc_cfg=enc_cfg.to_dict(),
             feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
-            jasper=tuple(dict(b) for b in enc_cfg.jasper),
             d_enc=d_enc,
             num_classes=len(self.labels),
         )
@@ -122,11 +146,16 @@ class EncDecCTCModel(Model):
                 sigs.append(x)
             lens = np.array([len(s) for s in sigs], np.int32)
             pad_len = _bucket(int(lens.max()))
-            padded = np.zeros((len(sigs), pad_len), np.float32)
+            # pad the batch dim to batch_size too, so jit sees one shape
+            padded = np.zeros((batch_size, pad_len), np.float32)
             for i, s in enumerate(sigs):
                 padded[i, : len(s)] = s
-            log_probs, enc_len = self.forward(jnp.asarray(padded), jnp.asarray(lens))
-            results.extend(self.decoding.decode(log_probs, enc_len))
+            full_lens = np.ones(batch_size, np.int32)
+            full_lens[: len(sigs)] = lens
+            log_probs, enc_len = self.forward(jnp.asarray(padded), jnp.asarray(full_lens))
+            results.extend(
+                self.decoding.decode(log_probs[: len(sigs)], enc_len[: len(sigs)])
+            )
             if verbose:
                 logging.info(f"transcribed {start + len(batch)}/{len(audio)}")
         return results

@@ -1,0 +1,308 @@
+"""Conformer encoder (TPU-native).
+
+Reference parity: ConformerEncoder (`nemo/collections/asr/modules/conformer_encoder.py:62`)
+and submodules (`asr/parts/submodules/conformer_modules.py`,
+`multi_head_attention.py:212` RelPositionMultiHeadAttention,
+`subsampling.py:62` ConvSubsampling).
+
+Structure per layer (conformer_modules.py:35):
+  x += ½·FF(LN x); x += MHSA(LN x, rel-pos); x += Conv(LN x); x += ½·FF(LN x); x = LN x
+Conv module: pointwise(2d) → GLU → depthwise(k) → BN/LN → swish → pointwise(d).
+
+TPU-first notes:
+- Layout is [B, T, D] throughout; masks keep shapes static under jit.
+- Attention is batched einsum (MXU) with an fp32 softmax island; a Pallas
+  flash-attention kernel with rel-pos bias plugs in behind the same
+  interface (nemo_tpu/ops/attention.py).
+- The Transformer-XL relative-position term uses the classic pad-reshape
+  shift, computed in the same fused attention context.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def subsampled_length(length: jnp.ndarray, num_layers: int) -> jnp.ndarray:
+    """Each conv layer: k=3, s=2, p=1 → L = floor((L-1)/2)+1."""
+    for _ in range(num_layers):
+        length = (length - 1) // 2 + 1
+    return length
+
+
+class ConvSubsampling(nn.Module):
+    """'striding' / 'dw_striding' 2-D conv subsampling (subsampling.py:62).
+
+    Input [B, T, F] → [B, T/2^n, d_model].
+    """
+
+    d_model: int
+    feat_in: int
+    subsampling: str = "striding"  # striding | dw_striding
+    subsampling_factor: int = 4
+    conv_channels: int = -1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n_layers = int(math.log2(self.subsampling_factor))
+        ch = self.conv_channels if self.conv_channels > 0 else self.d_model
+        h = x[..., None]  # [B, T, F, 1]
+        for i in range(n_layers):
+            if self.subsampling == "dw_striding" and i > 0:
+                h = nn.Conv(
+                    h.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    feature_group_count=h.shape[-1], name=f"dw{i}",
+                )(h)
+                h = nn.Conv(ch, (1, 1), name=f"pw{i}")(h)
+            else:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name=f"conv{i}")(h)
+            h = nn.relu(h)
+        B, T, F, C = h.shape
+        h = h.reshape(B, T, F * C)
+        out = nn.Dense(self.d_model, name="out")(h)
+        return out, subsampled_length(length, n_layers)
+
+
+class RelPositionalEncoding(nn.Module):
+    """Transformer-XL style relative positional embeddings
+    (multi_head_attention.py:1056): returns pe[k] for relative positions
+    T-1, T-2, …, 0, …, -(T-1) and the (optionally xscaled) input."""
+
+    d_model: int
+    max_len: int = 5000
+    xscale: Optional[float] = None
+    dropout_emb: float = 0.0
+
+    def setup(self):
+        # sinusoidal table for relative positions max_len-1 .. -(max_len-1)
+        pos = np.arange(self.max_len - 1, -self.max_len, -1, dtype=np.float32)
+        inv = np.exp(np.arange(0, self.d_model, 2, np.float32) * -(math.log(10000.0) / self.d_model))
+        pe = np.zeros((len(pos), self.d_model), np.float32)
+        pe[:, 0::2] = np.sin(pos[:, None] * inv[None, :])
+        pe[:, 1::2] = np.cos(pos[:, None] * inv[None, :])
+        self.pe = jnp.asarray(pe)
+
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        T = x.shape[1]
+        if self.xscale:
+            x = x * self.xscale
+        center = self.max_len - 1
+        pos_emb = jax.lax.dynamic_slice_in_dim(self.pe, center - (T - 1), 2 * T - 1, axis=0)
+        return x, pos_emb[None]  # [1, 2T-1, D]
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] raw q·pos scores → [B, H, T, T] aligned so that
+    out[..., i, j] = x[..., i, T-1-i+j] (relative distance i-j)."""
+    B, H, T, L = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
+    x = x.reshape(B, H, 2 * T, T)
+    x = x[:, :, 1:, :].reshape(B, H, T, L)
+    return x[:, :, :, :T]
+
+
+class RelPositionMultiHeadAttention(nn.Module):
+    """Rel-pos MHSA (multi_head_attention.py:212) with learned global biases
+    pos_bias_u / pos_bias_v (Transformer-XL)."""
+
+    d_model: int
+    n_heads: int
+    dropout_att: float = 0.0
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        pad_mask: jnp.ndarray,  # [B, T] True=valid
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        B, T, D = x.shape
+        H = self.n_heads
+        dh = D // H
+
+        q = nn.Dense(D, name="linear_q")(x).reshape(B, T, H, dh)
+        k = nn.Dense(D, name="linear_k")(x).reshape(B, T, H, dh)
+        v = nn.Dense(D, name="linear_v")(x).reshape(B, T, H, dh)
+        p = nn.Dense(D, use_bias=False, name="linear_pos")(pos_emb).reshape(1, -1, H, dh)
+
+        u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh))
+        vb = self.param("pos_bias_v", nn.initializers.zeros, (H, dh))
+
+        q = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+        p = jnp.transpose(p, (0, 2, 1, 3))  # [1,H,2T-1,dh]
+
+        qu = q + u[None, :, None, :]
+        qv = q + vb[None, :, None, :]
+        # content and position scores in fp32 (softmax island)
+        ac = jnp.einsum("bhid,bhjd->bhij", qu, k, preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bhid,xhjd->bhij", qv, p, preferred_element_type=jnp.float32)
+        bd = rel_shift(bd)
+        scores = (ac + bd) / math.sqrt(dh)
+
+        mask = pad_mask[:, None, None, :]  # [B,1,1,T] keys
+        scores = jnp.where(mask, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(pad_mask[:, None, :, None], attn, 0.0)  # zero padded queries
+        attn = nn.Dropout(self.dropout_att, deterministic=not train)(attn)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, D)
+        return nn.Dense(D, name="linear_out")(out)
+
+
+class ConformerFeedForward(nn.Module):
+    d_model: int
+    expansion_factor: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        h = nn.Dense(self.d_model * self.expansion_factor, name="linear1")(x)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return h
+
+
+class ConformerConvolution(nn.Module):
+    """pointwise(2d) → GLU → depthwise(k) → BN|LN → swish → pointwise(d)
+    (conformer_modules.py:236)."""
+
+    d_model: int
+    kernel_size: int = 31
+    norm_type: str = "batch_norm"  # batch_norm | layer_norm
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pad_mask: jnp.ndarray, *, train: bool = False
+    ) -> jnp.ndarray:
+        h = nn.Dense(2 * self.d_model, name="pointwise1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+        h = jnp.where(pad_mask[..., None], h, 0.0)
+        pad = (self.kernel_size - 1) // 2
+        h = nn.Conv(
+            self.d_model,
+            (self.kernel_size,),
+            padding=[(pad, pad)],
+            feature_group_count=self.d_model,
+            name="depthwise",
+        )(h)
+        if self.norm_type == "batch_norm":
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm")(h)
+        else:
+            h = nn.LayerNorm(name="norm")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.d_model, name="pointwise2")(h)
+        return h
+
+
+class ConformerLayer(nn.Module):
+    d_model: int
+    n_heads: int
+    ff_expansion_factor: int = 4
+    conv_kernel_size: int = 31
+    conv_norm_type: str = "batch_norm"
+    dropout: float = 0.0
+    dropout_att: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, pos_emb, pad_mask, *, train: bool = False):
+        drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        h = nn.LayerNorm(name="norm_ff1")(x)
+        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout, name="ff1")(h, train=train)
+        x = x + 0.5 * drop(h)
+
+        h = nn.LayerNorm(name="norm_attn")(x)
+        h = RelPositionMultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout_att, name="attn"
+        )(h, pos_emb, pad_mask, train=train)
+        x = x + drop(h)
+
+        h = nn.LayerNorm(name="norm_conv")(x)
+        h = ConformerConvolution(
+            self.d_model, self.conv_kernel_size, self.conv_norm_type, name="conv"
+        )(h, pad_mask, train=train)
+        x = x + drop(h)
+
+        h = nn.LayerNorm(name="norm_ff2")(x)
+        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout, name="ff2")(h, train=train)
+        x = x + 0.5 * drop(h)
+
+        return nn.LayerNorm(name="norm_out")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """Reference-config-compatible Conformer encoder (conformer_encoder.py:62).
+
+    Accepts the canonical YAML knobs (examples/asr/conf/conformer/*.yaml):
+    feat_in, n_layers, d_model, n_heads, subsampling, subsampling_factor,
+    subsampling_conv_channels, ff_expansion_factor, conv_kernel_size,
+    conv_norm_type, dropout, dropout_att, xscaling, pos_emb_max_len.
+    Input [B, D, T] (mel features), output [B, d_model, T'].
+    """
+
+    feat_in: int
+    n_layers: int
+    d_model: int
+    n_heads: int
+    subsampling: str = "striding"
+    subsampling_factor: int = 4
+    subsampling_conv_channels: int = -1
+    ff_expansion_factor: int = 4
+    conv_kernel_size: int = 31
+    conv_norm_type: str = "batch_norm"
+    dropout: float = 0.1
+    dropout_emb: float = 0.0
+    dropout_att: float = 0.1
+    xscaling: bool = True
+    pos_emb_max_len: int = 5000
+
+    @nn.compact
+    def __call__(
+        self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = jnp.transpose(audio_signal, (0, 2, 1))  # [B, T, D]
+        x, length = ConvSubsampling(
+            d_model=self.d_model,
+            feat_in=self.feat_in,
+            subsampling=self.subsampling,
+            subsampling_factor=self.subsampling_factor,
+            conv_channels=self.subsampling_conv_channels,
+            name="pre_encode",
+        )(x, length)
+
+        xscale = math.sqrt(self.d_model) if self.xscaling else None
+        x, pos_emb = RelPositionalEncoding(
+            d_model=self.d_model, max_len=self.pos_emb_max_len, xscale=xscale, name="pos_enc"
+        )(x, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        T = x.shape[1]
+        pad_mask = jnp.arange(T)[None, :] < length[:, None]
+
+        for i in range(self.n_layers):
+            x = ConformerLayer(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                ff_expansion_factor=self.ff_expansion_factor,
+                conv_kernel_size=self.conv_kernel_size,
+                conv_norm_type=self.conv_norm_type,
+                dropout=self.dropout,
+                dropout_att=self.dropout_att,
+                name=f"layer{i}",
+            )(x, pos_emb, pad_mask, train=train)
+
+        x = jnp.where(pad_mask[..., None], x, 0.0)
+        return jnp.transpose(x, (0, 2, 1)), length

@@ -109,7 +109,7 @@ class JasperBlock(nn.Module):
     residual: bool = False
     separable: bool = False
     se: bool = False
-    se_reduction_ratio: int = 8
+    se_reduction_ratio: int = 16
     stride_last: bool = False
     residual_mode: str = "add"  # add | stride_add
     activation: str = "relu"
@@ -145,10 +145,12 @@ class JasperBlock(nn.Module):
         act = _activation(self.activation)
         inp, inp_len = x, length
         for r in range(self.repeat):
+            # reference jasper.py:745-775: with stride_last, only the final
+            # repeat strides; otherwise every repeat uses the block stride
             if self.stride_last:
                 stride = self.stride if r == self.repeat - 1 else 1
             else:
-                stride = self.stride if r == 0 else 1
+                stride = self.stride
             in_ch = self.in_filters if r == 0 else self.filters
             x, length = self._conv_bn(
                 x, length, self.filters, in_ch, stride, train=train, idx=r

@@ -1,11 +1,19 @@
-"""Test config: force CPU backend with 8 virtual devices so sharding
-logic (dp/fsdp/tp/cp meshes) is exercised without TPU hardware.
-Mirrors the reference's no-dist-init topology testing strategy
-(SURVEY.md §4: fake_initialize_model_parallel)."""
+"""Test config: force the CPU backend with 8 virtual devices so sharding
+logic (dp/fsdp/tp/cp meshes) is exercised without TPU hardware, and so
+tests don't contend for the single tunneled TPU chip.
+
+NOTE: env vars (JAX_PLATFORMS) are overridden by the axon TPU plugin's
+sitecustomize before conftest runs, so we must force the platform through
+jax.config BEFORE any backend initializes. Mirrors the reference's
+no-dist-init topology testing strategy (SURVEY.md §4:
+fake_initialize_model_parallel)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
