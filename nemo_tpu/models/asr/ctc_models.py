@@ -40,7 +40,7 @@ def _mel_cfg_from(cfg: ConfigDict) -> MelSpectrogramConfig:
     return MelSpectrogramConfig(**kwargs)
 
 
-def build_encoder(enc_cfg: ConfigDict, default_feat_in: int) -> nn.Module:
+def build_encoder(enc_cfg: ConfigDict, default_feat_in: int, name: Optional[str] = None) -> nn.Module:
     """Encoder dispatch from reference-style config nodes: `_target_` ending in
     ConformerEncoder / ConvASREncoder, or inferred from the keys present."""
     target = str(enc_cfg.get("_target_", ""))
@@ -53,11 +53,11 @@ def build_encoder(enc_cfg: ConfigDict, default_feat_in: int) -> nn.Module:
         names = {f.name for f in _dc.fields(ConformerEncoder) if f.name != "parent"}
         kwargs = {k: v for k, v in dict(enc_cfg).items() if k in names}
         kwargs.setdefault("feat_in", default_feat_in)
-        return ConformerEncoder(name="encoder", **kwargs)
+        return ConformerEncoder(name=name, **kwargs)
     return ConvASREncoder(
         feat_in=int(enc_cfg.get("feat_in", default_feat_in)),
         jasper=tuple(dict(b) for b in enc_cfg.jasper),
-        name="encoder",
+        name=name,
     )
 
 
@@ -70,7 +70,7 @@ class _CTCNet(nn.Module):
     @nn.compact
     def __call__(self, feats, lengths, *, train: bool = False):
         enc_cfg = ConfigDict(dict(self.enc_cfg))
-        encoder = build_encoder(enc_cfg, self.feat_in)
+        encoder = build_encoder(enc_cfg, self.feat_in, name="encoder")
         enc, enc_len = encoder(feats, lengths, train=train)
         log_probs = ConvASRDecoder(
             feat_in=self.d_enc, num_classes=self.num_classes, name="decoder"

@@ -1,0 +1,172 @@
+"""RNNT ASR models (Conformer-Transducer / ContextNet style).
+
+Reference parity: EncDecRNNTModel (`asr/models/rnnt_models.py`) — encoder +
+prediction + joint, transcribe() via batched greedy decoding
+(`rnnt_greedy_decoding.py:529`), loss = RNNT NLL (`losses/rnnt.py`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nemo_tpu.core.config import ConfigDict
+from nemo_tpu.core.model import Model
+from nemo_tpu.data.audio_io import read_wav
+from nemo_tpu.models.asr.ctc_models import _bucket, _mel_cfg_from, build_encoder
+from nemo_tpu.models.asr.modules.rnnt import (
+    PredictionNetwork,
+    RNNTJoint,
+    rnnt_greedy_decode,
+)
+from nemo_tpu.ops.audio import mel_spectrogram
+from nemo_tpu.ops.rnnt import rnnt_loss_mean
+
+
+class _RNNTNet(nn.Module):
+    enc_cfg: Any  # dict
+    feat_in: int
+    enc_out: int
+    vocab_size: int
+    pred_hidden: int
+    pred_rnn_layers: int
+    joint_hidden: int
+
+    def setup(self):
+        self.encoder = build_encoder(ConfigDict(dict(self.enc_cfg)), self.feat_in)
+        self.prediction = PredictionNetwork(
+            vocab_size=self.vocab_size,
+            pred_hidden=self.pred_hidden,
+            pred_rnn_layers=self.pred_rnn_layers,
+        )
+        self.joint = RNNTJoint(num_classes=self.vocab_size, joint_hidden=self.joint_hidden)
+
+    def encode(self, feats, lengths, train: bool = False):
+        enc, enc_len = self.encoder(feats, lengths, train=train)
+        return jnp.transpose(enc, (0, 2, 1)), enc_len  # [B, T, H]
+
+    def predict(self, targets, train: bool = False):
+        return self.prediction(targets, train=train)  # [B, U+1, H]
+
+    def pred_step(self, token, state):
+        return self.prediction.step(token, state)
+
+    def joint_logits(self, enc, pred, train: bool = False):
+        return self.joint(enc, pred, train=train)
+
+    def __call__(self, feats, lengths, targets, train: bool = False):
+        """Training path: full joint logits [B, T, U+1, V+1]."""
+        enc, enc_len = self.encode(feats, lengths, train=train)
+        pred = self.predict(targets, train=train)
+        logits = self.joint(enc[:, :, None, :], pred[:, None, :, :], train=train)
+        return logits, enc_len
+
+
+class EncDecRNNTModel(Model):
+    """Config contract mirrors the reference RNNT YAMLs:
+    model.{labels, preprocessor, encoder, decoder{pred_hidden, pred_rnn_layers},
+    joint{joint_hidden}}."""
+
+    def __init__(self, cfg: ConfigDict, init_params: bool = True):
+        super().__init__(cfg)
+        cfg = self.cfg
+        self.sample_rate = int(cfg.get("sample_rate", 16000))
+        self.mel_cfg = _mel_cfg_from(cfg.get("preprocessor", {}))
+        labels = cfg.get("labels") or cfg.get("decoder", {}).get("vocabulary")
+        self.labels = list(labels)
+        self.blank_id = len(self.labels)
+        enc_cfg = cfg.encoder
+        if "d_model" in enc_cfg:
+            enc_out = int(enc_cfg.d_model)
+        else:
+            enc_out = int(enc_cfg.jasper[-1]["filters"])
+        dec_cfg = cfg.get("decoder", ConfigDict())
+        joint_cfg = cfg.get("joint", ConfigDict())
+        self.max_symbols = int(cfg.get("decoding", {}).get("max_symbols", 10))
+        self.net = _RNNTNet(
+            enc_cfg=enc_cfg.to_dict(),
+            feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
+            enc_out=enc_out,
+            vocab_size=len(self.labels),
+            pred_hidden=int(dec_cfg.get("pred_hidden", 640)),
+            pred_rnn_layers=int(dec_cfg.get("pred_rnn_layers", 1)),
+            joint_hidden=int(joint_cfg.get("joint_hidden", 640)),
+        )
+        if init_params:
+            self._init_params()
+        self._jit_decode = jax.jit(self._decode_fn)
+        self._jit_logits = jax.jit(self._logits_fn)
+
+    def _init_params(self, seed: int = 0):
+        feats = jnp.zeros((1, self.mel_cfg.features, 128), jnp.float32)
+        lens = jnp.array([128], jnp.int32)
+        tgt = jnp.zeros((1, 4), jnp.int32)
+        self.variables = self.net.init(
+            jax.random.PRNGKey(seed), feats, lens, tgt, train=False
+        )
+
+    # -- training -----------------------------------------------------------
+    def _logits_fn(self, variables, signal, length, targets):
+        feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
+        return self.net.apply(variables, feats, feat_len, targets, train=False)
+
+    def loss(self, logits, targets, enc_len, target_len):
+        return rnnt_loss_mean(logits, targets, enc_len, target_len)
+
+    # -- inference ----------------------------------------------------------
+    def _decode_fn(self, variables, signal, length):
+        feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
+        enc, enc_len = self.net.apply(
+            variables, feats, feat_len, train=False, method=_RNNTNet.encode
+        )
+
+        def joint_fn(enc_t, pred_out):
+            return self.net.apply(
+                variables, enc_t, pred_out, method=_RNNTNet.joint_logits
+            )
+
+        def pred_step_fn(token, state):
+            return self.net.apply(variables, token, state, method=_RNNTNet.pred_step)
+
+        B = enc.shape[0]
+        zeros = jnp.zeros((B, self.net.pred_hidden), jnp.float32)
+        state0 = tuple((zeros, zeros) for _ in range(self.net.pred_rnn_layers))
+        tokens, counts = rnnt_greedy_decode(
+            joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id, self.max_symbols
+        )
+        return tokens, counts
+
+    def transcribe(
+        self, audio: Sequence[Union[str, np.ndarray]], batch_size: int = 4
+    ) -> List[str]:
+        results: List[str] = []
+        for start in range(0, len(audio), batch_size):
+            batch = audio[start : start + batch_size]
+            sigs = []
+            for a in batch:
+                if isinstance(a, str):
+                    x, _ = read_wav(a, target_sr=self.sample_rate)
+                else:
+                    x = np.asarray(a, np.float32)
+                sigs.append(x)
+            lens = np.array([len(s) for s in sigs], np.int32)
+            pad_len = _bucket(int(lens.max()))
+            padded = np.zeros((batch_size, pad_len), np.float32)
+            for i, s in enumerate(sigs):
+                padded[i, : len(s)] = s
+            full_lens = np.ones(batch_size, np.int32)
+            full_lens[: len(sigs)] = lens
+            tokens, counts = self._jit_decode(
+                self.variables, jnp.asarray(padded), jnp.asarray(full_lens)
+            )
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            for b in range(len(sigs)):
+                ids = tokens[b, : counts[b]]
+                results.append("".join(self.labels[i] for i in ids))
+        return results
