@@ -75,6 +75,7 @@ def conformer_ctc(
     feat_in: int = 80,
     subsampling: str = "striding",
     subsampling_factor: int = 4,
+    compute_dtype: str = "float32",
 ) -> ConfigDict:
     """Conformer-CTC (reference examples/asr/conf/conformer/conformer_ctc_bpe.yaml):
     mel-80 → ConvSubsampling ×4 → N×ConformerLayer(rel_pos MHSA, conv k=31)."""
@@ -101,6 +102,7 @@ def conformer_ctc(
             dropout_att=0.1,
             xscaling=True,
             pos_emb_max_len=5000,
+            compute_dtype=compute_dtype,
         ),
         decoder=dict(feat_in=d_model, vocabulary=labels),
     )

@@ -54,9 +54,15 @@ def build_encoder(enc_cfg: ConfigDict, default_feat_in: int, name: Optional[str]
         kwargs = {k: v for k, v in dict(enc_cfg).items() if k in names}
         kwargs.setdefault("feat_in", default_feat_in)
         return ConformerEncoder(name=name, **kwargs)
+    import jax.numpy as _jnp
+
+    dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
+        str(enc_cfg.get("compute_dtype", "float32"))
+    ]
     return ConvASREncoder(
         feat_in=int(enc_cfg.get("feat_in", default_feat_in)),
         jasper=tuple(dict(b) for b in enc_cfg.jasper),
+        dtype=dtype,
         name=name,
     )
 

@@ -47,25 +47,27 @@ class ConvSubsampling(nn.Module):
     subsampling: str = "striding"  # striding | dw_striding
     subsampling_factor: int = 4
     conv_channels: int = -1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n_layers = int(math.log2(self.subsampling_factor))
         ch = self.conv_channels if self.conv_channels > 0 else self.d_model
-        h = x[..., None]  # [B, T, F, 1]
+        h = x[..., None].astype(self.dtype)  # [B, T, F, 1]
         for i in range(n_layers):
             if self.subsampling == "dw_striding" and i > 0:
                 h = nn.Conv(
                     h.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    feature_group_count=h.shape[-1], name=f"dw{i}",
+                    feature_group_count=h.shape[-1], dtype=self.dtype, name=f"dw{i}",
                 )(h)
-                h = nn.Conv(ch, (1, 1), name=f"pw{i}")(h)
+                h = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"pw{i}")(h)
             else:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name=f"conv{i}")(h)
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.relu(h)
         B, T, F, C = h.shape
         h = h.reshape(B, T, F * C)
-        out = nn.Dense(self.d_model, name="out")(h)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(h)
         return out, subsampled_length(length, n_layers)
 
 
@@ -107,14 +109,35 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, :, :, :T]
 
 
+class _PosKernel(nn.Module):
+    """Holds the linear_pos kernel [D, D] so both attention impls share the
+    checkpoint path `linear_pos/kernel`."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model)
+        )
+
+
 class RelPositionMultiHeadAttention(nn.Module):
     """Rel-pos MHSA (multi_head_attention.py:212) with learned global biases
-    pos_bias_u / pos_bias_v (Transformer-XL)."""
+    pos_bias_u / pos_bias_v (Transformer-XL).
+
+    impl:
+      "decomposed" (default) — TPU-native trig decomposition
+        (ops/attention.py): the rel-pos term becomes extra MXU contraction
+        dims; no [T,2T-1] intermediate, no pad-reshape shift.
+      "shift" — the reference pad-reshape formulation (parity testing).
+    """
 
     d_model: int
     n_heads: int
     dropout_att: float = 0.0
-    use_pallas: bool = False
+    impl: str = "decomposed"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -129,10 +152,10 @@ class RelPositionMultiHeadAttention(nn.Module):
         H = self.n_heads
         dh = D // H
 
-        q = nn.Dense(D, name="linear_q")(x).reshape(B, T, H, dh)
-        k = nn.Dense(D, name="linear_k")(x).reshape(B, T, H, dh)
-        v = nn.Dense(D, name="linear_v")(x).reshape(B, T, H, dh)
-        p = nn.Dense(D, use_bias=False, name="linear_pos")(pos_emb).reshape(1, -1, H, dh)
+        q = nn.Dense(D, dtype=self.dtype, name="linear_q")(x).reshape(B, T, H, dh)
+        k = nn.Dense(D, dtype=self.dtype, name="linear_k")(x).reshape(B, T, H, dh)
+        v = nn.Dense(D, dtype=self.dtype, name="linear_v")(x).reshape(B, T, H, dh)
+        w_pos = _PosKernel(D, name="linear_pos")()  # [D, D] (in, out)
 
         u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh))
         vb = self.param("pos_bias_v", nn.initializers.zeros, (H, dh))
@@ -140,37 +163,52 @@ class RelPositionMultiHeadAttention(nn.Module):
         q = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
         k = jnp.transpose(k, (0, 2, 1, 3))
         v = jnp.transpose(v, (0, 2, 1, 3))
-        p = jnp.transpose(p, (0, 2, 1, 3))  # [1,H,2T-1,dh]
 
-        qu = q + u[None, :, None, :]
-        qv = q + vb[None, :, None, :]
-        # content and position scores in fp32 (softmax island)
-        ac = jnp.einsum("bhid,bhjd->bhij", qu, k, preferred_element_type=jnp.float32)
-        bd = jnp.einsum("bhid,xhjd->bhij", qv, p, preferred_element_type=jnp.float32)
-        bd = rel_shift(bd)
-        scores = (ac + bd) / math.sqrt(dh)
+        qu = (q + u[None, :, None, :].astype(q.dtype))
+        qv = (q + vb[None, :, None, :].astype(q.dtype))
 
-        mask = pad_mask[:, None, None, :]  # [B,1,1,T] keys
-        scores = jnp.where(mask, scores, -1e30)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.where(pad_mask[:, None, :, None], attn, 0.0)  # zero padded queries
-        attn = nn.Dropout(self.dropout_att, deterministic=not train)(attn)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        if self.impl == "decomposed":
+            from nemo_tpu.ops.attention import relpos_attention
+
+            out = relpos_attention(
+                qu, qv, k, v,
+                w_pos.reshape(D, H, dh),
+                pad_mask,
+                d_model=D,
+                scale=1.0 / math.sqrt(dh),
+            )
+        else:
+            p = jnp.einsum(
+                "xjm,md->xjd", pos_emb.astype(self.dtype), w_pos.astype(self.dtype)
+            ).reshape(1, -1, H, dh)
+            p = jnp.transpose(p, (0, 2, 1, 3))  # [1,H,2T-1,dh]
+            ac = jnp.einsum("bhid,bhjd->bhij", qu, k, preferred_element_type=jnp.float32)
+            bd = jnp.einsum("bhid,xhjd->bhij", qv, p, preferred_element_type=jnp.float32)
+            bd = rel_shift(bd)
+            scores = (ac + bd) / math.sqrt(dh)
+            mask = pad_mask[:, None, None, :]  # [B,1,1,T] keys
+            scores = jnp.where(mask, scores, -1e30)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.where(pad_mask[:, None, :, None], attn, 0.0)
+            attn = nn.Dropout(self.dropout_att, deterministic=not train)(attn)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, D)
-        return nn.Dense(D, name="linear_out")(out)
+        return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
 
 
 class ConformerFeedForward(nn.Module):
     d_model: int
     expansion_factor: int = 4
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        h = nn.Dense(self.d_model * self.expansion_factor, name="linear1")(x)
+        h = nn.Dense(self.d_model * self.expansion_factor, dtype=self.dtype, name="linear1")(x)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         return h
 
 
@@ -181,12 +219,13 @@ class ConformerConvolution(nn.Module):
     d_model: int
     kernel_size: int = 31
     norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, pad_mask: jnp.ndarray, *, train: bool = False
     ) -> jnp.ndarray:
-        h = nn.Dense(2 * self.d_model, name="pointwise1")(x)
+        h = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
         h = jnp.where(pad_mask[..., None], h, 0.0)
@@ -196,14 +235,16 @@ class ConformerConvolution(nn.Module):
             (self.kernel_size,),
             padding=[(pad, pad)],
             feature_group_count=self.d_model,
+            dtype=self.dtype,
             name="depthwise",
         )(h)
         if self.norm_type == "batch_norm":
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name="norm")(h).astype(self.dtype)
         else:
-            h = nn.LayerNorm(name="norm")(h)
+            h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h).astype(self.dtype)
         h = nn.silu(h)
-        h = nn.Dense(self.d_model, name="pointwise2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
         return h
 
 
@@ -215,32 +256,40 @@ class ConformerLayer(nn.Module):
     conv_norm_type: str = "batch_norm"
     dropout: float = 0.0
     dropout_att: float = 0.0
+    att_impl: str = "decomposed"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, pad_mask, *, train: bool = False):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
+        # LayerNorms compute in fp32 (islands), outputs back to compute dtype
+        ln = lambda name: (lambda v: nn.LayerNorm(dtype=jnp.float32, name=name)(v).astype(self.dtype))
 
-        h = nn.LayerNorm(name="norm_ff1")(x)
-        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout, name="ff1")(h, train=train)
+        h = ln("norm_ff1")(x)
+        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout,
+                                 dtype=self.dtype, name="ff1")(h, train=train)
         x = x + 0.5 * drop(h)
 
-        h = nn.LayerNorm(name="norm_attn")(x)
+        h = ln("norm_attn")(x)
         h = RelPositionMultiHeadAttention(
-            self.d_model, self.n_heads, self.dropout_att, name="attn"
+            self.d_model, self.n_heads, self.dropout_att, impl=self.att_impl,
+            dtype=self.dtype, name="attn"
         )(h, pos_emb, pad_mask, train=train)
         x = x + drop(h)
 
-        h = nn.LayerNorm(name="norm_conv")(x)
+        h = ln("norm_conv")(x)
         h = ConformerConvolution(
-            self.d_model, self.conv_kernel_size, self.conv_norm_type, name="conv"
+            self.d_model, self.conv_kernel_size, self.conv_norm_type,
+            dtype=self.dtype, name="conv"
         )(h, pad_mask, train=train)
         x = x + drop(h)
 
-        h = nn.LayerNorm(name="norm_ff2")(x)
-        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout, name="ff2")(h, train=train)
+        h = ln("norm_ff2")(x)
+        h = ConformerFeedForward(self.d_model, self.ff_expansion_factor, self.dropout,
+                                 dtype=self.dtype, name="ff2")(h, train=train)
         x = x + 0.5 * drop(h)
 
-        return nn.LayerNorm(name="norm_out")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x).astype(self.dtype)
 
 
 class ConformerEncoder(nn.Module):
@@ -268,18 +317,22 @@ class ConformerEncoder(nn.Module):
     dropout_att: float = 0.1
     xscaling: bool = True
     pos_emb_max_len: int = 5000
+    att_impl: str = "decomposed"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
         self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = jnp.transpose(audio_signal, (0, 2, 1))  # [B, T, D]
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.compute_dtype]
+        x = jnp.transpose(audio_signal, (0, 2, 1)).astype(dtype)  # [B, T, D]
         x, length = ConvSubsampling(
             d_model=self.d_model,
             feat_in=self.feat_in,
             subsampling=self.subsampling,
             subsampling_factor=self.subsampling_factor,
             conv_channels=self.subsampling_conv_channels,
+            dtype=dtype,
             name="pre_encode",
         )(x, length)
 
@@ -301,6 +354,8 @@ class ConformerEncoder(nn.Module):
                 conv_norm_type=self.conv_norm_type,
                 dropout=self.dropout,
                 dropout_att=self.dropout_att,
+                att_impl=self.att_impl,
+                dtype=dtype,
                 name=f"layer{i}",
             )(x, pos_emb, pad_mask, train=train)
 

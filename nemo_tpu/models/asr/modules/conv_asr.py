@@ -57,6 +57,7 @@ class MaskedConv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,6 +71,7 @@ class MaskedConv1d(nn.Module):
             padding=[(pad, pad)],
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return y, conv_out_length(length, self.kernel, self.stride, self.dilation)
@@ -113,6 +115,7 @@ class JasperBlock(nn.Module):
     stride_last: bool = False
     residual_mode: str = "add"  # add | stride_add
     activation: str = "relu"
+    dtype: Any = jnp.float32
 
     def _conv_bn(self, x, length, out_ch, in_ch, stride, *, train: bool, idx: int):
         if self.separable:
@@ -122,20 +125,26 @@ class JasperBlock(nn.Module):
                 stride=stride,
                 dilation=self.dilation,
                 groups=in_ch,
+                dtype=self.dtype,
                 name=f"dw{idx}",
             )(x, length)
-            x, length = MaskedConv1d(features=out_ch, kernel=1, name=f"pw{idx}")(x, length)
+            x, length = MaskedConv1d(
+                features=out_ch, kernel=1, dtype=self.dtype, name=f"pw{idx}"
+            )(x, length)
         else:
             x, length = MaskedConv1d(
                 features=out_ch,
                 kernel=self.kernel,
                 stride=stride,
                 dilation=self.dilation,
+                dtype=self.dtype,
                 name=f"conv{idx}",
             )(x, length)
+        # BN statistics/params in fp32 (numerical island), output back in dtype
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3, name=f"bn{idx}"
-        )(x)
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            dtype=jnp.float32, name=f"bn{idx}"
+        )(x).astype(self.dtype)
         return x, length
 
     @nn.compact
@@ -164,15 +173,17 @@ class JasperBlock(nn.Module):
             res_len = inp_len
             if self.residual_mode == "stride_add" and self.stride > 1:
                 res, res_len = MaskedConv1d(
-                    features=self.filters, kernel=1, stride=self.stride, name="res_pw"
+                    features=self.filters, kernel=1, stride=self.stride,
+                    dtype=self.dtype, name="res_pw"
                 )(res, res_len)
             else:
-                res, res_len = MaskedConv1d(features=self.filters, kernel=1, name="res_pw")(
-                    res, res_len
-                )
+                res, res_len = MaskedConv1d(
+                    features=self.filters, kernel=1, dtype=self.dtype, name="res_pw"
+                )(res, res_len)
             res = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-3, name="res_bn"
-            )(res)
+                use_running_average=not train, momentum=0.9, epsilon=1e-3,
+                dtype=jnp.float32, name="res_bn"
+            )(res).astype(self.dtype)
             if res.shape[1] != x.shape[1]:
                 res = res[:, : x.shape[1]]
             x = x + res
@@ -196,12 +207,13 @@ class ConvASREncoder(nn.Module):
     feat_in: int
     jasper: Sequence[Any]  # list of block config dicts
     activation: str = "relu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = jnp.transpose(audio_signal, (0, 2, 1))  # [B, T, D]
+        x = jnp.transpose(audio_signal, (0, 2, 1)).astype(self.dtype)  # [B, T, D]
         in_filters = self.feat_in
         for i, blk in enumerate(self.jasper):
             blk = dict(blk)
@@ -220,6 +232,7 @@ class ConvASREncoder(nn.Module):
                 stride_last=bool(blk.get("stride_last", False)),
                 residual_mode=str(blk.get("residual_mode", "add")),
                 activation=str(blk.get("activation", self.activation)),
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, length, train=train)
             in_filters = int(blk["filters"])

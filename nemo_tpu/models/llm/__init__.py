@@ -1,0 +1,4 @@
+from nemo_tpu.models.llm.config import GPTConfig, PRESETS  # noqa: F401
+from nemo_tpu.models.llm.gpt import GPTModel, init_kv_caches  # noqa: F401
+from nemo_tpu.models.llm.loss import masked_token_loss  # noqa: F401
+from nemo_tpu.models.llm.train import GPTTrainModule, TrainState  # noqa: F401

@@ -1,0 +1,183 @@
+"""GPT model configs + family presets.
+
+Reference parity: GPTConfig (`nemo/collections/llm/gpt/model/base.py:284`,
+a Megatron TransformerConfig + IOMixin) and the per-family config dataclasses
+in `gpt/model/{llama,mistral,qwen2,gemma,...}.py`. Here a single frozen
+dataclass carries the architecture; presets mirror the reference model zoo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    num_layers: int = 12
+    hidden_size: int = 768
+    ffn_hidden_size: int = 3072
+    num_attention_heads: int = 12
+    num_query_groups: Optional[int] = None  # None → MHA; <heads → GQA
+    kv_channels: Optional[int] = None  # None → hidden/heads
+    vocab_size: int = 32000
+    seq_length: int = 2048
+    max_position_embeddings: Optional[int] = None
+
+    # structure
+    normalization: str = "RMSNorm"  # RMSNorm | LayerNorm
+    layernorm_epsilon: float = 1e-5
+    gated_linear_unit: bool = True  # SwiGLU
+    activation: str = "silu"  # silu | gelu | squared_relu
+    add_bias_linear: bool = False
+    add_qkv_bias: bool = False
+    position_embedding_type: str = "rope"  # rope | learned_absolute | none
+    rotary_base: float = 10000.0
+    rotary_percent: float = 1.0
+    rope_scaling: Optional[str] = None  # None | "llama3"
+    rope_scaling_factor: float = 8.0
+    old_context_len: int = 8192  # llama3 rope scaling original context
+    share_embeddings_and_output_weights: bool = False
+    attention_softmax_in_fp32: bool = True
+    qk_layernorm: bool = False  # qwen3-style per-head q/k norm
+    layernorm_zero_centered_gamma: bool = False  # gemma-style (1+g) scale
+    attention_multiplier: Optional[float] = None  # custom softmax scale
+    embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
+    logit_softcapping: Optional[float] = None  # gemma2
+    window_size: Optional[int] = None  # sliding-window attention (mistral)
+
+    # MoE (0 experts = dense)
+    num_moe_experts: int = 0
+    moe_router_topk: int = 2
+    moe_ffn_hidden_size: Optional[int] = None
+    moe_shared_expert_intermediate_size: Optional[int] = None
+    moe_router_pre_softmax: bool = False
+    moe_aux_loss_coeff: float = 0.0
+
+    # numerics / training
+    init_method_std: float = 0.02
+    hidden_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    params_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    # remat: "none" | "full" | "dots" (checkpoint matmul outputs only)
+    remat: str = "full"
+    scan_layers: bool = True  # stack layers with nn.scan (fast compiles)
+
+    @property
+    def head_dim(self) -> int:
+        return self.kv_channels or self.hidden_size // self.num_attention_heads
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.num_query_groups or self.num_attention_heads
+
+
+def _cfg(**kw) -> GPTConfig:
+    return GPTConfig(**kw)
+
+
+# --------------------------------------------------------------------------
+# Family presets (reference: nemo/collections/llm/gpt/model/*.py)
+# --------------------------------------------------------------------------
+
+def llama2_7b(**kw) -> GPTConfig:
+    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=11008,
+                num_attention_heads=32, vocab_size=32000, seq_length=4096,
+                rotary_base=10000.0, **kw)
+
+
+def llama3_8b(**kw) -> GPTConfig:
+    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
+                num_attention_heads=32, num_query_groups=8, vocab_size=128256,
+                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+
+
+def llama3_70b(**kw) -> GPTConfig:
+    return _cfg(num_layers=80, hidden_size=8192, ffn_hidden_size=28672,
+                num_attention_heads=64, num_query_groups=8, vocab_size=128256,
+                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+
+
+def llama31_405b(**kw) -> GPTConfig:
+    return _cfg(num_layers=126, hidden_size=16384, ffn_hidden_size=53248,
+                num_attention_heads=128, num_query_groups=8, vocab_size=128256,
+                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+
+
+def mistral_7b(**kw) -> GPTConfig:
+    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
+                num_attention_heads=32, num_query_groups=8, vocab_size=32000,
+                seq_length=8192, window_size=4096, **kw)
+
+
+def mixtral_8x7b(**kw) -> GPTConfig:
+    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
+                num_attention_heads=32, num_query_groups=8, vocab_size=32000,
+                seq_length=8192, num_moe_experts=8, moe_router_topk=2,
+                moe_aux_loss_coeff=0.02, **kw)
+
+
+def gemma_7b(**kw) -> GPTConfig:
+    return _cfg(num_layers=28, hidden_size=3072, ffn_hidden_size=24576,
+                num_attention_heads=16, kv_channels=256, vocab_size=256000,
+                seq_length=8192, activation="gelu",
+                share_embeddings_and_output_weights=True,
+                layernorm_zero_centered_gamma=True,
+                embedding_multiplier=3072**0.5, **kw)
+
+
+def qwen2_7b(**kw) -> GPTConfig:
+    return _cfg(num_layers=28, hidden_size=3584, ffn_hidden_size=18944,
+                num_attention_heads=28, num_query_groups=4, vocab_size=152064,
+                seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0, **kw)
+
+
+def qwen3_8b(**kw) -> GPTConfig:
+    return _cfg(num_layers=36, hidden_size=4096, ffn_hidden_size=12288,
+                num_attention_heads=32, num_query_groups=8, kv_channels=128,
+                vocab_size=151936, seq_length=40960, qk_layernorm=True,
+                rotary_base=1000000.0, **kw)
+
+
+def gpt3_175b(**kw) -> GPTConfig:
+    return _cfg(num_layers=96, hidden_size=12288, ffn_hidden_size=49152,
+                num_attention_heads=96, vocab_size=51200, seq_length=2048,
+                normalization="LayerNorm", gated_linear_unit=False,
+                activation="gelu", add_bias_linear=True,
+                position_embedding_type="learned_absolute",
+                share_embeddings_and_output_weights=True, **kw)
+
+
+def gpt_2b(**kw) -> GPTConfig:
+    """The BASELINE.json 'Megatron GPT 2B fine-tune' config shape."""
+    return _cfg(num_layers=24, hidden_size=2048, ffn_hidden_size=5440,
+                num_attention_heads=16, vocab_size=256000, seq_length=4096, **kw)
+
+
+def tiny_test(**kw) -> GPTConfig:
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("hidden_size", 64)
+    kw.setdefault("ffn_hidden_size", 128)
+    kw.setdefault("num_attention_heads", 4)
+    kw.setdefault("num_query_groups", 2)
+    kw.setdefault("vocab_size", 128)
+    kw.setdefault("seq_length", 64)
+    kw.setdefault("compute_dtype", "float32")
+    return _cfg(**kw)
+
+
+PRESETS = {
+    "llama2_7b": llama2_7b,
+    "llama3_8b": llama3_8b,
+    "llama3_70b": llama3_70b,
+    "llama31_405b": llama31_405b,
+    "mistral_7b": mistral_7b,
+    "mixtral_8x7b": mixtral_8x7b,
+    "gemma_7b": gemma_7b,
+    "qwen2_7b": qwen2_7b,
+    "qwen3_8b": qwen3_8b,
+    "gpt3_175b": gpt3_175b,
+    "gpt_2b": gpt_2b,
+    "tiny_test": tiny_test,
+}

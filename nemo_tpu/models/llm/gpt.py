@@ -1,0 +1,462 @@
+"""GPT transformer stack, TPU-native (flax + GSPMD logical sharding).
+
+Reference parity: MCore GPTModel as configured by GPTConfig
+(`nemo/collections/llm/gpt/model/base.py:284,319` — embedding → N×
+[pre-norm attn(GQA+RoPE) → pre-norm MLP(SwiGLU)] → final norm →
+(tied) LM head), plus family variations (GQA, qk-layernorm, gemma scaling,
+sliding window, MoE).
+
+TPU-first design:
+- Tensor/sequence/data/fsdp parallelism are GSPMD shardings: every param
+  carries logical axes (nn.with_logical_partitioning) mapped to the mesh by
+  nemo_tpu.parallel.default_axis_rules — no Column/RowParallelLinear classes,
+  XLA inserts the collectives (SURVEY.md §2.9/§2.10).
+- Layers are stacked with nn.scan (single compiled layer body, params with a
+  leading 'layers' axis) + per-layer remat — compile time and HBM win.
+- bf16 compute / fp32 params + fp32 softmax and norm islands.
+- Attention is a fused-friendly einsum chain; the Pallas flash kernel plugs
+  in behind `attention_fn` (ops/attention.py) for long sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nemo_tpu.models.llm.config import GPTConfig
+
+with_constraint = nn.with_logical_constraint
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+def _init(std: float, axes):
+    return nn.with_logical_partitioning(nn.initializers.normal(std), axes)
+
+
+class RMSNorm(nn.Module):
+    cfg: GPTConfig
+    dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = self.dim or x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.zeros if self.cfg.layernorm_zero_centered_gamma else nn.initializers.ones, ("act_embed",)),
+            (dim,),
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.cfg.layernorm_epsilon)
+        g = scale.astype(jnp.float32)
+        if self.cfg.layernorm_zero_centered_gamma:
+            g = 1.0 + g
+        return (y * g).astype(x.dtype)
+
+
+class LayerNormFP32(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(
+            epsilon=self.cfg.layernorm_epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros, ("act_embed",)),
+        )(x).astype(x.dtype)
+
+
+def make_norm(cfg: GPTConfig, name: str):
+    if cfg.normalization == "RMSNorm":
+        return RMSNorm(cfg, name=name)
+    return LayerNormFP32(cfg, name=name)
+
+
+# --------------------------------------------------------------------------
+# RoPE
+# --------------------------------------------------------------------------
+
+
+def rope_frequencies(cfg: GPTConfig) -> np.ndarray:
+    """Inverse frequencies [head_dim/2], with llama3 wavelength-dependent
+    scaling (reference: llama rope scaling in gpt/model/llama.py)."""
+    dim = int(cfg.head_dim * cfg.rotary_percent)
+    inv = 1.0 / (cfg.rotary_base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if cfg.rope_scaling == "llama3":
+        factor = cfg.rope_scaling_factor
+        low_freq_factor, high_freq_factor = 1.0, 4.0
+        old_len = cfg.old_context_len
+        wavelen = 2 * np.pi / inv
+        low_wl = old_len / low_freq_factor
+        high_wl = old_len / high_freq_factor
+        scaled = inv / factor
+        smooth = (old_len / wavelen - low_freq_factor) / (high_freq_factor - low_freq_factor)
+        mid = (1 - smooth) * scaled + smooth * inv
+        inv = np.where(wavelen > low_wl, scaled, np.where(wavelen < high_wl, inv, mid))
+    return inv.astype(np.float32)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, D]; positions: [B, S] or [S]. Rotates first
+    2*len(inv_freq) channels (rotary_percent support), interleaved-free
+    (half-split convention, matching HF/Megatron 'neox' style)."""
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    ang = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
+    sin = jnp.sin(ang)[:, :, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]
+    rot_dim = 2 * inv_freq.shape[-1]
+    xr, xp = x[..., :rot_dim], x[..., rot_dim:]
+    x1, x2 = jnp.split(xr.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------
+
+
+def causal_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,  # [B, S, G, D]
+    v: jnp.ndarray,  # [B, S, G, D]
+    *,
+    scale: float,
+    window: Optional[int] = None,
+    softmax_fp32: bool = True,
+    kv_offset: int = 0,
+) -> jnp.ndarray:
+    """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
+    kernel replaces this for long S). kv_offset shifts query positions for
+    decode (q at position kv_offset..kv_offset+Sq-1 attends to k[0..])."""
+    B, Sq, H, D = q.shape
+    G = k.shape[2]
+    rep = H // G
+    qg = q.reshape(B, Sq, G, rep, D)
+    scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    Skv = k.shape[1]
+    qpos = jnp.arange(Sq) + kv_offset
+    kpos = jnp.arange(Skv)
+    mask = kpos[None, :] <= qpos[:, None]
+    if window is not None:
+        mask &= kpos[None, :] > qpos[:, None] - window
+    scores = jnp.where(mask[None, None, None], scores, -1e30)
+    if not softmax_fp32:
+        scores = scores.astype(q.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v)
+    return out.reshape(B, Sq, H, D)
+
+
+class Attention(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, *, train=False):
+        cfg = self.cfg
+        H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
+        dtype = x.dtype
+        dense = partial(
+            nn.DenseGeneral,
+            use_bias=cfg.add_qkv_bias or cfg.add_bias_linear,
+            dtype=dtype,
+            param_dtype=_dtype(cfg.params_dtype),
+        )
+        q = dense(features=(H, D), kernel_init=_init(cfg.init_method_std, ("embed", "heads", "qkv")), name="q_proj")(x)
+        k = dense(features=(G, D), kernel_init=_init(cfg.init_method_std, ("embed", "kv_heads", "qkv")), name="k_proj")(x)
+        v = dense(features=(G, D), kernel_init=_init(cfg.init_method_std, ("embed", "kv_heads", "qkv")), name="v_proj")(x)
+
+        if cfg.qk_layernorm:
+            q = RMSNorm(cfg, dim=D, name="q_norm")(q)
+            k = RMSNorm(cfg, dim=D, name="k_norm")(k)
+
+        if cfg.position_embedding_type == "rope":
+            inv = jnp.asarray(rope_frequencies(cfg))
+            q = apply_rope(q, positions, inv)
+            k = apply_rope(k, positions, inv)
+
+        q = with_constraint(q, ("batch", "act_seq", "heads", None))
+        k = with_constraint(k, ("batch", "act_seq", "kv_heads", None))
+        v = with_constraint(v, ("batch", "act_seq", "kv_heads", None))
+
+        kv_offset = 0
+        if kv_cache is not None and kv_cache[0].shape[1] > 0:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
+            k, v = ck, cv
+            kv_cache = (ck, cv)
+            kv_offset = decode_index
+
+        scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
+        out = causal_attention(
+            q, k, v, scale=scale, window=cfg.window_size,
+            softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
+        )
+        out = nn.DenseGeneral(
+            features=cfg.hidden_size,
+            axis=(-2, -1),
+            use_bias=cfg.add_bias_linear,
+            dtype=dtype,
+            param_dtype=_dtype(cfg.params_dtype),
+            kernel_init=_init(cfg.init_method_std, ("heads", "qkv", "embed")),
+            name="o_proj",
+        )(out)
+        if cfg.attention_dropout:
+            out = nn.Dropout(cfg.attention_dropout, deterministic=not train)(out)
+        return out, kv_cache
+
+
+# --------------------------------------------------------------------------
+# MLP / MoE
+# --------------------------------------------------------------------------
+
+
+def _act(name: str):
+    return {"silu": nn.silu, "gelu": partial(nn.gelu, approximate=True), "squared_relu": lambda x: jnp.square(nn.relu(x))}[name]
+
+
+class MLP(nn.Module):
+    cfg: GPTConfig
+    ffn_size: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, *, train=False):
+        cfg = self.cfg
+        ffn = self.ffn_size or cfg.ffn_hidden_size
+        dtype = x.dtype
+        mult = 2 if cfg.gated_linear_unit else 1
+        h = nn.DenseGeneral(
+            features=mult * ffn,
+            use_bias=cfg.add_bias_linear,
+            dtype=dtype,
+            param_dtype=_dtype(cfg.params_dtype),
+            kernel_init=_init(cfg.init_method_std, ("embed", "mlp")),
+            name="fc1",
+        )(x)
+        if cfg.gated_linear_unit:
+            gate, up = jnp.split(h, 2, axis=-1)
+            h = _act(cfg.activation)(gate) * up
+        else:
+            h = _act(cfg.activation)(h)
+        h = with_constraint(h, ("batch", "act_seq", "mlp"))
+        out = nn.DenseGeneral(
+            features=cfg.hidden_size,
+            use_bias=cfg.add_bias_linear,
+            dtype=dtype,
+            param_dtype=_dtype(cfg.params_dtype),
+            kernel_init=_init(cfg.init_method_std, ("mlp", "embed")),
+            name="fc2",
+        )(h)
+        if cfg.hidden_dropout:
+            out = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(out)
+        return out
+
+
+class MoEMLP(nn.Module):
+    """Top-k routed experts (reference: MCore MoE with a2a token dispatcher).
+
+    v0 strategy: dense einsum over the expert axis (every token × every
+    expert, combined by router weights) — correct and GSPMD-shardable over
+    the 'expert' logical axis; the ragged-dispatch Pallas path replaces this
+    for production MoE (SURVEY.md §2.10 EP row)."""
+
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, *, train=False):
+        cfg = self.cfg
+        E = cfg.num_moe_experts
+        ffn = cfg.moe_ffn_hidden_size or cfg.ffn_hidden_size
+        dtype = x.dtype
+        B, S, Dm = x.shape
+
+        router = nn.DenseGeneral(
+            features=E, use_bias=False, dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=_init(cfg.init_method_std, ("embed", None)),
+            name="router",
+        )(x.astype(jnp.float32))  # [B,S,E]
+        if cfg.moe_router_pre_softmax:
+            probs = jax.nn.softmax(router, axis=-1)
+            top_w, top_i = jax.lax.top_k(probs, cfg.moe_router_topk)
+        else:
+            top_l, top_i = jax.lax.top_k(router, cfg.moe_router_topk)
+            top_w = jax.nn.softmax(top_l, axis=-1)
+        one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B,S,K,E]
+        combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
+
+        # aux load-balancing loss (Switch-style)
+        if cfg.moe_aux_loss_coeff and train:
+            me = jnp.mean(combine, axis=(0, 1))
+            ce = jnp.mean(jax.nn.softmax(router, axis=-1), axis=(0, 1))
+            aux = jnp.sum(me * ce) * E * cfg.moe_aux_loss_coeff
+            self.sow("losses", "moe_aux", aux)
+
+        mult = 2 if cfg.gated_linear_unit else 1
+        w1 = self.param(
+            "w1", _init(cfg.init_method_std, ("expert", "embed", "mlp")),
+            (E, Dm, mult * ffn), _dtype(cfg.params_dtype),
+        )
+        w2 = self.param(
+            "w2", _init(cfg.init_method_std, ("expert", "mlp", "embed")),
+            (E, ffn, Dm), _dtype(cfg.params_dtype),
+        )
+        h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))
+        if cfg.gated_linear_unit:
+            gate, up = jnp.split(h, 2, axis=-1)
+            h = _act(cfg.activation)(gate) * up
+        else:
+            h = _act(cfg.activation)(h)
+        out = jnp.einsum("bsef,efd->bsed", h, w2.astype(dtype))
+        out = jnp.einsum("bsed,bse->bsd", out, combine.astype(dtype))
+
+        if cfg.moe_shared_expert_intermediate_size:
+            out = out + MLP(cfg, ffn_size=cfg.moe_shared_expert_intermediate_size,
+                            name="shared_expert")(x, train=train)
+        return out
+
+
+# --------------------------------------------------------------------------
+# Transformer layer + model
+# --------------------------------------------------------------------------
+
+
+class TransformerLayer(nn.Module):
+    cfg: GPTConfig
+    is_training: bool = False
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, decode_index=None):
+        cfg = self.cfg
+        train = self.is_training
+        h = make_norm(cfg, "input_norm")(x)
+        attn_out, kv_cache = Attention(cfg, name="attention")(
+            h, positions, kv_cache=kv_cache, decode_index=decode_index, train=train
+        )
+        x = x + attn_out
+        h = make_norm(cfg, "post_attn_norm")(x)
+        if cfg.num_moe_experts > 0:
+            mlp_out = MoEMLP(cfg, name="moe")(h, train=train)
+        else:
+            mlp_out = MLP(cfg, name="mlp")(h, train=train)
+        x = x + mlp_out
+        x = with_constraint(x, ("batch", "act_seq", "act_embed"))
+        return x, kv_cache
+
+
+class GPTModel(nn.Module):
+    """Full model. __call__ returns logits [B, S, V] (fp32)."""
+
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None, train=False):
+        cfg = self.cfg
+        dtype = _dtype(cfg.compute_dtype)
+        B, S = tokens.shape
+        if positions is None:
+            positions = jnp.arange(S)[None, :].repeat(B, 0)
+
+        embed = self.param(
+            "embedding",
+            _init(cfg.init_method_std, ("vocab", "embed")),
+            (cfg.vocab_size, cfg.hidden_size),
+            _dtype(cfg.params_dtype),
+        )
+        x = jnp.take(embed, tokens, axis=0).astype(dtype)
+        if cfg.embedding_multiplier:
+            x = x * jnp.asarray(cfg.embedding_multiplier, dtype)
+        if cfg.position_embedding_type == "learned_absolute":
+            pos_emb = self.param(
+                "position_embedding",
+                _init(cfg.init_method_std, (None, "embed")),
+                (cfg.max_position_embeddings or cfg.seq_length, cfg.hidden_size),
+                _dtype(cfg.params_dtype),
+            )
+            x = x + jnp.take(pos_emb, positions, axis=0).astype(dtype)
+        x = with_constraint(x, ("batch", "act_seq", "act_embed"))
+
+        new_caches = None
+        if cfg.scan_layers:
+            layer = TransformerLayer
+            if cfg.remat == "full":
+                layer = nn.remat(layer, prevent_cse=False)
+            ScanLayers = nn.scan(
+                layer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, 0, nn.broadcast),
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )
+            if kv_caches is None:
+                caches_in = (
+                    jnp.zeros((cfg.num_layers, B, 0, cfg.n_kv_heads, cfg.head_dim), dtype),
+                    jnp.zeros((cfg.num_layers, B, 0, cfg.n_kv_heads, cfg.head_dim), dtype),
+                )
+            else:
+                caches_in = kv_caches  # stacked [L, B, T, G, D] pair
+            x, new_caches = ScanLayers(cfg, is_training=train, name="layers")(
+                x, positions, caches_in, decode_index
+            )
+            if kv_caches is None:
+                new_caches = None
+        else:
+            new_caches = []
+            for i in range(cfg.num_layers):
+                cache_i = None
+                if kv_caches is not None:
+                    cache_i = (kv_caches[0][i], kv_caches[1][i])
+                x, cache_i = TransformerLayer(cfg, is_training=train, name=f"layer{i}")(
+                    x, positions, cache_i, decode_index
+                )
+                new_caches.append(cache_i)
+            if kv_caches is not None:
+                new_caches = (
+                    jnp.stack([c[0] for c in new_caches]),
+                    jnp.stack([c[1] for c in new_caches]),
+                )
+            else:
+                new_caches = None
+
+        x = make_norm(cfg, "final_norm")(x)
+
+        if cfg.share_embeddings_and_output_weights:
+            logits = jnp.einsum("bsd,vd->bsv", x, embed.astype(dtype))
+        else:
+            logits = nn.DenseGeneral(
+                features=cfg.vocab_size,
+                use_bias=False,
+                dtype=dtype,
+                param_dtype=_dtype(cfg.params_dtype),
+                kernel_init=_init(cfg.init_method_std, ("embed", "vocab")),
+                name="lm_head",
+            )(x)
+        if cfg.logit_softcapping:
+            c = cfg.logit_softcapping
+            logits = c * jnp.tanh(logits.astype(jnp.float32) / c)
+        logits = with_constraint(logits.astype(jnp.float32), ("batch", "act_seq", "vocab"))
+        if kv_caches is not None:
+            return logits, new_caches
+        return logits
+
+
+def init_kv_caches(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Stacked KV cache: ([L, B, T, G, D], [L, B, T, G, D])."""
+    G, D = cfg.n_kv_heads, cfg.head_dim
+    shape = (cfg.num_layers, batch, max_len, G, D)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

@@ -1,0 +1,104 @@
+"""Attention ops: trig-decomposed relative-position attention (TPU-native).
+
+The reference computes Transformer-XL rel-pos scores as
+  bd[i,j] = (q[i]+v_bias) · linear_pos(pe(i-j))
+via a [T, 2T-1] matmul + pad-reshape shift (multi_head_attention.py:212).
+On TPU the shift materializes large awkward intermediates and breaks MXU
+tiling.
+
+TPU-native reformulation (exact, up to fp rounding): since pe is sinusoidal,
+  pe(i-j) = trig expansion in sin/cos(ω·i) and sin/cos(ω·j),
+so with g[i] = W_posᵀ (q[i]+v_bias)  (per head),
+  bd[i,j] = a[i]·cos(ωj) + b[i]·sin(ωj)
+  a[i,f] = g_sin[i,f]·sin(ω_f i) + g_cos[i,f]·cos(ω_f i)
+  b[i,f] = g_cos[i,f]·sin(ω_f i) − g_sin[i,f]·cos(ω_f i)
+i.e. TWO dense matmuls over F=d_model/2 frequencies — or equivalently ONE
+attention matmul with the per-head key/query vectors augmented to
+[dh + d_model]. No shift, no gather, flash-attention compatible (the bias
+term rides inside the q·k contraction).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def relpos_frequencies(d_model: int) -> np.ndarray:
+    """ω_f used by the sinusoidal table (RelPositionalEncoding)."""
+    return np.exp(
+        np.arange(0, d_model, 2, np.float32) * -(math.log(10000.0) / d_model)
+    )
+
+
+def decompose_relpos_q(
+    qv: jnp.ndarray,  # [B, H, T, dh] = q + pos_bias_v
+    w_pos: jnp.ndarray,  # [d_model, H, dh] linear_pos kernel (flax layout)
+    positions: jnp.ndarray,  # [T] int32 absolute positions (0..T-1)
+    d_model: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (a, b, cosW, sinW):
+    a, b: [B, H, T, F];  cosW, sinW: [T, F]  with F = d_model/2,
+    such that bd[b,h,i,j] = a[b,h,i]·cosW[j] + b[b,h,i]·sinW[j]."""
+    omega = jnp.asarray(relpos_frequencies(d_model))  # [F]
+    ang = positions.astype(jnp.float32)[:, None] * omega[None, :]  # [T, F]
+    sinP, cosP = jnp.sin(ang), jnp.cos(ang)
+
+    # g[b,h,i,:] = W_h^T qv[b,h,i]  ∈ R^{d_model}
+    g = jnp.einsum(
+        "bhtd,mhd->bhtm", qv.astype(jnp.float32), w_pos.astype(jnp.float32)
+    )
+    g_sin = g[..., 0::2]  # [B,H,T,F]
+    g_cos = g[..., 1::2]
+    a = g_sin * sinP + g_cos * cosP
+    b = g_cos * sinP - g_sin * cosP
+    return a, b, cosP, sinP
+
+
+def relpos_attention(
+    qu: jnp.ndarray,  # [B, H, T, dh] = q + pos_bias_u
+    qv: jnp.ndarray,  # [B, H, T, dh] = q + pos_bias_v
+    k: jnp.ndarray,  # [B, H, T, dh]
+    v: jnp.ndarray,  # [B, H, T, dh]
+    w_pos: jnp.ndarray,  # [d_model, H, dh]
+    pad_mask: jnp.ndarray,  # [B, T] True = valid
+    *,
+    d_model: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Full (non-causal) rel-pos attention via the trig decomposition.
+
+    scores = qu·k^T + a·cosW^T + b·sinW^T, softmax in fp32, masked.
+    Returns [B, H, T, dh]."""
+    B, H, T, dh = qu.shape
+    positions = jnp.arange(T)
+    a, b, cosW, sinW = decompose_relpos_q(qv, w_pos, positions, d_model)
+
+    dtype = qu.dtype
+    # augmented contraction: concat over feature dim, one MXU matmul
+    q_aug = jnp.concatenate(
+        [qu.astype(jnp.float32), a, b], axis=-1
+    )  # [B,H,T,dh+2F]
+    k_aug = jnp.concatenate(
+        [
+            k.astype(jnp.float32),
+            jnp.broadcast_to(cosW[None, None], (B, H, T, cosW.shape[-1])),
+            jnp.broadcast_to(sinW[None, None], (B, H, T, sinW.shape[-1])),
+        ],
+        axis=-1,
+    )
+    scores = jnp.einsum(
+        "bhid,bhjd->bhij",
+        q_aug.astype(dtype),
+        k_aug.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    scores = jnp.where(pad_mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(pad_mask[:, None, :, None], probs, 0.0)
+    return jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v)

@@ -1,0 +1,104 @@
+"""Device mesh + sharding rules: the TPU replacement for process groups.
+
+Reference parity: MegatronStrategy's ParallelismConfig
+(`nemo/lightning/pytorch/strategies/megatron_strategy.py:104-134` — TP/PP/
+CP/SP/EP/DP sizes → NCCL process groups). On TPU there are no process
+groups: one `jax.sharding.Mesh` with named axes replaces them (SURVEY.md
+§2.10/§5.8), and XLA emits ICI/DCN collectives from sharding annotations.
+
+Axes:
+  dp    — pure data parallel (params replicated)
+  fsdp  — data parallel with fully-sharded params/optimizer (ZeRO-3/
+          distributed-optimizer equivalent)
+  cp    — context/sequence parallel (ring attention axis)
+  tp    — tensor parallel (heads/mlp/vocab sharding; Megatron TP+SP)
+  ep    — expert parallel (MoE experts axis; reuses tp slot by grouping)
+
+Logical-axis rules map parameter/activation logical names to mesh axes, in
+flax.linen.spmd style.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Parallelism sizes. Product must equal the device count (dp is inferred
+    when left at -1)."""
+
+    dp: int = -1
+    fsdp: int = 1
+    cp: int = 1
+    tp: int = 1
+
+    def resolved(self, n_devices: int) -> "MeshConfig":
+        known = self.fsdp * self.cp * self.tp
+        dp = self.dp
+        if dp == -1:
+            if n_devices % known:
+                raise ValueError(f"{n_devices} devices not divisible by fsdp*cp*tp={known}")
+            dp = n_devices // known
+        if dp * known != n_devices:
+            raise ValueError(
+                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.tp} != {n_devices} devices"
+            )
+        return dataclasses.replace(self, dp=dp)
+
+
+AXIS_NAMES = ("dp", "fsdp", "cp", "tp")
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = cfg.resolved(len(devices))
+    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.tp)
+    return Mesh(arr, AXIS_NAMES)
+
+
+def default_axis_rules(sequence_parallel: bool = True):
+    """Logical-axis → mesh-axis rules (flax.linen.spmd format).
+
+    TP maps heads/mlp/vocab (Megatron column/row parallel equivalents);
+    FSDP shards the embed dim of every weight; activations shard batch over
+    (dp, fsdp) and sequence over cp (+ tp when sequence_parallel, the
+    Megatron-SP analog for LN/dropout activations).
+    """
+    return (
+        ("batch", ("dp", "fsdp")),
+        ("act_seq", "cp"),
+        ("act_embed", None),
+        ("embed", "fsdp"),
+        ("vocab", "tp"),
+        ("heads", "tp"),
+        ("kv_heads", "tp"),
+        ("mlp", "tp"),
+        ("qkv", "tp"),
+        ("layers", None),
+        ("expert", "tp"),
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded over (dp, fsdp) on dim 0."""
+    spec = P(("dp", "fsdp"))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(*([("dp", "fsdp")] + [None] * (x.ndim - 1))))),
+        batch,
+    )
+
+
+def param_shardings(mesh: Mesh, abstract_params, rules=None):
+    """Abstract params with logical-axis metadata → NamedShardings."""
+    import flax.linen as nn
+
+    rules = rules or default_axis_rules()
+    return nn.logical_to_mesh_sharding(
+        nn.get_partition_spec(abstract_params), mesh, rules
+    )

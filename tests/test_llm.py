@@ -1,0 +1,115 @@
+"""LLM stack tests on an 8-device CPU mesh: forward, sharding, train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nemo_tpu.models.llm.config import tiny_test
+from nemo_tpu.models.llm.gpt import GPTModel, init_kv_caches
+from nemo_tpu.models.llm.train import GPTTrainModule
+from nemo_tpu.parallel.mesh import MeshConfig
+
+
+def test_forward_shapes_and_dtype():
+    cfg = tiny_test()
+    model = GPTModel(cfg)
+    tokens = jnp.zeros((2, 16), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    logits = model.apply(variables, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+
+
+def test_causality():
+    """Changing a future token must not affect past logits."""
+    cfg = tiny_test()
+    model = GPTModel(cfg)
+    rng = np.random.RandomState(0)
+    t1 = rng.randint(0, 100, (1, 16)).astype(np.int32)
+    t2 = t1.copy()
+    t2[0, 10:] = (t2[0, 10:] + 7) % 100
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(t1))
+    l1 = model.apply(variables, jnp.asarray(t1))
+    l2 = model.apply(variables, jnp.asarray(t2))
+    np.testing.assert_allclose(np.asarray(l1)[:, :10], np.asarray(l2)[:, :10], atol=1e-5)
+    assert np.abs(np.asarray(l1)[:, 10:] - np.asarray(l2)[:, 10:]).max() > 1e-4
+
+
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(dp=2, fsdp=2, tp=2),
+    MeshConfig(dp=1, fsdp=4, tp=2),
+    MeshConfig(dp=8, fsdp=1, tp=1),
+])
+def test_train_step_sharded(mesh_cfg):
+    cfg = tiny_test(seq_length=32)
+    mod = GPTTrainModule(cfg, mesh_cfg=mesh_cfg)
+    state = mod.init_state()
+
+    # params actually sharded over tp for qkv when tp>1
+    if mesh_cfg.tp > 1:
+        q_sh = state.params["layers"]["attention"]["q_proj"]["kernel"].sharding
+        assert "tp" in str(q_sh.spec)
+
+    rng = np.random.RandomState(0)
+    B = 8
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, 100, (B, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 100, (B, 32)), jnp.int32),
+        "loss_mask": jnp.ones((B, 32), jnp.float32),
+    }
+    state, m1 = mod.train_step(state, batch, jax.random.PRNGKey(0))
+    state, m2 = mod.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])  # same batch → loss drops
+    assert int(state.step) == 2
+
+
+def test_train_step_microbatched():
+    cfg = tiny_test(seq_length=32)
+    mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=4, fsdp=2, tp=1))
+    state = mod.init_state()
+    rng = np.random.RandomState(0)
+    A, B = 2, 8
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, 100, (A, B, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 100, (A, B, 32)), jnp.int32),
+        "loss_mask": jnp.ones((A, B, 32), jnp.float32),
+    }
+    state, m = mod.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_kv_cache_decode_matches_full_forward():
+    cfg = tiny_test(scan_layers=True)
+    model = GPTModel(cfg)
+    rng = np.random.RandomState(0)
+    S = 12
+    tokens = jnp.asarray(rng.randint(0, 100, (1, S)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    full = model.apply(variables, tokens)
+
+    caches = init_kv_caches(cfg, 1, S, dtype=jnp.float32)
+    outs = []
+    for t in range(S):
+        logits, caches = model.apply(
+            variables,
+            tokens[:, t : t + 1],
+            jnp.array([[t]]),
+            kv_caches=caches,
+            decode_index=t,
+        )
+        outs.append(logits[:, 0])
+    step = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(full), atol=2e-4, rtol=1e-3)
+
+
+def test_moe_forward():
+    cfg = tiny_test(num_moe_experts=4, moe_router_topk=2)
+    model = GPTModel(cfg)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    logits = model.apply(variables, tokens)
+    assert logits.shape == (2, 8, cfg.vocab_size)
