@@ -1,0 +1,2 @@
+from nemo_tpu.models.tts.fastpitch_model import FastPitchModel  # noqa: F401
+from nemo_tpu.models.tts.hifigan_model import HifiGanModel  # noqa: F401
