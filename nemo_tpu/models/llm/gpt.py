@@ -136,11 +136,14 @@ def causal_attention(
     scale: float,
     window: Optional[int] = None,
     softmax_fp32: bool = True,
-    kv_offset: int = 0,
+    kv_offset=0,
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, Skv] True = attendable
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
-    decode (q at position kv_offset..kv_offset+Sq-1 attends to k[0..])."""
+    decode (q at slot kv_offset..kv_offset+Sq-1 attends to k slots ≤ that);
+    kv_valid additionally masks out slots (left-padded prompts in batched
+    generation)."""
     B, Sq, H, D = q.shape
     G = k.shape[2]
     rep = H // G
@@ -152,8 +155,11 @@ def causal_attention(
     kpos = jnp.arange(Skv)
     mask = kpos[None, :] <= qpos[:, None]
     if window is not None:
-        mask &= kpos[None, :] > qpos[:, None] - window
-    scores = jnp.where(mask[None, None, None], scores, -1e30)
+        mask = mask & (kpos[None, :] > qpos[:, None] - window)
+    mask = jnp.broadcast_to(mask[None], (B, Sq, Skv))
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, :]
+    scores = jnp.where(mask[:, None, None], scores, -1e30)
     if not softmax_fp32:
         scores = scores.astype(q.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -165,7 +171,7 @@ class Attention(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, decode_index=None, *, train=False):
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None, *, train=False):
         cfg = self.cfg
         H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
         dtype = x.dtype
@@ -205,6 +211,7 @@ class Attention(nn.Module):
         out = causal_attention(
             q, k, v, scale=scale, window=cfg.window_size,
             softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
+            kv_valid=kv_valid,
         )
         out = nn.DenseGeneral(
             features=cfg.hidden_size,
@@ -340,12 +347,13 @@ class TransformerLayer(nn.Module):
     is_training: bool = False
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, decode_index=None):
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None):
         cfg = self.cfg
         train = self.is_training
         h = make_norm(cfg, "input_norm")(x)
         attn_out, kv_cache = Attention(cfg, name="attention")(
-            h, positions, kv_cache=kv_cache, decode_index=decode_index, train=train
+            h, positions, kv_cache=kv_cache, decode_index=decode_index,
+            kv_valid=kv_valid, train=train
         )
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
@@ -364,7 +372,7 @@ class GPTModel(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None, train=False):
+    def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None, kv_valid=None, train=False):
         cfg = self.cfg
         dtype = _dtype(cfg.compute_dtype)
         B, S = tokens.shape
@@ -399,7 +407,7 @@ class GPTModel(nn.Module):
                 layer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, 0, nn.broadcast),
+                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
@@ -411,7 +419,7 @@ class GPTModel(nn.Module):
             else:
                 caches_in = kv_caches  # stacked [L, B, T, G, D] pair
             x, new_caches = ScanLayers(cfg, is_training=train, name="layers")(
-                x, positions, caches_in, decode_index
+                x, positions, caches_in, decode_index, kv_valid
             )
             if kv_caches is None:
                 new_caches = None
@@ -422,7 +430,7 @@ class GPTModel(nn.Module):
                 if kv_caches is not None:
                     cache_i = (kv_caches[0][i], kv_caches[1][i])
                 x, cache_i = TransformerLayer(cfg, is_training=train, name=f"layer{i}")(
-                    x, positions, cache_i, decode_index
+                    x, positions, cache_i, decode_index, kv_valid
                 )
                 new_caches.append(cache_i)
             if kv_caches is not None:
