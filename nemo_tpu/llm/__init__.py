@@ -1,0 +1,15 @@
+"""User-facing LLM namespace (reference: nemo.collections.llm)."""
+
+from nemo_tpu.llm.api import (  # noqa: F401
+    export_ckpt,
+    finetune,
+    generate,
+    import_ckpt,
+    pretrain,
+    validate,
+    validate_config,
+)
+from nemo_tpu.llm.peft import LoRA  # noqa: F401
+from nemo_tpu.models.llm.config import PRESETS, GPTConfig  # noqa: F401
+from nemo_tpu.models.llm.generate import SamplingParams  # noqa: F401
+from nemo_tpu.models.llm.train import GPTTrainModule  # noqa: F401

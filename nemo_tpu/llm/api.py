@@ -1,0 +1,199 @@
+"""LLM task API: pretrain / finetune / validate / generate / import / export.
+
+Reference parity: `nemo/collections/llm/api.py` entrypoints (train:74,
+pretrain:142, finetune:193, validate:250, generate:1061, import_ckpt:894,
+export_ckpt:986) and `_validate_config:1299` (GBS/MBS/DP divisibility
+asserts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nemo_tpu.core.checkpoint import AutoResume, CheckpointIO
+from nemo_tpu.core.trainer import Trainer
+from nemo_tpu.models.llm.config import GPTConfig, PRESETS
+from nemo_tpu.models.llm.generate import GenerationEngine, SamplingParams
+from nemo_tpu.models.llm.train import GPTTrainModule
+from nemo_tpu.parallel.mesh import MeshConfig
+from nemo_tpu.utils.logging import logging
+
+
+def validate_config(
+    cfg: GPTConfig, mesh: MeshConfig, global_batch_size: int, micro_batch_size: int
+) -> None:
+    """Divisibility checks (reference api.py:1299,1328-1400)."""
+    import jax
+
+    n_dev = jax.device_count()
+    mesh = mesh.resolved(n_dev)
+    dp = mesh.dp * mesh.fsdp
+    if global_batch_size % dp:
+        raise ValueError(f"GBS {global_batch_size} must be divisible by DP {dp}")
+    # micro_batch_size is PER-DP-RANK (None → no grad accumulation axis)
+    if micro_batch_size and global_batch_size % (micro_batch_size * dp):
+        raise ValueError(
+            f"GBS {global_batch_size} must be divisible by MBS {micro_batch_size} × DP {dp}"
+        )
+    if cfg.num_attention_heads % mesh.tp:
+        raise ValueError(f"heads {cfg.num_attention_heads} % tp {mesh.tp} != 0")
+    if cfg.n_kv_heads % mesh.tp and mesh.tp % cfg.n_kv_heads:
+        raise ValueError(f"kv heads {cfg.n_kv_heads} incompatible with tp {mesh.tp}")
+    if cfg.seq_length % mesh.cp:
+        raise ValueError(f"seq_length {cfg.seq_length} % cp {mesh.cp} != 0")
+
+
+def pretrain(
+    model: GPTConfig | str,
+    data,
+    trainer: Optional[Trainer] = None,
+    *,
+    mesh: Optional[MeshConfig] = None,
+    max_steps: int = 100,
+    log_dir: Optional[str] = None,
+    resume: bool = True,
+    optimizer=None,
+    lr_schedule=None,
+):
+    """Pretrain from scratch (reference api.py:142). Returns (module, state, metrics)."""
+    cfg = PRESETS[model]() if isinstance(model, str) else model
+    mesh = mesh or MeshConfig()
+    validate_config(cfg, mesh, data.global_batch_size, data.micro_batch_size)
+    module = GPTTrainModule(cfg, mesh_cfg=mesh, optimizer=optimizer, lr_schedule=lr_schedule)
+    module.context = lambda: {"model_config": dataclasses.asdict(cfg)}
+    if trainer is None:
+        ckpt_io = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
+        trainer = Trainer(
+            max_steps=max_steps,
+            ckpt_io=ckpt_io,
+            resume=AutoResume() if (resume and ckpt_io) else None,
+        )
+    metrics = trainer.fit(module, data)
+    return module, trainer.state, metrics
+
+
+def finetune(
+    model: GPTConfig,
+    params,
+    data,
+    *,
+    mesh: Optional[MeshConfig] = None,
+    max_steps: int = 100,
+    peft=None,
+    trainer: Optional[Trainer] = None,
+    log_dir: Optional[str] = None,
+):
+    """Finetune from existing params (reference api.py:193); `peft` applies a
+    parameter-efficient transform (see nemo_tpu.llm.peft)."""
+    mesh = mesh or MeshConfig()
+    validate_config(model, mesh, data.global_batch_size, data.micro_batch_size)
+    if peft is not None:
+        module = peft.build_module(model, params, mesh)
+    else:
+        module = GPTTrainModule(model, mesh_cfg=mesh)
+    state = module.init_state()
+    if peft is None:
+        state = state.replace(params=_cast_like(params, state.params, module))
+    if trainer is None:
+        ckpt_io = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
+        trainer = Trainer(max_steps=max_steps, ckpt_io=ckpt_io)
+    trainer.state = state
+    # run loop manually from existing state
+    trainer.module = module
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    batches = data.train_batches(0)
+    metrics = {}
+    trainer._emit("on_train_start")
+    for step in range(max_steps):
+        batch = next(batches)
+        trainer._emit("on_step_start", step)
+        rng, sub = jax.random.split(rng)
+        trainer.state, metrics = module.train_step(trainer.state, batch, sub)
+        metrics = dict(metrics)
+        trainer._emit("on_step_end", step, metrics)
+    trainer._emit("on_train_end")
+    return module, trainer.state, metrics
+
+
+def _cast_like(src, ref, module):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    shardings = module.state_shardings().params
+
+    def put(s, r, sh):
+        arr = jnp.asarray(s, dtype=r.dtype)
+        return jax.device_put(arr, sh)
+
+    return jax.tree.map(put, src, ref, shardings)
+
+
+def validate(module, state, data, num_batches: int = 10) -> Dict[str, float]:
+    """Eval loss over the validation set (reference api.py:250)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.llm.loss import masked_token_loss
+
+    model = module.model
+
+    @jax.jit
+    def eval_step(params, batch):
+        logits = model.apply({"params": params}, batch["tokens"])
+        loss, n = masked_token_loss(logits, batch["labels"], batch.get("loss_mask"))
+        return loss
+
+    losses = []
+    for i, batch in enumerate(data.val_batches()):
+        if i >= num_batches:
+            break
+        losses.append(float(eval_step(state.params, batch)))
+    return {"val_loss": float(np.mean(losses))}
+
+
+def generate(
+    model: GPTConfig,
+    params,
+    prompts: Sequence[str],
+    tokenizer,
+    *,
+    sampling: SamplingParams = SamplingParams(),
+    seed: int = 0,
+) -> List[str]:
+    """Batch text generation (reference api.py:1061)."""
+    from nemo_tpu.models.llm.generate import generate as _gen
+
+    return _gen(model, params, tokenizer, prompts, sampling, seed)
+
+
+def import_ckpt(source: str):
+    """'hf://<repo-or-path>' → (GPTConfig, params) (reference api.py:894)."""
+    if source.startswith("hf://"):
+        from nemo_tpu.interop.hf_llama import import_hf_llama
+
+        return import_hf_llama(source[len("hf://"):])
+    raise ValueError(f"Unknown source scheme: {source}")
+
+
+def export_ckpt(cfg: GPTConfig, params, target: str, output_path: str):
+    """Export to HF layout (reference api.py:986)."""
+    if target != "hf":
+        raise ValueError("only target='hf' supported")
+    import os
+
+    import torch
+
+    from nemo_tpu.interop.hf_llama import export_hf_llama_state
+
+    os.makedirs(output_path, exist_ok=True)
+    sd = export_hf_llama_state(params, cfg)
+    torch.save({k: torch.tensor(v) for k, v in sd.items()},
+               os.path.join(output_path, "pytorch_model.bin"))
+    logging.info(f"Exported HF state dict → {output_path}")
+    return output_path

@@ -78,6 +78,12 @@ class GPTTrainModule:
 
         return jax.eval_shape(init_fn, jax.random.PRNGKey(0))
 
+    def abstract_state(self):
+        """Unboxed abstract TrainState (for checkpoint restore targets)."""
+        return jax.tree.map(
+            lambda x: x, nn.meta.unbox(self._abstract_state())
+        )
+
     def state_shardings(self):
         abstract = self._abstract_state()
         specs = nn.get_partition_spec(abstract)

@@ -1,0 +1,91 @@
+"""llm API tests: pretrain, finetune w/ LoRA, validate, import/export, config checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu import llm
+from nemo_tpu.data.gpt_dataset import MockDataModule
+from nemo_tpu.models.llm.config import tiny_test
+from nemo_tpu.parallel.mesh import MeshConfig
+
+
+def test_validate_config_raises():
+    cfg = tiny_test()
+    with pytest.raises(ValueError, match="GBS"):
+        llm.validate_config(cfg, MeshConfig(dp=8), global_batch_size=9, micro_batch_size=2)
+    with pytest.raises(ValueError, match="heads"):
+        llm.validate_config(
+            tiny_test(num_attention_heads=3, num_query_groups=3),
+            MeshConfig(dp=4, tp=2), 8, 1)
+
+
+def test_pretrain_api(tmp_path):
+    cfg = tiny_test(seq_length=32)
+    data = MockDataModule(seq_length=32, global_batch_size=8, vocab_size=cfg.vocab_size)
+    module, state, metrics = llm.pretrain(
+        cfg, data, mesh=MeshConfig(dp=8), max_steps=2, log_dir=str(tmp_path)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+
+
+def test_lora_finetune():
+    cfg = tiny_test(seq_length=32)
+    from nemo_tpu.models.llm.gpt import GPTModel
+    import flax.linen as nn
+
+    model = GPTModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))
+    base = nn.meta.unbox(variables["params"])
+
+    lora = llm.LoRA(dim=4, alpha=8)
+    mod = lora.build_module(cfg, base, MeshConfig(dp=8))
+    # adapters are small
+    total = sum(x.size for x in jax.tree.leaves(base))
+    assert mod.num_adapter_weights < total * 0.2
+
+    state = mod.init_state()
+    # zero-init B → merged == base at step 0
+    merged0 = mod.merged_params(state)
+    np.testing.assert_allclose(
+        np.asarray(merged0["layers"]["attention"]["q_proj"]["kernel"]),
+        np.asarray(base["layers"]["attention"]["q_proj"]["kernel"]), atol=1e-7)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, 100, (4, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 100, (4, 32)), jnp.int32),
+        "loss_mask": jnp.ones((4, 32), jnp.float32),
+    }
+    losses = []
+    for i in range(5):
+        state, m = mod.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # base params untouched
+    np.testing.assert_array_equal(
+        np.asarray(mod.base_params["layers"]["mlp"]["fc2"]["kernel"]),
+        np.asarray(base["layers"]["mlp"]["fc2"]["kernel"]))
+
+
+def test_validate_and_hf_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=48,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=64)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    import tempfile, os
+    d = str(tmp_path / "hf")
+    hf.save_pretrained(d)
+    cfg, params = llm.import_ckpt(f"hf://{d}")
+    assert cfg.num_layers == 2
+    out = llm.export_ckpt(cfg, params, "hf", str(tmp_path / "export"))
+    sd = torch.load(os.path.join(out, "pytorch_model.bin"), weights_only=True)
+    orig = hf.state_dict()
+    for k in sd:
+        np.testing.assert_allclose(sd[k].numpy(), orig[k].float().numpy(), atol=1e-6)
