@@ -54,6 +54,9 @@ class GPTConfig:
     moe_router_pre_softmax: bool = False
     moe_aux_loss_coeff: float = 0.0
 
+    # attention backend: "xla" (einsum) | "flash" (Pallas kernel)
+    attention_backend: str = "xla"
+
     # numerics / training
     init_method_std: float = 0.02
     hidden_dropout: float = 0.0

@@ -208,11 +208,30 @@ class Attention(nn.Module):
             kv_offset = decode_index
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
-        out = causal_attention(
-            q, k, v, scale=scale, window=cfg.window_size,
-            softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
-            kv_valid=kv_valid,
+        no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
+        use_flash = (
+            cfg.attention_backend == "flash"
+            and no_cache
+            and kv_valid is None
+            and q.shape[1] % 128 == 0
         )
+        if use_flash:
+            from nemo_tpu.ops.flash_attention import flash_attention
+
+            qT = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
+            kT = jnp.transpose(k, (0, 2, 1, 3))
+            vT = jnp.transpose(v, (0, 2, 1, 3))
+            bq = min(512, qT.shape[2])
+            out = flash_attention(
+                qT, kT, vT, float(scale), True, cfg.window_size, bq, bq, 0
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3))
+        else:
+            out = causal_attention(
+                q, k, v, scale=scale, window=cfg.window_size,
+                softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
+                kv_valid=kv_valid,
+            )
         out = nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
