@@ -213,10 +213,27 @@ def mel_spectrogram(
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
 
-    frames = frame_signal(x, n_fft, hop)  # [B, F, n_fft]
     cos, sin, fbT = build_mel_constants(cfg)
-    re = jnp.einsum("bfn,nk->bfk", frames, cos, precision="highest")  # MXU, fp32 island
-    im = jnp.einsum("bfn,nk->bfk", frames, sin, precision="highest")
+    # Chunked shifted-matmul DFT: split each n_fft frame into hop-sized
+    # chunks so the windowed DFT becomes a sum of matmuls over NON-overlapping
+    # data — removes the 3.2× gather blowup of explicit framing (frame j uses
+    # rows j..j+n_chunks of the hop-strided signal matrix). MXU-shaped, exact.
+    Bp, Tp = x.shape
+    F = (Tp - n_fft) // hop + 1
+    n_chunks = -(-n_fft // hop)
+    rows = F + n_chunks - 1
+    need = rows * hop
+    if need > Tp:
+        x = jnp.pad(x, ((0, 0), (0, need - Tp)))
+    X2d = x[:, :need].reshape(Bp, rows, hop)
+    n_freq = cos.shape[1]
+    re = jnp.zeros((Bp, F, n_freq), jnp.float32)
+    im = jnp.zeros((Bp, F, n_freq), jnp.float32)
+    for j in range(n_chunks):
+        w = min(hop, n_fft - j * hop)
+        Xj = X2d[:, j : j + F, :w]
+        re = re + jnp.einsum("bfw,wk->bfk", Xj, cos[j * hop : j * hop + w], precision="highest")
+        im = im + jnp.einsum("bfw,wk->bfk", Xj, sin[j * hop : j * hop + w], precision="highest")
     power = re * re + im * im  # |STFT|^2
     if cfg.mag_power != 2.0:
         power = jnp.power(jnp.sqrt(power), cfg.mag_power)
