@@ -137,6 +137,7 @@ class RelPositionMultiHeadAttention(nn.Module):
     n_heads: int
     dropout_att: float = 0.0
     impl: str = "decomposed"
+    att_context_size: Any = (-1, -1)  # (left, right); -1 = unlimited
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +168,17 @@ class RelPositionMultiHeadAttention(nn.Module):
         qu = (q + u[None, :, None, :].astype(q.dtype))
         qv = (q + vb[None, :, None, :].astype(q.dtype))
 
+        left, right = self.att_context_size
+        ctx_mask = None
+        if left >= 0 or right >= 0:
+            i = jnp.arange(T)[:, None]
+            j = jnp.arange(T)[None, :]
+            ctx_mask = jnp.ones((T, T), bool)
+            if left >= 0:
+                ctx_mask &= (i - j) <= left
+            if right >= 0:
+                ctx_mask &= (j - i) <= right
+
         if self.impl == "decomposed":
             from nemo_tpu.ops.attention import relpos_attention
 
@@ -176,6 +188,7 @@ class RelPositionMultiHeadAttention(nn.Module):
                 pad_mask,
                 d_model=D,
                 scale=1.0 / math.sqrt(dh),
+                ctx_mask=ctx_mask,
             )
         else:
             p = jnp.einsum(
@@ -188,6 +201,8 @@ class RelPositionMultiHeadAttention(nn.Module):
             scores = (ac + bd) / math.sqrt(dh)
             mask = pad_mask[:, None, None, :]  # [B,1,1,T] keys
             scores = jnp.where(mask, scores, -1e30)
+            if ctx_mask is not None:
+                scores = jnp.where(ctx_mask[None, None], scores, -1e30)
             attn = jax.nn.softmax(scores, axis=-1)
             attn = jnp.where(pad_mask[:, None, :, None], attn, 0.0)
             attn = nn.Dropout(self.dropout_att, deterministic=not train)(attn)
@@ -219,6 +234,7 @@ class ConformerConvolution(nn.Module):
     d_model: int
     kernel_size: int = 31
     norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    causal: bool = False  # streaming: left-only padding
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -229,11 +245,15 @@ class ConformerConvolution(nn.Module):
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
         h = jnp.where(pad_mask[..., None], h, 0.0)
-        pad = (self.kernel_size - 1) // 2
+        if self.causal:
+            pad_l, pad_r = self.kernel_size - 1, 0
+        else:
+            pad_l = pad_r = (self.kernel_size - 1) // 2
+        pad = None
         h = nn.Conv(
             self.d_model,
             (self.kernel_size,),
-            padding=[(pad, pad)],
+            padding=[(pad_l, pad_r)],
             feature_group_count=self.d_model,
             dtype=self.dtype,
             name="depthwise",
@@ -257,6 +277,8 @@ class ConformerLayer(nn.Module):
     dropout: float = 0.0
     dropout_att: float = 0.0
     att_impl: str = "decomposed"
+    att_context_size: Any = (-1, -1)
+    causal_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -273,6 +295,7 @@ class ConformerLayer(nn.Module):
         h = ln("norm_attn")(x)
         h = RelPositionMultiHeadAttention(
             self.d_model, self.n_heads, self.dropout_att, impl=self.att_impl,
+            att_context_size=tuple(self.att_context_size),
             dtype=self.dtype, name="attn"
         )(h, pos_emb, pad_mask, train=train)
         x = x + drop(h)
@@ -280,7 +303,7 @@ class ConformerLayer(nn.Module):
         h = ln("norm_conv")(x)
         h = ConformerConvolution(
             self.d_model, self.conv_kernel_size, self.conv_norm_type,
-            dtype=self.dtype, name="conv"
+            causal=self.causal_conv, dtype=self.dtype, name="conv"
         )(h, pad_mask, train=train)
         x = x + drop(h)
 
@@ -318,6 +341,8 @@ class ConformerEncoder(nn.Module):
     xscaling: bool = True
     pos_emb_max_len: int = 5000
     att_impl: str = "decomposed"
+    att_context_size: Any = (-1, -1)  # (left, right) frames; -1 = unlimited
+    causal_downsampling: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -355,6 +380,8 @@ class ConformerEncoder(nn.Module):
                 dropout=self.dropout,
                 dropout_att=self.dropout_att,
                 att_impl=self.att_impl,
+                att_context_size=tuple(self.att_context_size),
+                causal_conv=self.causal_downsampling or tuple(self.att_context_size)[1] == 0,
                 dtype=dtype,
                 name=f"layer{i}",
             )(x, pos_emb, pad_mask, train=train)

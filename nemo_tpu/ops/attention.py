@@ -69,6 +69,7 @@ def relpos_attention(
     *,
     d_model: int,
     scale: float,
+    ctx_mask: Optional[jnp.ndarray] = None,  # [T, T] limited-context mask
 ) -> jnp.ndarray:
     """Full (non-causal) rel-pos attention via the trig decomposition.
 
@@ -99,6 +100,8 @@ def relpos_attention(
     )
     scores = scores * scale
     scores = jnp.where(pad_mask[:, None, None, :], scores, -1e30)
+    if ctx_mask is not None:
+        scores = jnp.where(ctx_mask[None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(pad_mask[:, None, :, None], probs, 0.0)
     return jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v)

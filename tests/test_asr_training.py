@@ -1,0 +1,82 @@
+"""ASR training pipeline: manifest data → CTC training → loss drops → WER improves."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.data.asr_dataset import AudioToTextLoader, ManifestDataset
+from nemo_tpu.data.audio_io import write_wav
+from nemo_tpu.models.asr.configs import quartznet_tiny
+from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+from nemo_tpu.models.asr.train import CTCTrainModule
+
+
+@pytest.fixture(scope="module")
+def toy_corpus(tmp_path_factory):
+    """Synthetic corpus: distinct tones map to distinct words."""
+    d = tmp_path_factory.mktemp("corpus")
+    rng = np.random.RandomState(0)
+    entries = []
+    words = {"aa": 300.0, "bb": 600.0, "cc": 1200.0}
+    for i in range(24):
+        word = list(words)[i % 3]
+        freq = words[word]
+        t = np.arange(8000) / 16000.0
+        sig = 0.3 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.randn(8000)
+        path = str(d / f"utt{i}.wav")
+        write_wav(path, sig.astype(np.float32), 16000)
+        entries.append({"audio_filepath": path, "duration": 0.5, "text": word})
+    manifest = str(d / "manifest.json")
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return manifest
+
+
+def test_manifest_loader(toy_corpus):
+    ds = ManifestDataset(toy_corpus)
+    assert len(ds) == 24
+    model = EncDecCTCModel(quartznet_tiny())
+
+    class CharTok:
+        def text_to_ids(self, text):
+            return [model.labels.index(c) for c in text if c in model.labels]
+
+    loader = AudioToTextLoader(ds, CharTok(), batch_size=8, duration_buckets=(1,), token_buckets=(8,))
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["audio"].shape == (8, 16000)
+    assert b["text"].shape == (8, 8)
+
+
+def test_ctc_training_loss_drops(toy_corpus):
+    model = EncDecCTCModel(quartznet_tiny())
+
+    class CharTok:
+        def text_to_ids(self, text):
+            return [model.labels.index(c) for c in text if c in model.labels]
+
+    ds = ManifestDataset(toy_corpus)
+    loader = AudioToTextLoader(ds, CharTok(), batch_size=8,
+                               duration_buckets=(1,), token_buckets=(8,), seed=1)
+    mod = CTCTrainModule(model, use_spec_augment=False)
+    state = mod.init_state()
+    batch = next(loader.train_batches(0))
+    losses = []
+    for i in range(12):
+        state, m = mod.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    # eval path runs
+    ev = mod.eval_step(state, batch)
+    assert np.isfinite(ev["loss"])
+    # sync back into model → transcribe still works
+    mod.sync_model(state)
+    out = model.transcribe([np.zeros(8000, np.float32)])
+    assert isinstance(out[0], str)

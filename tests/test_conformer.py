@@ -79,3 +79,26 @@ def test_spec_augment():
     assert out.shape == spec.shape
     assert (out == 0.0).any()  # some masking happened
     assert (out == 1.0).any()  # not everything masked
+
+
+def test_limited_context_attention():
+    """att_context_size=(L,0): output at frame t must not depend on frames > t."""
+    enc = ConformerEncoder(
+        feat_in=32, n_layers=1, d_model=64, n_heads=4, subsampling_factor=4,
+        dropout=0.0, dropout_att=0.0, att_context_size=(4, 0),
+    )
+    feats = jnp.zeros((1, 32, 64), jnp.float32)
+    lens = jnp.array([64], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), feats, lens)
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(1, 32, 64).astype(np.float32)
+    b = a.copy()
+    b[:, :, 48:] += 5.0  # change the future
+    oa, _ = enc.apply(variables, jnp.asarray(a), lens)
+    ob, _ = enc.apply(variables, jnp.asarray(b), lens)
+    # after x4 subsampling, frame 48 → subsampled idx 12; early frames
+    # (idx < 8, allowing conv k=31 receptive field... causal convs: none)
+    np.testing.assert_allclose(
+        np.asarray(oa)[:, :, :8], np.asarray(ob)[:, :, :8], atol=1e-4
+    )
