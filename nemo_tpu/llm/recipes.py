@@ -1,0 +1,130 @@
+"""Pretrain/finetune recipes: per-model tuned defaults as factory functions.
+
+Reference parity: `nemo/collections/llm/recipes/` (109 `@run.cli.factory`
+modules returning run.Partial(pretrain, model, trainer, data, optim, ...)
+with per-model parallelism defaults) and the recommended-config tuning DB
+(`scripts/performance/recommended_model_configs/*.csv`). Here a Recipe is a
+plain dataclass of configs; `.build()` assembles module/data/trainer.
+
+TPU parallelism defaults follow the scaling-book recipe: FSDP as the main
+axis on ICI, TP for models whose per-chip weights exceed HBM, CP for
+long-context variants (the reference's TP/PP/VPP table maps to
+fsdp/tp/cp here — PP is deliberately absent, TPU slices favor FSDP+TP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+from nemo_tpu.core.lr_schedulers import get_scheduler
+from nemo_tpu.models.llm import config as C
+from nemo_tpu.parallel.mesh import MeshConfig
+
+
+@dataclasses.dataclass
+class Recipe:
+    name: str
+    model: C.GPTConfig
+    mesh: MeshConfig
+    global_batch_size: int
+    micro_batch_size: Optional[int]
+    lr: float = 3e-4
+    min_lr: float = 3e-5
+    warmup_steps: int = 2000
+    max_steps: int = 300000
+    seq_length: Optional[int] = None
+
+    def lr_schedule(self):
+        return get_scheduler(
+            "CosineAnnealing", max_steps=self.max_steps, lr=self.lr,
+            warmup_steps=self.warmup_steps, min_lr=self.min_lr,
+        )
+
+    def build(self, data=None, max_steps: Optional[int] = None, log_dir=None):
+        """→ (module, data, trainer) ready for trainer.fit."""
+        from nemo_tpu.core.checkpoint import AutoResume, CheckpointIO
+        from nemo_tpu.core.trainer import Trainer
+        from nemo_tpu.data.gpt_dataset import MockDataModule
+        from nemo_tpu.models.llm.train import GPTTrainModule
+
+        steps = max_steps or self.max_steps
+        module = GPTTrainModule(self.model, mesh_cfg=self.mesh, lr_schedule=self.lr_schedule())
+        if data is None:
+            data = MockDataModule(
+                seq_length=self.model.seq_length,
+                global_batch_size=self.global_batch_size,
+                vocab_size=self.model.vocab_size,
+            )
+        ckpt = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
+        trainer = Trainer(max_steps=steps, ckpt_io=ckpt,
+                          resume=AutoResume() if ckpt else None)
+        return module, data, trainer
+
+
+RECIPES: Dict[str, Callable[..., Recipe]] = {}
+
+
+def register(fn):
+    RECIPES[fn.__name__] = fn
+    return fn
+
+
+@register
+def llama3_8b(**kw) -> Recipe:
+    """(reference recipes/llama3_8b.py: GBS 512, cosine 3e-4)"""
+    return Recipe("llama3_8b", C.llama3_8b(attention_backend="flash"),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def llama3_8b_64k(**kw) -> Recipe:
+    """long-context variant (reference recipes/llama3_8b_64k.py): CP for seq."""
+    return Recipe("llama3_8b_64k",
+                  C.llama3_8b(seq_length=65536, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, cp=4).resolved_or_default(), 64, 1, **kw)
+
+
+@register
+def llama3_70b(**kw) -> Recipe:
+    return Recipe("llama3_70b", C.llama3_70b(attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=4).resolved_or_default(), 128, 1,
+                  lr=1.5e-4, **kw)
+
+
+@register
+def mixtral_8x7b(**kw) -> Recipe:
+    return Recipe("mixtral_8x7b", C.mixtral_8x7b(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 256, 1, **kw)
+
+
+@register
+def gpt_2b(**kw) -> Recipe:
+    """BASELINE.json config 5: GPT 2B fine-tune, TP=4 over ICI."""
+    return Recipe("gpt_2b", C.gpt_2b(),
+                  MeshConfig(dp=-1, tp=4).resolved_or_default(), 32, 1, lr=1e-4, **kw)
+
+
+@register
+def tiny_test(**kw) -> Recipe:
+    return Recipe("tiny_test", C.tiny_test(seq_length=32),
+                  MeshConfig().resolved_or_default(), 8, None,
+                  warmup_steps=2, max_steps=10, **kw)
+
+
+def _resolved_or_default(self: MeshConfig) -> MeshConfig:
+    """Resolve against the actual device count, collapsing axes that don't
+    fit (so recipes remain runnable on any mesh, incl. 1 chip)."""
+    import jax
+
+    n = jax.device_count()
+    tp = self.tp if n % self.tp == 0 and self.tp <= n else 1
+    rest = n // tp
+    cp = self.cp if rest % self.cp == 0 and self.cp <= rest else 1
+    rest //= cp
+    fsdp = rest if self.fsdp == -1 else (self.fsdp if rest % self.fsdp == 0 else 1)
+    dp = n // (tp * cp * fsdp)
+    return MeshConfig(dp=dp, fsdp=fsdp, cp=cp, tp=tp)
+
+
+MeshConfig.resolved_or_default = _resolved_or_default

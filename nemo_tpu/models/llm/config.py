@@ -80,82 +80,59 @@ def _cfg(**kw) -> GPTConfig:
     return GPTConfig(**kw)
 
 
+def _preset(defaults: dict, kw: dict) -> GPTConfig:
+    merged = dict(defaults)
+    merged.update(kw)  # user overrides win
+    return GPTConfig(**merged)
+
+
 # --------------------------------------------------------------------------
 # Family presets (reference: nemo/collections/llm/gpt/model/*.py)
 # --------------------------------------------------------------------------
 
 def llama2_7b(**kw) -> GPTConfig:
-    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=11008,
-                num_attention_heads=32, vocab_size=32000, seq_length=4096,
-                rotary_base=10000.0, **kw)
+    return _preset(dict(num_layers=32, hidden_size=4096, ffn_hidden_size=11008, num_attention_heads=32, vocab_size=32000, seq_length=4096, rotary_base=10000.0), kw)
 
 
 def llama3_8b(**kw) -> GPTConfig:
-    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
-                num_attention_heads=32, num_query_groups=8, vocab_size=128256,
-                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+    return _preset(dict(num_layers=32, hidden_size=4096, ffn_hidden_size=14336, num_attention_heads=32, num_query_groups=8, vocab_size=128256, seq_length=8192, rotary_base=500000.0, rope_scaling='llama3'), kw)
 
 
 def llama3_70b(**kw) -> GPTConfig:
-    return _cfg(num_layers=80, hidden_size=8192, ffn_hidden_size=28672,
-                num_attention_heads=64, num_query_groups=8, vocab_size=128256,
-                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+    return _preset(dict(num_layers=80, hidden_size=8192, ffn_hidden_size=28672, num_attention_heads=64, num_query_groups=8, vocab_size=128256, seq_length=8192, rotary_base=500000.0, rope_scaling='llama3'), kw)
 
 
 def llama31_405b(**kw) -> GPTConfig:
-    return _cfg(num_layers=126, hidden_size=16384, ffn_hidden_size=53248,
-                num_attention_heads=128, num_query_groups=8, vocab_size=128256,
-                seq_length=8192, rotary_base=500000.0, rope_scaling="llama3", **kw)
+    return _preset(dict(num_layers=126, hidden_size=16384, ffn_hidden_size=53248, num_attention_heads=128, num_query_groups=8, vocab_size=128256, seq_length=8192, rotary_base=500000.0, rope_scaling='llama3'), kw)
 
 
 def mistral_7b(**kw) -> GPTConfig:
-    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
-                num_attention_heads=32, num_query_groups=8, vocab_size=32000,
-                seq_length=8192, window_size=4096, **kw)
+    return _preset(dict(num_layers=32, hidden_size=4096, ffn_hidden_size=14336, num_attention_heads=32, num_query_groups=8, vocab_size=32000, seq_length=8192, window_size=4096), kw)
 
 
 def mixtral_8x7b(**kw) -> GPTConfig:
-    return _cfg(num_layers=32, hidden_size=4096, ffn_hidden_size=14336,
-                num_attention_heads=32, num_query_groups=8, vocab_size=32000,
-                seq_length=8192, num_moe_experts=8, moe_router_topk=2,
-                moe_aux_loss_coeff=0.02, **kw)
+    return _preset(dict(num_layers=32, hidden_size=4096, ffn_hidden_size=14336, num_attention_heads=32, num_query_groups=8, vocab_size=32000, seq_length=8192, num_moe_experts=8, moe_router_topk=2, moe_aux_loss_coeff=0.02), kw)
 
 
 def gemma_7b(**kw) -> GPTConfig:
-    return _cfg(num_layers=28, hidden_size=3072, ffn_hidden_size=24576,
-                num_attention_heads=16, kv_channels=256, vocab_size=256000,
-                seq_length=8192, activation="gelu",
-                share_embeddings_and_output_weights=True,
-                layernorm_zero_centered_gamma=True,
-                embedding_multiplier=3072**0.5, **kw)
+    return _preset(dict(num_layers=28, hidden_size=3072, ffn_hidden_size=24576, num_attention_heads=16, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3072**0.5), kw)
 
 
 def qwen2_7b(**kw) -> GPTConfig:
-    return _cfg(num_layers=28, hidden_size=3584, ffn_hidden_size=18944,
-                num_attention_heads=28, num_query_groups=4, vocab_size=152064,
-                seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0, **kw)
+    return _preset(dict(num_layers=28, hidden_size=3584, ffn_hidden_size=18944, num_attention_heads=28, num_query_groups=4, vocab_size=152064, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0), kw)
 
 
 def qwen3_8b(**kw) -> GPTConfig:
-    return _cfg(num_layers=36, hidden_size=4096, ffn_hidden_size=12288,
-                num_attention_heads=32, num_query_groups=8, kv_channels=128,
-                vocab_size=151936, seq_length=40960, qk_layernorm=True,
-                rotary_base=1000000.0, **kw)
+    return _preset(dict(num_layers=36, hidden_size=4096, ffn_hidden_size=12288, num_attention_heads=32, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0), kw)
 
 
 def gpt3_175b(**kw) -> GPTConfig:
-    return _cfg(num_layers=96, hidden_size=12288, ffn_hidden_size=49152,
-                num_attention_heads=96, vocab_size=51200, seq_length=2048,
-                normalization="LayerNorm", gated_linear_unit=False,
-                activation="gelu", add_bias_linear=True,
-                position_embedding_type="learned_absolute",
-                share_embeddings_and_output_weights=True, **kw)
+    return _preset(dict(num_layers=96, hidden_size=12288, ffn_hidden_size=49152, num_attention_heads=96, vocab_size=51200, seq_length=2048, normalization='LayerNorm', gated_linear_unit=False, activation='gelu', add_bias_linear=True, position_embedding_type='learned_absolute', share_embeddings_and_output_weights=True), kw)
 
 
 def gpt_2b(**kw) -> GPTConfig:
     """The BASELINE.json 'Megatron GPT 2B fine-tune' config shape."""
-    return _cfg(num_layers=24, hidden_size=2048, ffn_hidden_size=5440,
-                num_attention_heads=16, vocab_size=256000, seq_length=4096, **kw)
+    return _preset(dict(num_layers=24, hidden_size=2048, ffn_hidden_size=5440, num_attention_heads=16, vocab_size=256000, seq_length=4096), kw)
 
 
 def tiny_test(**kw) -> GPTConfig:

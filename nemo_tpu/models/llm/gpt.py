@@ -138,6 +138,7 @@ def causal_attention(
     softmax_fp32: bool = True,
     kv_offset=0,
     kv_valid: Optional[jnp.ndarray] = None,  # [B, Skv] True = attendable
+    segment_ids: Optional[jnp.ndarray] = None,  # [B, S] packed-seq ids (0=pad)
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
@@ -159,6 +160,9 @@ def causal_attention(
     mask = jnp.broadcast_to(mask[None], (B, Sq, Skv))
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
+    if segment_ids is not None:
+        mask = mask & (segment_ids[:, :, None] == segment_ids[:, None, :])
+        mask = mask & (segment_ids[:, :, None] > 0)
     scores = jnp.where(mask[:, None, None], scores, -1e30)
     if not softmax_fp32:
         scores = scores.astype(q.dtype)
@@ -171,7 +175,8 @@ class Attention(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None, *, train=False):
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
+                 segment_ids=None, *, train=False):
         cfg = self.cfg
         H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
         dtype = x.dtype
@@ -213,6 +218,7 @@ class Attention(nn.Module):
             cfg.attention_backend == "flash"
             and no_cache
             and kv_valid is None
+            and segment_ids is None
             and q.shape[1] % 128 == 0
         )
         if use_flash:
@@ -230,7 +236,7 @@ class Attention(nn.Module):
             out = causal_attention(
                 q, k, v, scale=scale, window=cfg.window_size,
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
-                kv_valid=kv_valid,
+                kv_valid=kv_valid, segment_ids=segment_ids,
             )
         out = nn.DenseGeneral(
             features=cfg.hidden_size,
@@ -366,13 +372,14 @@ class TransformerLayer(nn.Module):
     is_training: bool = False
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None):
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
+                 segment_ids=None):
         cfg = self.cfg
         train = self.is_training
         h = make_norm(cfg, "input_norm")(x)
         attn_out, kv_cache = Attention(cfg, name="attention")(
             h, positions, kv_cache=kv_cache, decode_index=decode_index,
-            kv_valid=kv_valid, train=train
+            kv_valid=kv_valid, segment_ids=segment_ids, train=train
         )
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
@@ -391,7 +398,8 @@ class GPTModel(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None, kv_valid=None, train=False):
+    def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None,
+                 kv_valid=None, segment_ids=None, train=False):
         cfg = self.cfg
         dtype = _dtype(cfg.compute_dtype)
         B, S = tokens.shape
@@ -426,7 +434,7 @@ class GPTModel(nn.Module):
                 layer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
@@ -438,7 +446,7 @@ class GPTModel(nn.Module):
             else:
                 caches_in = kv_caches  # stacked [L, B, T, G, D] pair
             x, new_caches = ScanLayers(cfg, is_training=train, name="layers")(
-                x, positions, caches_in, decode_index, kv_valid
+                x, positions, caches_in, decode_index, kv_valid, segment_ids
             )
             if kv_caches is None:
                 new_caches = None
@@ -449,7 +457,7 @@ class GPTModel(nn.Module):
                 if kv_caches is not None:
                     cache_i = (kv_caches[0][i], kv_caches[1][i])
                 x, cache_i = TransformerLayer(cfg, is_training=train, name=f"layer{i}")(
-                    x, positions, cache_i, decode_index, kv_valid
+                    x, positions, cache_i, decode_index, kv_valid, segment_ids
                 )
                 new_caches.append(cache_i)
             if kv_caches is not None:

@@ -111,7 +111,10 @@ class GPTTrainModule:
 
         def loss_fn(params, batch, rng):
             logits = model.apply(
-                {"params": params}, batch["tokens"], train=True, rngs={"dropout": rng}
+                {"params": params}, batch["tokens"],
+                batch.get("positions"),
+                segment_ids=batch.get("segment_ids"),
+                train=True, rngs={"dropout": rng},
             )
             loss, n = masked_token_loss(logits, batch["labels"], batch.get("loss_mask"))
             return loss, n
