@@ -122,3 +122,112 @@ class ProgressPrinter(Callback):
                     v = metrics[k]
                     parts.append(f"{k}: {float(v):.4g}")
             logging.info(" | ".join(parts))
+
+
+class EMACallback(Callback):
+    """Exponential moving average of params (reference common/callbacks/ema.py).
+
+    Keeps `trainer.ema_params`; `swap()` exchanges them with the live params
+    for evaluation."""
+
+    def __init__(self, decay: float = 0.999):
+        self.decay = decay
+        self.ema = None
+        self._update = None
+
+    def on_step_end(self, trainer, step, metrics):
+        import jax
+
+        params = getattr(trainer.state, "params", None)
+        if params is None:
+            return
+        if self.ema is None:
+            self.ema = jax.tree.map(lambda x: x, params)
+            d = self.decay
+
+            @jax.jit
+            def update(ema, p):
+                return jax.tree.map(lambda e, x: d * e + (1 - d) * x, ema, p)
+
+            self._update = update
+        else:
+            self.ema = self._update(self.ema, params)
+        trainer.ema_params = self.ema
+
+
+class EarlyStopping(Callback):
+    """Stop when a validation metric stops improving
+    (reference exp_manager early_stopping)."""
+
+    def __init__(self, monitor: str = "loss", patience: int = 5, mode: str = "min",
+                 min_delta: float = 0.0):
+        self.monitor, self.patience, self.mode = monitor, patience, mode
+        self.min_delta = min_delta
+        self.best = None
+        self.count = 0
+
+    def on_validation(self, trainer, step, metrics):
+        v = metrics.get(self.monitor)
+        if v is None:
+            return
+        improved = (
+            self.best is None
+            or (self.mode == "min" and v < self.best - self.min_delta)
+            or (self.mode == "max" and v > self.best + self.min_delta)
+        )
+        if improved:
+            self.best, self.count = v, 0
+        else:
+            self.count += 1
+            if self.count >= self.patience:
+                logging.info(f"EarlyStopping: no {self.monitor} improvement for {self.patience} validations")
+                trainer.should_stop = True
+
+
+class ProfilerCallback(Callback):
+    """jax profiler trace for a step window (reference NsysCallback nsys.py:44:
+    start/end step ranges; TPU equivalent = jax.profiler traces)."""
+
+    def __init__(self, log_dir: str, start_step: int = 10, end_step: int = 12):
+        self.log_dir = log_dir
+        self.start_step, self.end_step = start_step, end_step
+        self._active = False
+
+    def on_step_start(self, trainer, step):
+        import jax
+
+        if step == self.start_step:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def on_step_end(self, trainer, step, metrics):
+        import jax
+
+        if step == self.end_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            logging.info(f"profiler trace written to {self.log_dir}")
+
+
+class StragglerDetectionCallback(Callback):
+    """Flag abnormally slow steps (reference exp_manager.py:199-209 straggler
+    detection — single-process analog: relative step-time outliers)."""
+
+    def __init__(self, window: int = 50, threshold: float = 2.0):
+        self.window, self.threshold = window, threshold
+        self._times = []
+
+    def on_step_end(self, trainer, step, metrics):
+        dt = metrics.get("step_time")
+        if dt is None:
+            return
+        if len(self._times) >= 10:
+            import numpy as _np
+
+            med = _np.median(self._times)
+            if dt > self.threshold * med:
+                logging.warning(
+                    f"straggler: step {step} took {dt:.3f}s (median {med:.3f}s)")
+                metrics["straggler"] = 1.0
+        self._times.append(dt)
+        self._times = self._times[-self.window:]

@@ -1,0 +1,88 @@
+"""CTC beam search / timestamps + new callbacks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.core.callbacks import EarlyStopping, EMACallback, StragglerDetectionCallback
+from nemo_tpu.models.asr.parts.ctc_beam import (
+    ctc_greedy_with_timestamps,
+    ctc_prefix_beam_search,
+)
+
+
+def _peaked(seq, V=5):
+    lp = np.full((len(seq), V), -8.0)
+    for t, v in enumerate(seq):
+        lp[t, v] = -0.01
+    return lp
+
+
+def test_beam_matches_greedy_on_peaked():
+    lp = _peaked([0, 0, 4, 1, 1, 4, 2, 4])
+    beams = ctc_prefix_beam_search(lp, beam_size=8)
+    assert beams[0][0] == [0, 1, 2]
+    assert beams[0][1] > beams[-1][1]
+
+
+def test_beam_sums_paths():
+    """Beam search must sum probability over alignments: an ambiguous frame
+    that greedy resolves wrong can be recovered."""
+    V = 3  # tokens {0,1}, blank=2
+    lp = np.log(np.array([
+        [0.45, 0.05, 0.50],   # slight preference for 0 / blank
+        [0.45, 0.05, 0.50],
+    ], np.float64))
+    beams = ctc_prefix_beam_search(lp, beam_size=8)
+    # prefix [0] accumulates over (0,-),( -,0),(0,0) paths and must beat blank-only
+    assert beams[0][0] == [0]
+
+
+def test_timestamps_spans():
+    lp = _peaked([4, 0, 0, 0, 4, 1])
+    out = ctc_greedy_with_timestamps(lp, frame_duration=0.1)
+    assert out["tokens"] == [0, 1]
+    t0 = out["timestamps"][0]
+    assert abs(t0["start"] - 0.1) < 1e-9 and abs(t0["end"] - 0.4) < 1e-9
+
+
+def test_early_stopping():
+    class T:  # minimal trainer stub
+        should_stop = False
+
+    t = T()
+    es = EarlyStopping(monitor="loss", patience=2)
+    for v in [1.0, 0.9, 0.95, 0.96]:
+        es.on_validation(t, 0, {"loss": v})
+    assert t.should_stop
+
+
+def test_ema_callback():
+    class State:
+        params = {"w": jnp.ones(3)}
+
+    class T:
+        state = State()
+
+    t = T()
+    ema = EMACallback(decay=0.5)
+    ema.on_step_end(t, 0, {})
+    t.state.params = {"w": jnp.zeros(3)}
+    ema.on_step_end(t, 1, {})
+    np.testing.assert_allclose(np.asarray(t.ema_params["w"]), 0.5)
+
+
+def test_straggler_detection(caplog):
+    class T:
+        pass
+
+    s = StragglerDetectionCallback(threshold=2.0)
+    metrics = {}
+    for i in range(12):
+        m = {"step_time": 0.1}
+        s.on_step_end(T(), i, m)
+    m = {"step_time": 1.0}
+    s.on_step_end(T(), 99, m)
+    assert m.get("straggler") == 1.0
