@@ -179,7 +179,7 @@ class RelPositionMultiHeadAttention(nn.Module):
             if right >= 0:
                 ctx_mask &= (j - i) <= right
 
-        if self.impl == "decomposed":
+        if self.impl in ("decomposed", "decomposed_flash"):
             from nemo_tpu.ops.attention import relpos_attention
 
             out = relpos_attention(
@@ -189,6 +189,7 @@ class RelPositionMultiHeadAttention(nn.Module):
                 d_model=D,
                 scale=1.0 / math.sqrt(dh),
                 ctx_mask=ctx_mask,
+                use_flash=(self.impl == "decomposed_flash"),
             )
         else:
             p = jnp.einsum(

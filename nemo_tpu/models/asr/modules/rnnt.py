@@ -86,18 +86,23 @@ class PredictionNetwork(nn.Module):
 
 
 class RNNTJoint(nn.Module):
-    """Joint network: relu(enc_proj + pred_proj) → vocab+1 logits (blank last)."""
+    """Joint network: relu(enc_proj + pred_proj) → vocab+1 logits (blank last).
+
+    With `num_durations > 0` this is the TDT joint (reference rnnt.py TDT
+    variant): a second head predicts the duration distribution."""
 
     num_classes: int  # without blank
     joint_hidden: int = 640
     activation: str = "relu"
     dropout: float = 0.0
+    num_durations: int = 0  # >0 → TDT
 
     @nn.compact
     def __call__(
         self, enc: jnp.ndarray, pred: jnp.ndarray, *, train: bool = False
-    ) -> jnp.ndarray:
-        """enc [..., H_e], pred [..., H_p] broadcastable → [..., V+1].
+    ):
+        """enc [..., H_e], pred [..., H_p] broadcastable → [..., V+1]
+        (or (token_logits, dur_logits) for TDT).
 
         For training call with enc [B,T,1,H], pred [B,1,U+1,H]."""
         e = nn.Dense(self.joint_hidden, name="enc_proj")(enc)
@@ -105,7 +110,11 @@ class RNNTJoint(nn.Module):
         h = e + p
         h = {"relu": nn.relu, "tanh": jnp.tanh, "sigmoid": jax.nn.sigmoid}[self.activation](h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.Dense(self.num_classes + 1, name="out_proj")(h)
+        tok = nn.Dense(self.num_classes + 1, name="out_proj")(h)
+        if self.num_durations > 0:
+            dur = nn.Dense(self.num_durations, name="dur_proj")(h)
+            return tok, dur
+        return tok
 
 
 def rnnt_greedy_decode(

@@ -26,6 +26,7 @@ from nemo_tpu.models.asr.modules.rnnt import (
 )
 from nemo_tpu.ops.audio import mel_spectrogram
 from nemo_tpu.ops.rnnt import rnnt_loss_mean
+from nemo_tpu.ops.tdt import tdt_greedy_decode, tdt_loss
 
 
 class _RNNTNet(nn.Module):
@@ -36,6 +37,7 @@ class _RNNTNet(nn.Module):
     pred_hidden: int
     pred_rnn_layers: int
     joint_hidden: int
+    num_durations: int = 0  # >0 → TDT
 
     def setup(self):
         self.encoder = build_encoder(ConfigDict(dict(self.enc_cfg)), self.feat_in)
@@ -44,7 +46,8 @@ class _RNNTNet(nn.Module):
             pred_hidden=self.pred_hidden,
             pred_rnn_layers=self.pred_rnn_layers,
         )
-        self.joint = RNNTJoint(num_classes=self.vocab_size, joint_hidden=self.joint_hidden)
+        self.joint = RNNTJoint(num_classes=self.vocab_size, joint_hidden=self.joint_hidden,
+                               num_durations=self.num_durations)
 
     def encode(self, feats, lengths, train: bool = False):
         enc, enc_len = self.encoder(feats, lengths, train=train)
@@ -88,6 +91,8 @@ class EncDecRNNTModel(Model):
         dec_cfg = cfg.get("decoder", ConfigDict())
         joint_cfg = cfg.get("joint", ConfigDict())
         self.max_symbols = int(cfg.get("decoding", {}).get("max_symbols", 10))
+        # TDT support (reference fastconformer-TDT): model_defaults.tdt_durations
+        self.durations = tuple(cfg.get("model_defaults", {}).get("tdt_durations", ()))
         self.net = _RNNTNet(
             enc_cfg=enc_cfg.to_dict(),
             feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
@@ -96,6 +101,7 @@ class EncDecRNNTModel(Model):
             pred_hidden=int(dec_cfg.get("pred_hidden", 640)),
             pred_rnn_layers=int(dec_cfg.get("pred_rnn_layers", 1)),
             joint_hidden=int(joint_cfg.get("joint_hidden", 640)),
+            num_durations=len(self.durations),
         )
         if init_params:
             self._init_params()
@@ -116,6 +122,12 @@ class EncDecRNNTModel(Model):
         return self.net.apply(variables, feats, feat_len, targets, train=False)
 
     def loss(self, logits, targets, enc_len, target_len):
+        if self.durations:
+            tok, dur = logits
+            nll = tdt_loss(tok, dur, targets, enc_len, target_len, self.durations)
+            import jax.numpy as _jnp
+
+            return _jnp.mean(nll)
         return rnnt_loss_mean(logits, targets, enc_len, target_len)
 
     # -- inference ----------------------------------------------------------
@@ -136,9 +148,16 @@ class EncDecRNNTModel(Model):
         B = enc.shape[0]
         zeros = jnp.zeros((B, self.net.pred_hidden), jnp.float32)
         state0 = tuple((zeros, zeros) for _ in range(self.net.pred_rnn_layers))
-        tokens, counts = rnnt_greedy_decode(
-            joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id, self.max_symbols
-        )
+        if self.durations:
+            tokens, counts = tdt_greedy_decode(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                self.durations,
+            )
+        else:
+            tokens, counts = rnnt_greedy_decode(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                self.max_symbols,
+            )
         return tokens, counts
 
     def transcribe(

@@ -70,6 +70,7 @@ def relpos_attention(
     d_model: int,
     scale: float,
     ctx_mask: Optional[jnp.ndarray] = None,  # [T, T] limited-context mask
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Full (non-causal) rel-pos attention via the trig decomposition.
 
@@ -92,6 +93,9 @@ def relpos_attention(
         ],
         axis=-1,
     )
+    if use_flash and ctx_mask is None and qu.shape[2] % 128 == 0:
+        return _relpos_flash(q_aug, k_aug, v, pad_mask, scale, dtype)
+
     scores = jnp.einsum(
         "bhid,bhjd->bhij",
         q_aug.astype(dtype),
@@ -105,3 +109,33 @@ def relpos_attention(
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(pad_mask[:, None, :, None], probs, 0.0)
     return jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v)
+
+
+def _relpos_flash(q_aug, k_aug, v, pad_mask, scale, dtype):
+    """Decomposed rel-pos attention through the Pallas flash kernel.
+
+    Pad masking folds into ONE extra augmented feature: q gets a constant 1,
+    k gets 0 (valid) / -BIG (padded) — the score contribution becomes the
+    mask bias inside the same MXU contraction. Padded-QUERY rows produce
+    garbage that downstream masking (encoder output/conv masks) zeroes,
+    matching the XLA path's semantics."""
+    from nemo_tpu.ops.flash_attention import flash_attention
+
+    B, H, T, da = q_aug.shape
+    big = jnp.float32(-1e9 / scale)
+    q_ext = jnp.concatenate([q_aug, jnp.ones((B, H, T, 1), q_aug.dtype)], -1)
+    kbias = jnp.where(pad_mask, 0.0, big)[:, None, :, None]
+    k_ext = jnp.concatenate(
+        [k_aug, jnp.broadcast_to(kbias, (B, H, T, 1)).astype(k_aug.dtype)], -1
+    )
+    # pad feature dim to a lane multiple for clean Mosaic tiling
+    pad_to = (-q_ext.shape[-1]) % 128
+    if pad_to:
+        zq = jnp.zeros((B, H, T, pad_to), q_ext.dtype)
+        q_ext = jnp.concatenate([q_ext, zq], -1)
+        k_ext = jnp.concatenate([k_ext, zq], -1)
+    out = flash_attention(
+        q_ext.astype(dtype), k_ext.astype(dtype), v.astype(dtype),
+        float(scale), False, None, 256, 512, 0,
+    )
+    return out

@@ -37,7 +37,8 @@ def _flash_kernel(
     window: Optional[int],
     q_offset_blocks: int,
 ):
-    bq, dh = q_ref.shape[-2:]
+    bq = q_ref.shape[-2]
+    dv = v_ref.shape[-1]
     Tkv = k_ref.shape[-2]
     i = pl.program_id(2)  # query block index
 
@@ -45,7 +46,7 @@ def _flash_kernel(
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, dh), jnp.float32)
+    acc0 = jnp.zeros((bq, dv), jnp.float32)
 
     n_kv = Tkv // block_kv
     # causal: only kv blocks whose start <= last query position
@@ -115,6 +116,7 @@ def _flash_forward(
 ) -> jnp.ndarray:
     B, H, Tq, dh = q.shape
     G, Tkv = k.shape[1], k.shape[2]
+    dv = v.shape[-1]
     bq = min(block_q, Tq)
     bkv = min(block_kv, Tkv)
     assert Tq % bq == 0 and Tkv % bkv == 0, (Tq, bq, Tkv, bkv)
@@ -131,14 +133,14 @@ def _flash_forward(
     grid = (B, H, Tq // bq)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, dv), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tkv, dh), lambda b, h, i: (b, h * G // H, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tkv, dh), lambda b, h, i: (b, h * G // H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tkv, dv), lambda b, h, i: (b, h * G // H, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, bq, dv), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * H * Tq * Tkv * dh * (0.5 if causal else 1.0)),
             bytes_accessed=int((q.size + k.size + v.size + q.size) * q.dtype.itemsize),
