@@ -289,3 +289,85 @@ def convert_ctc_state(cfg: ConfigDict, sd: Dict[str, np.ndarray]) -> Dict[str, A
     tree.p("decoder/proj/kernel", np.transpose(w, (2, 1, 0)))
     tree.p("decoder/proj/bias", sd["decoder.decoder_layers.0.bias"])
     return tree.variables()
+
+
+# ---------------------------------------------------------------------------
+# RNNT / Transducer conversion (Conformer-Transducer .nemo)
+# ---------------------------------------------------------------------------
+
+
+def _t2f_lstm(tree: _Tree, our: str, sd: Dict[str, np.ndarray], torch_prefix: str,
+              layer: int) -> None:
+    """torch LSTM layer → flax OptimizedLSTMCell params.
+
+    torch packs gates (i, f, g, o) along dim 0 of weight_ih/weight_hh
+    [4H, in]; flax keeps per-gate Dense kernels [in, H] named
+    {i,h}{i,f,g,o}, with bias only on the hidden side → bias = b_ih + b_hh.
+    """
+    w_ih = sd[f"{torch_prefix}.weight_ih_l{layer}"]
+    w_hh = sd[f"{torch_prefix}.weight_hh_l{layer}"]
+    b = sd[f"{torch_prefix}.bias_ih_l{layer}"] + sd[f"{torch_prefix}.bias_hh_l{layer}"]
+    H = w_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    for g_i, g in enumerate(gates):
+        sl = slice(g_i * H, (g_i + 1) * H)
+        tree.p(f"{our}/i{g}/kernel", np.transpose(w_ih[sl]))
+        tree.p(f"{our}/h{g}/kernel", np.transpose(w_hh[sl]))
+        tree.p(f"{our}/h{g}/bias", b[sl])
+
+
+def convert_rnnt_state(cfg: ConfigDict, sd: Dict[str, np.ndarray],
+                       pred_rnn_layers: int = 1) -> Dict[str, Any]:
+    """Reference EncDecRNNTModel state dict → our _RNNTNet variables.
+
+    Torch layout (asr/modules/rnnt.py): decoder.prediction.embed (blank_as_pad:
+    V+1 rows, blank row ≡ 0 = our zero-SOS), decoder.prediction.dec_rnn.lstm.*,
+    joint.{enc,pred}.{weight,bias}, joint.joint_net.<last>.{weight,bias}.
+    """
+    tree = _Tree()
+    enc = cfg.encoder
+    if "d_model" in enc or str(enc.get("_target_", "")).endswith("ConformerEncoder"):
+        convert_conformer(enc, sd, tree)
+    else:
+        convert_conv_asr(enc["jasper"], sd, tree)
+
+    # prediction net: drop the blank/pad row (ours embeds V tokens, SOS = zeros)
+    emb = sd["decoder.prediction.embed.weight"]
+    vocab = len(cfg.get("labels") or cfg.decoder.vocabulary)
+    tree.p("prediction/embed/embedding", emb[:vocab])
+    for i in range(pred_rnn_layers):
+        _t2f_lstm(tree, f"prediction/rnn/lstm{i}", sd,
+                  "decoder.prediction.dec_rnn.lstm", i)
+
+    tree.dense("joint/enc_proj", sd, "joint.enc")
+    tree.dense("joint/pred_proj", sd, "joint.pred")
+    out_key = next(
+        k[: -len(".weight")] for k in sd
+        if k.startswith("joint.joint_net.") and k.endswith(".weight")
+    )
+    tree.dense("joint/out_proj", sd, out_key)
+    return tree.variables()
+
+
+def import_rnnt_model(path: str):
+    """`.nemo` transducer checkpoint → EncDecRNNTModel."""
+    from nemo_tpu.models.asr.rnnt_models import EncDecRNNTModel
+
+    nemo_cfg, sd = load_nemo_archive(path)
+    cfg = convert_asr_config(nemo_cfg)
+    if "decoder" in nemo_cfg:
+        pn = nemo_cfg.decoder.get("prednet", {})
+        cfg.decoder = {
+            "pred_hidden": pn.get("pred_hidden", 640),
+            "pred_rnn_layers": pn.get("pred_rnn_layers", 1),
+            "vocabulary": cfg.get("labels"),
+        }
+    if "joint" in nemo_cfg:
+        jn = nemo_cfg.joint.get("jointnet", {})
+        cfg.joint = {"joint_hidden": jn.get("joint_hidden", 640)}
+    model = EncDecRNNTModel(cfg, init_params=True)
+    model.variables = convert_rnnt_state(
+        cfg, sd, pred_rnn_layers=int(cfg.decoder.get("pred_rnn_layers", 1))
+    )
+    logging.info(f"Imported transducer .nemo checkpoint from {path}")
+    return model

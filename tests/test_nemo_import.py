@@ -272,3 +272,86 @@ def test_conformer_import_numerics(tmp_path):
         model.variables, jnp.asarray(feats), jnp.array([64, 64]), train=False
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4, rtol=1e-3)
+
+
+class TorchPredJoint(tnn.Module):
+    """torch mini-reference: RNNT prediction (embed+LSTM) + joint, reference
+    key layout (decoder.prediction.*, joint.*)."""
+
+    def __init__(self, vocab=10, H=16, joint=12, enc_h=8):
+        super().__init__()
+        self.decoder = tnn.Module()
+        self.decoder.prediction = tnn.ModuleDict({
+            "embed": tnn.Embedding(vocab + 1, H, padding_idx=vocab),
+            "dec_rnn": tnn.Module(),
+        })
+        self.decoder.prediction["dec_rnn"].lstm = tnn.LSTM(H, H, num_layers=1, batch_first=True)
+        self.joint = tnn.Module()
+        self.joint.enc = tnn.Linear(enc_h, joint)
+        self.joint.pred = tnn.Linear(H, joint)
+        self.joint.joint_net = tnn.Sequential(tnn.ReLU(), tnn.Linear(joint, vocab + 1))
+
+    def pred_forward(self, tokens):  # [B, U] with SOS prepended as blank id
+        x = self.decoder.prediction["embed"](tokens)
+        out, _ = self.decoder.prediction["dec_rnn"].lstm(x)
+        return out
+
+    def joint_forward(self, enc, pred):
+        h = self.joint.enc(enc) + self.joint.pred(pred)
+        return self.joint.joint_net(h)
+
+
+def test_rnnt_prediction_joint_import_numerics():
+    from nemo_tpu.core.config import ConfigDict
+    from nemo_tpu.interop.nemo_import import convert_rnnt_state
+    from nemo_tpu.models.asr.rnnt_models import EncDecRNNTModel, _RNNTNet
+
+    torch.manual_seed(0)
+    vocab, H, J, EH = 10, 16, 12, 8
+    tm = TorchPredJoint(vocab, H, J, EH).eval()
+
+    labels = [str(i) for i in range(vocab)]
+    cfg = ConfigDict(
+        sample_rate=16000, labels=labels,
+        preprocessor={"features": 8, "dither": 0.0},
+        encoder={"feat_in": 8, "jasper": [
+            {"filters": EH, "repeat": 1, "kernel": 3, "separable": False}]},
+        decoder={"pred_hidden": H, "pred_rnn_layers": 1, "vocabulary": labels},
+        joint={"joint_hidden": J},
+    )
+    model = EncDecRNNTModel(cfg)
+
+    # synthesize an encoder state dict so conversion has all keys
+    sd = {k: v for k, v in tm.state_dict().items()}
+    enc_t = TorchQuartzNetCTC.__new__(TorchQuartzNetCTC)  # not used
+    # minimal ConvASR keys for one non-separable block
+    import torch as _t
+    sd["encoder.encoder.0.mconv.0.conv.weight"] = _t.randn(EH, 8, 3)
+    sd["encoder.encoder.0.mconv.1.weight"] = _t.ones(EH)
+    sd["encoder.encoder.0.mconv.1.bias"] = _t.zeros(EH)
+    sd["encoder.encoder.0.mconv.1.running_mean"] = _t.zeros(EH)
+    sd["encoder.encoder.0.mconv.1.running_var"] = _t.ones(EH)
+    sd = {k: (v.detach().numpy() if hasattr(v, "detach") else v) for k, v in sd.items()}
+
+    model.variables = convert_rnnt_state(cfg, sd, pred_rnn_layers=1)
+
+    # prediction parity: torch runs [SOS(=blank id), y1, y2]; ours runs targets
+    tokens = np.array([[3, 7]], np.int64)
+    with torch.no_grad():
+        t_in = torch.tensor(np.concatenate([[[vocab]], tokens], axis=1))
+        ref_pred = tm.pred_forward(t_in).numpy()  # [1, 3, H]
+    ours_pred = np.asarray(model.net.apply(
+        model.variables, jnp.asarray(tokens.astype(np.int32)),
+        method=type(model.net).predict,
+    ))
+    np.testing.assert_allclose(ours_pred, ref_pred, atol=1e-5)
+
+    # joint parity
+    enc_vec = np.random.RandomState(0).randn(1, EH).astype(np.float32)
+    with torch.no_grad():
+        ref_j = tm.joint_forward(torch.tensor(enc_vec), torch.tensor(ref_pred[:, -1])).numpy()
+    ours_j = np.asarray(model.net.apply(
+        model.variables, jnp.asarray(enc_vec), jnp.asarray(ours_pred[:, -1]),
+        method=type(model.net).joint_logits,
+    ))
+    np.testing.assert_allclose(ours_j, ref_j, atol=1e-5)
