@@ -106,6 +106,46 @@ def gpt_2b(**kw) -> Recipe:
 
 
 @register
+def llama2_7b(**kw) -> Recipe:
+    return Recipe("llama2_7b", C.llama2_7b(attention_backend="flash"),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def llama31_405b(**kw) -> Recipe:
+    """(reference tuning DB h100 row: 1024 gpus TP8 PP8 CP2 → TPU: fsdp×tp8)"""
+    return Recipe("llama31_405b", C.llama31_405b(attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=8).resolved_or_default(), 512, 1,
+                  lr=8e-5, **kw)
+
+
+@register
+def mistral_7b(**kw) -> Recipe:
+    return Recipe("mistral_7b", C.mistral_7b(attention_backend="flash"),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def qwen2_7b(**kw) -> Recipe:
+    return Recipe("qwen2_7b", C.qwen2_7b(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def gemma_7b(**kw) -> Recipe:
+    return Recipe("gemma_7b", C.gemma_7b(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def gpt3_175b(**kw) -> Recipe:
+    """(reference tuning DB: 512 gpus TP4 PP8 VP6 → TPU fsdp×tp4)"""
+    return Recipe("gpt3_175b", C.gpt3_175b(),
+                  MeshConfig(dp=1, fsdp=-1, tp=4).resolved_or_default(), 2048, 2,
+                  lr=9e-5, **kw)
+
+
+@register
 def tiny_test(**kw) -> Recipe:
     return Recipe("tiny_test", C.tiny_test(seq_length=32),
                   MeshConfig().resolved_or_default(), 8, None,

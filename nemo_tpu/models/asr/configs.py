@@ -115,6 +115,40 @@ def fastconformer_ctc(size: str = "large", labels: Optional[List[str]] = None) -
     return cfg
 
 
+def citrinet_512(labels: Optional[List[str]] = None, feat_in: int = 80) -> ConfigDict:
+    """Citrinet-512 shape (reference examples/asr/conf/citrinet/): SE blocks,
+    stride_last + stride_add residuals, kernels 5..41, x8 total stride."""
+    labels = labels or EN_CHAR_LABELS
+    C = 512
+
+    def blk(kernel, stride=1, repeat=5, **kw):
+        return dict(filters=C, repeat=repeat, kernel=kernel, stride=stride,
+                    separable=True, residual=True, se=True, se_reduction_ratio=8,
+                    stride_last=True, residual_mode="stride_add" if stride > 1 else "add",
+                    **kw)
+
+    jasper = [dict(filters=C, repeat=1, kernel=5, separable=True, residual=False,
+                   se=True, se_reduction_ratio=8)]
+    for k in (11, 13, 15, 17, 19, 21):
+        jasper.append(blk(k))
+    jasper.append(blk(13, stride=2))
+    for k in (15, 17, 19, 21, 23, 25):
+        jasper.append(blk(k))
+    jasper.append(blk(25, stride=2))
+    for k in (27, 29, 31, 33, 35, 37, 39):
+        jasper.append(blk(k))
+    jasper.append(dict(filters=640, repeat=1, kernel=41, separable=True,
+                       residual=False, se=True, se_reduction_ratio=8))
+    return ConfigDict(
+        sample_rate=16000,
+        labels=labels,
+        preprocessor=dict(features=feat_in, window_size=0.025, window_stride=0.01,
+                          normalize="per_feature", dither=1e-5, pad_to=16),
+        encoder=dict(feat_in=feat_in, jasper=jasper),
+        decoder=dict(feat_in=640, vocabulary=labels),
+    )
+
+
 def quartznet_tiny(labels: Optional[List[str]] = None, feat_in: int = 64) -> ConfigDict:
     """Small test-sized variant (same topology shape, 2 blocks)."""
     labels = labels or EN_CHAR_LABELS
