@@ -2,6 +2,7 @@
 
 from nemo_tpu.llm.api import (  # noqa: F401
     export_ckpt,
+    train,
     finetune,
     generate,
     import_ckpt,
@@ -9,7 +10,9 @@ from nemo_tpu.llm.api import (  # noqa: F401
     validate,
     validate_config,
 )
+from nemo_tpu.llm.evaluation import LMEvaluator, evaluate_multiple_choice  # noqa: F401
 from nemo_tpu.llm.peft import LoRA  # noqa: F401
+from nemo_tpu.llm.recipes import RECIPES as recipes  # noqa: F401
 from nemo_tpu.models.llm.config import PRESETS, GPTConfig  # noqa: F401
 from nemo_tpu.models.llm.generate import SamplingParams  # noqa: F401
 from nemo_tpu.models.llm.train import GPTTrainModule  # noqa: F401

@@ -46,6 +46,13 @@ def validate_config(
         raise ValueError(f"seq_length {cfg.seq_length} % cp {mesh.cp} != 0")
 
 
+def train(*args, **kwargs):
+    """Alias of pretrain with resume enabled (reference api.py:74 train vs
+    :142 pretrain distinction: train resumes, pretrain starts fresh)."""
+    kwargs.setdefault("resume", True)
+    return pretrain(*args, **kwargs)
+
+
 def pretrain(
     model: GPTConfig | str,
     data,
