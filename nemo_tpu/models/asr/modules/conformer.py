@@ -344,6 +344,9 @@ class ConformerEncoder(nn.Module):
     att_impl: str = "decomposed"
     att_context_size: Any = (-1, -1)  # (left, right) frames; -1 = unlimited
     causal_downsampling: bool = False
+    interctc_layers: Any = ()  # layer indices to capture (reference InterCTC,
+    #                            conformer_encoder.py:725-736) — sown as
+    #                            intermediates['interctc_<i>']
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -386,6 +389,8 @@ class ConformerEncoder(nn.Module):
                 dtype=dtype,
                 name=f"layer{i}",
             )(x, pos_emb, pad_mask, train=train)
+            if i in tuple(self.interctc_layers):
+                self.sow("intermediates", f"interctc_{i}", jnp.transpose(x, (0, 2, 1)))
 
         x = jnp.where(pad_mask[..., None], x, 0.0)
         return jnp.transpose(x, (0, 2, 1)), length

@@ -43,6 +43,9 @@ class CTCTrainModule:
     time_masks: int = 10
     freq_width: int = 27
     time_width: float = 0.05
+    # InterCTC (reference: intermediate-layer aux CTC losses); weight λ:
+    # loss = (1-λ)·ctc + λ·mean(aux) when the encoder sows interctc captures
+    interctc_weight: float = 0.0
 
     def __post_init__(self):
         if self.optimizer is None:
@@ -75,12 +78,35 @@ class CTCTrainModule:
                 r2, feats, feat_len, self.freq_masks, self.time_masks,
                 self.freq_width, self.time_width,
             )
+        mutable = ["batch_stats"]
+        if self.interctc_weight > 0:
+            mutable = ["batch_stats", "intermediates"]
         (log_probs, enc_len), updates = m.net.apply(
             {"params": params, "batch_stats": batch_stats},
             feats, feat_len, train=True,
-            mutable=["batch_stats"], rngs={"dropout": r3},
+            mutable=mutable, rngs={"dropout": r3},
         )
         loss = ctc_loss_mean(log_probs, enc_len, batch["text"], batch["text_len"])
+        if self.interctc_weight > 0:
+            import jax.tree_util as jtu
+
+            caps = [
+                v for path, v in jtu.tree_flatten_with_path(
+                    updates.get("intermediates", {}))[0]
+                if "interctc" in jtu.keystr(path)
+            ]
+            if caps:
+                # reuse the main decoder head on intermediate activations
+                dec = {"params": params["decoder"]}
+                from nemo_tpu.models.asr.modules.conv_asr import ConvASRDecoder
+
+                head = ConvASRDecoder(feat_in=m.net.d_enc, num_classes=len(m.labels))
+                aux = 0.0
+                for c in caps:
+                    lp = head.apply(dec, c)
+                    aux = aux + ctc_loss_mean(lp, enc_len, batch["text"], batch["text_len"])
+                aux = aux / len(caps)
+                loss = (1.0 - self.interctc_weight) * loss + self.interctc_weight * aux
         return loss, updates["batch_stats"]
 
     def _step(self, state: ASRTrainState, batch, rng):

@@ -80,3 +80,37 @@ def test_ctc_training_loss_drops(toy_corpus):
     mod.sync_model(state)
     out = model.transcribe([np.zeros(8000, np.float32)])
     assert isinstance(out[0], str)
+
+
+def test_interctc_training(toy_corpus):
+    """InterCTC aux loss trains through intermediate conformer captures."""
+    from nemo_tpu.models.asr.configs import conformer_ctc
+
+    cfg = conformer_ctc("small")
+    cfg.encoder.n_layers = 2
+    cfg.encoder.d_model = 64
+    cfg.encoder.n_heads = 4
+    cfg.encoder.feat_in = 32
+    cfg.encoder.interctc_layers = [0]
+    cfg.encoder.dropout = 0.0
+    cfg.encoder.dropout_att = 0.0
+    cfg.decoder.feat_in = 64
+    cfg.preprocessor.features = 32
+    model = EncDecCTCModel(cfg)
+
+    class CharTok:
+        def text_to_ids(self, text):
+            return [model.labels.index(c) for c in text if c in model.labels]
+
+    ds = ManifestDataset(toy_corpus)
+    loader = AudioToTextLoader(ds, CharTok(), batch_size=8,
+                               duration_buckets=(1,), token_buckets=(8,))
+    mod = CTCTrainModule(model, use_spec_augment=False, interctc_weight=0.3)
+    state = mod.init_state()
+    batch = next(loader.train_batches(0))
+    losses = []
+    for i in range(4):
+        state, m = mod.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
+    assert losses[-1] < losses[0]
