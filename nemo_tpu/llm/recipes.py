@@ -94,8 +94,9 @@ def llama3_70b(**kw) -> Recipe:
 
 @register
 def mixtral_8x7b(**kw) -> Recipe:
+    """(reference recipes/mixtral_8x7b.py: TP1 EP8) — experts over the ep axis."""
     return Recipe("mixtral_8x7b", C.mixtral_8x7b(),
-                  MeshConfig(fsdp=-1).resolved_or_default(), 256, 1, **kw)
+                  MeshConfig(fsdp=-1, ep=8).resolved_or_default(), 256, 1, **kw)
 
 
 @register
@@ -162,9 +163,11 @@ def _resolved_or_default(self: MeshConfig) -> MeshConfig:
     rest = n // tp
     cp = self.cp if rest % self.cp == 0 and self.cp <= rest else 1
     rest //= cp
+    ep = self.ep if rest % self.ep == 0 and self.ep <= rest else 1
+    rest //= ep
     fsdp = rest if self.fsdp == -1 else (self.fsdp if rest % self.fsdp == 0 else 1)
-    dp = n // (tp * cp * fsdp)
-    return MeshConfig(dp=dp, fsdp=fsdp, cp=cp, tp=tp)
+    dp = n // (tp * cp * ep * fsdp)
+    return MeshConfig(dp=dp, fsdp=fsdp, cp=cp, ep=ep, tp=tp)
 
 
 MeshConfig.resolved_or_default = _resolved_or_default

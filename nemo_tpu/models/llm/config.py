@@ -53,9 +53,20 @@ class GPTConfig:
     moe_shared_expert_intermediate_size: Optional[int] = None
     moe_router_pre_softmax: bool = False
     moe_aux_loss_coeff: float = 0.0
+    # dispatch: "topk" = sort-based capacity dispatch (per-token FLOPs ∝ topk,
+    # expert-sharded over the ep mesh axis — MCore a2a token-dispatcher
+    # equivalent); "dense" = all-experts einsum (exact, no drops; debug/parity)
+    moe_dispatch: str = "topk"
+    # capacity per expert = ceil(tokens·topk/E · capacity_factor); overflow
+    # tokens are dropped (reference: MCore capacity_factor + token drop)
+    moe_capacity_factor: float = 1.25
 
     # attention backend: "xla" (einsum) | "flash" (Pallas kernel)
     attention_backend: str = "xla"
+    # context parallelism (ring attention over the 'cp' mesh axis).
+    # >1 → Attention runs shard_map'd Pallas ring-flash with zig-zag
+    # causal load balancing (reference: TE CP p2p ring, parallelisms.rst:365).
+    cp_size: int = 1
 
     # numerics / training
     init_method_std: float = 0.02

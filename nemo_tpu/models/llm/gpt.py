@@ -214,14 +214,49 @@ class Attention(nn.Module):
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
         no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
-        use_flash = (
+        S = q.shape[1]
+        use_ring = (
+            cfg.cp_size > 1
+            and no_cache
+            and kv_valid is None
+            and segment_ids is None
+            and (S // cfg.cp_size) % 128 == 0
+        )
+        if use_ring:
+            from jax.sharding import PartitionSpec as P
+
+            from nemo_tpu.ops.ring_attention import ring_flash_attention
+
+            Tl = S // cfg.cp_size
+            bq = 512 if Tl % 512 == 0 else (256 if Tl % 256 == 0 else 128)
+            pos_vec = positions[0] if positions.ndim == 2 else positions
+
+            def ring_body(qT, kT, vT, pos):
+                return ring_flash_attention(
+                    qT, kT, vT, pos, axis_name="cp", scale=float(scale),
+                    causal=True, window=cfg.window_size, block_q=bq, block_kv=bq,
+                )
+
+            spec = P(("dp", "fsdp"), "tp", "cp", None)
+            out = jax.shard_map(
+                ring_body,
+                in_specs=(spec, spec, spec, P("cp")),
+                out_specs=spec,
+                check_vma=False,  # pallas out_shape carries no vma info
+            )(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                pos_vec.astype(jnp.int32),
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3))
+        elif (
             cfg.attention_backend == "flash"
             and no_cache
             and kv_valid is None
             and segment_ids is None
             and q.shape[1] % 128 == 0
-        )
-        if use_flash:
+        ):
             from nemo_tpu.ops.flash_attention import flash_attention
 
             qT = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
@@ -299,12 +334,19 @@ class MLP(nn.Module):
 
 
 class MoEMLP(nn.Module):
-    """Top-k routed experts (reference: MCore MoE with a2a token dispatcher).
+    """Top-k routed experts (reference: MCore MoE with a2a token dispatcher,
+    SURVEY.md §2.10 EP row).
 
-    v0 strategy: dense einsum over the expert axis (every token × every
-    expert, combined by router weights) — correct and GSPMD-shardable over
-    the 'expert' logical axis; the ragged-dispatch Pallas path replaces this
-    for production MoE (SURVEY.md §2.10 EP row)."""
+    TPU-native dispatch ("topk", default): sort the (token, k) assignments by
+    expert, compute within-expert ranks, scatter into a static [E, capacity]
+    buffer (overflow dropped — MCore capacity_factor semantics), run the
+    expert GEMMs batched over the expert axis, and scatter-add the weighted
+    results back. The buffer's expert dim carries the 'expert' logical axis →
+    'ep' mesh axis, so GSPMD inserts the all-to-alls (the NCCL a2a
+    equivalent). Per-token FLOPs ∝ topk, not E.
+
+    "dense" dispatch (every token × every expert, router-weighted combine)
+    is kept for parity tests and tiny models."""
 
     cfg: GPTConfig
 
@@ -312,6 +354,7 @@ class MoEMLP(nn.Module):
     def __call__(self, x, *, train=False):
         cfg = self.cfg
         E = cfg.num_moe_experts
+        K = cfg.moe_router_topk
         ffn = cfg.moe_ffn_hidden_size or cfg.ffn_hidden_size
         dtype = x.dtype
         B, S, Dm = x.shape
@@ -324,16 +367,15 @@ class MoEMLP(nn.Module):
         )(x.astype(jnp.float32))  # [B,S,E]
         if cfg.moe_router_pre_softmax:
             probs = jax.nn.softmax(router, axis=-1)
-            top_w, top_i = jax.lax.top_k(probs, cfg.moe_router_topk)
+            top_w, top_i = jax.lax.top_k(probs, K)
         else:
-            top_l, top_i = jax.lax.top_k(router, cfg.moe_router_topk)
+            top_l, top_i = jax.lax.top_k(router, K)
             top_w = jax.nn.softmax(top_l, axis=-1)
-        one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B,S,K,E]
-        combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
 
         # aux load-balancing loss (Switch-style)
         if cfg.moe_aux_loss_coeff and train:
-            me = jnp.mean(combine, axis=(0, 1))
+            one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B,S,K,E]
+            me = jnp.mean(jnp.einsum("bske,bsk->bse", one_hot, top_w), axis=(0, 1))
             ce = jnp.mean(jax.nn.softmax(router, axis=-1), axis=(0, 1))
             aux = jnp.sum(me * ce) * E * cfg.moe_aux_loss_coeff
             self.sow("losses", "moe_aux", aux)
@@ -347,14 +389,58 @@ class MoEMLP(nn.Module):
             "w2", _init(cfg.init_method_std, ("expert", "mlp", "embed")),
             (E, ffn, Dm), _dtype(cfg.params_dtype),
         )
-        h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))
-        if cfg.gated_linear_unit:
-            gate, up = jnp.split(h, 2, axis=-1)
-            h = _act(cfg.activation)(gate) * up
+
+        def expert_ffn(h_ecd):
+            h = jnp.einsum("ecd,edf->ecf", h_ecd, w1.astype(dtype))
+            if cfg.gated_linear_unit:
+                gate, up = jnp.split(h, 2, axis=-1)
+                h = _act(cfg.activation)(gate) * up
+            else:
+                h = _act(cfg.activation)(h)
+            h = with_constraint(h, ("expert", None, "mlp"))
+            return jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
+
+        if cfg.moe_dispatch == "dense":
+            one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+            combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
+            h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))
+            if cfg.gated_linear_unit:
+                gate, up = jnp.split(h, 2, axis=-1)
+                h = _act(cfg.activation)(gate) * up
+            else:
+                h = _act(cfg.activation)(h)
+            out = jnp.einsum("bsef,efd->bsed", h, w2.astype(dtype))
+            out = jnp.einsum("bsed,bse->bsd", out, combine.astype(dtype))
         else:
-            h = _act(cfg.activation)(h)
-        out = jnp.einsum("bsef,efd->bsed", h, w2.astype(dtype))
-        out = jnp.einsum("bsed,bse->bsd", out, combine.astype(dtype))
+            N = B * S
+            xf = x.reshape(N, Dm)
+            # capacity per expert, padded to the f32 sublane tile
+            C = int(np.ceil(N * K * cfg.moe_capacity_factor / E))
+            C = max(8, -(-C // 8) * 8)
+            ef = top_i.reshape(N * K)  # expert of each (token, k) pair
+            wf = top_w.reshape(N * K).astype(dtype)
+            tok = jnp.arange(N * K, dtype=jnp.int32) // K
+            order = jnp.argsort(ef, stable=True)  # pairs grouped by expert
+            e_sorted = ef[order]
+            tok_sorted = tok[order]
+            w_sorted = wf[order]
+            # within-expert rank = index − first index of that expert
+            start = jnp.searchsorted(e_sorted, jnp.arange(E), side="left")
+            rank = jnp.arange(N * K, dtype=jnp.int32) - start[e_sorted]
+            keep = rank < C
+            # overflow pairs route to a trash slot (sliced off below)
+            slot = jnp.where(keep, e_sorted * C + rank, E * C)
+            buf = jnp.zeros((E * C + 1, Dm), dtype).at[slot].set(xf[tok_sorted])
+            buf = with_constraint(
+                buf[: E * C].reshape(E, C, Dm), ("expert", None, "act_embed")
+            )
+            y = expert_ffn(buf).reshape(E * C, Dm)
+            contrib = jnp.where(
+                keep[:, None], y[jnp.minimum(slot, E * C - 1)], 0
+            ) * w_sorted[:, None]
+            out = (
+                jnp.zeros((N, Dm), dtype).at[tok_sorted].add(contrib)
+            ).reshape(B, S, Dm)
 
         if cfg.moe_shared_expert_intermediate_size:
             out = out + MLP(cfg, ffn_size=cfg.moe_shared_expert_intermediate_size,
@@ -388,7 +474,7 @@ class TransformerLayer(nn.Module):
         else:
             mlp_out = MLP(cfg, name="mlp")(h, train=train)
         x = x + mlp_out
-        x = with_constraint(x, ("batch", "act_seq", "act_embed"))
+        x = with_constraint(x, ("batch", "act_seq_sp", "act_embed"))
         return x, kv_cache
 
 
@@ -423,7 +509,7 @@ class GPTModel(nn.Module):
                 _dtype(cfg.params_dtype),
             )
             x = x + jnp.take(pos_emb, positions, axis=0).astype(dtype)
-        x = with_constraint(x, ("batch", "act_seq", "act_embed"))
+        x = with_constraint(x, ("batch", "act_seq_sp", "act_embed"))
 
         new_caches = None
         if cfg.scan_layers:

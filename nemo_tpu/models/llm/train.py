@@ -54,9 +54,13 @@ class GPTTrainModule:
     mesh: Optional[Mesh] = None
 
     def __post_init__(self):
-        self.model = GPTModel(self.cfg)
         if self.mesh is None:
             self.mesh = make_mesh(self.mesh_cfg)
+        cp = self.mesh.shape.get("cp", 1)
+        if cp > 1 and self.cfg.cp_size != cp:
+            # auto-wire ring-attention context parallelism to the mesh
+            self.cfg = dataclasses.replace(self.cfg, cp_size=cp)
+        self.model = GPTModel(self.cfg)
         self.rules = default_axis_rules()
         if self.optimizer is None:
             sched = self.lr_schedule or (lambda step: 3e-4)
@@ -67,8 +71,14 @@ class GPTTrainModule:
         self._build()
 
     # -- init ---------------------------------------------------------------
+    def _init_tokens(self):
+        # batch dim must divide (dp, fsdp) for shard_map'd attention paths;
+        # the init forward is dead code (only params survive), XLA DCEs it.
+        b = self.mesh.shape.get("dp", 1) * self.mesh.shape.get("fsdp", 1)
+        return jnp.zeros((max(1, b), self.cfg.seq_length), jnp.int32)
+
     def _abstract_state(self):
-        tokens = jnp.zeros((1, self.cfg.seq_length), jnp.int32)
+        tokens = self._init_tokens()
 
         def init_fn(rng):
             variables = self.model.init(rng, tokens)
@@ -76,7 +86,8 @@ class GPTTrainModule:
             opt_state = self.optimizer.init(nn.meta.unbox(params))
             return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
-        return jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+        with jax.set_mesh(self.mesh):
+            return jax.eval_shape(init_fn, jax.random.PRNGKey(0))
 
     def abstract_state(self):
         """Unboxed abstract TrainState (for checkpoint restore targets)."""
@@ -91,7 +102,7 @@ class GPTTrainModule:
 
     def init_state(self, seed: int = 0) -> TrainState:
         shardings = self.state_shardings()
-        tokens = jnp.zeros((1, self.cfg.seq_length), jnp.int32)
+        tokens = self._init_tokens()
 
         def init_fn(rng):
             variables = self.model.init(rng, tokens)
@@ -109,14 +120,39 @@ class GPTTrainModule:
         model, optimizer = self.model, self.optimizer
         rules = self.rules
 
+        cfg = self.cfg
+
         def loss_fn(params, batch, rng):
+            tokens, labels = batch["tokens"], batch["labels"]
+            loss_mask = batch.get("loss_mask")
+            positions = batch.get("positions")
+            if cfg.cp_size > 1 and positions is None:
+                # zig-zag causal load balance: rank r gets chunks (r, 2cp−1−r)
+                # (reference: get_batch_on_this_cp_rank, gpt/model/base.py:110).
+                # Reorder the sequence dim in-step; masked CE is order-free.
+                from nemo_tpu.ops.ring_attention import zigzag_chunk_ids
+
+                S = tokens.shape[-1]
+                if S % (2 * cfg.cp_size) == 0:
+                    ids = zigzag_chunk_ids(cfg.cp_size).reshape(-1)
+                    clen = S // (2 * cfg.cp_size)
+                    order = np.concatenate(
+                        [np.arange(i * clen, (i + 1) * clen) for i in ids]
+                    )
+                    tokens = tokens[..., order]
+                    labels = labels[..., order]
+                    if loss_mask is not None:
+                        loss_mask = loss_mask[..., order]
+                    positions = jnp.asarray(order, jnp.int32)[None, :].repeat(
+                        tokens.shape[0], 0
+                    )
             logits = model.apply(
-                {"params": params}, batch["tokens"],
-                batch.get("positions"),
+                {"params": params}, tokens,
+                positions,
                 segment_ids=batch.get("segment_ids"),
                 train=True, rngs={"dropout": rng},
             )
-            loss, n = masked_token_loss(logits, batch["labels"], batch.get("loss_mask"))
+            loss, n = masked_token_loss(logits, labels, loss_mask)
             return loss, n
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
@@ -143,26 +179,27 @@ class GPTTrainModule:
             metrics = {"loss": loss, "grad_norm": gnorm, "step": state.step}
             return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
 
-        shardings = None  # resolved lazily at first call
-
-        def jitted(state, batch, rng):
-            return train_step(state, batch, rng)
-
         self._train_step_fn = train_step
         self._jit_cache = None
+
+    def batch_shardings(self, batch):
+        """Batch dim over (dp, fsdp); sequence dim over cp (ring attention
+        shards move data once at host→device instead of inside the step)."""
+        seq = "cp" if self.mesh.shape.get("cp", 1) > 1 else None
+
+        def spec(x):
+            if x.ndim == 3:  # [A, B, S] microbatched
+                return NamedSharding(self.mesh, P(None, ("dp", "fsdp"), seq))
+            if x.ndim == 2:  # [B, S]
+                return NamedSharding(self.mesh, P(("dp", "fsdp"), seq))
+            return NamedSharding(self.mesh, P(("dp", "fsdp")))
+
+        return jax.tree.map(spec, batch)
 
     def train_step_jit(self):
         if self._jit_cache is None:
             shardings = self.state_shardings()
-            batch_spec = NamedSharding(self.mesh, P(("dp", "fsdp")))
             rep = NamedSharding(self.mesh, P())
-
-            def bspec(x):
-                # shard dim 0 for 2-D [B,S]; dim 1 for [A,B,S] microbatched
-                if x.ndim == 3:
-                    return NamedSharding(self.mesh, P(None, ("dp", "fsdp")))
-                return batch_spec
-
             with jax.set_mesh(self.mesh):
                 self._jit_cache = jax.jit(
                     self._train_step_fn,
@@ -175,4 +212,5 @@ class GPTTrainModule:
     def train_step(self, state, batch, rng):
         step = self.train_step_jit()
         with jax.set_mesh(self.mesh):
+            batch = jax.device_put(batch, self.batch_shardings(batch))
             return step(state, batch, rng)

@@ -1,19 +1,28 @@
-"""Pallas TPU flash attention (causal, GQA, sliding-window, segment ids).
+"""Pallas TPU flash attention (causal, GQA, sliding-window) — fwd + bwd.
 
-Reference parity: TransformerEngine fused attention (the reference's
-attention backend, SURVEY.md §2.9) — reimplemented as a Pallas TPU kernel:
-online-softmax tiling in VMEM, zero HBM intermediates, causal block
-skipping, grouped-query head mapping in the BlockSpec index maps.
+Reference parity: TransformerEngine fused attention, the reference's
+attention backend for training AND its flash backward (SURVEY.md §2.9) —
+reimplemented as Pallas TPU kernels:
 
-Backward: custom_vjp that recomputes attention with the XLA einsum path —
-equivalent memory to full rematerialization (the same trade the reference
-makes with recompute + flash backward), exact gradients.
+- forward: online-softmax with KV tiled across grid steps (Pallas
+  double-buffers the KV block DMAs), so VMEM use is O(block_q·d + block_kv·d)
+  regardless of sequence length; saves the per-row logsumexp for the
+  backward. Causal/window blocks that are fully masked are skipped on both
+  compute (pl.when) and bandwidth (index-map clamping: a repeated block
+  index means Pallas re-uses the resident block instead of re-fetching).
+- backward: two kernels — dq (grid over q blocks, scan kv blocks) and a
+  fused dk/dv (grid over kv blocks, scan q heads × q blocks for GQA
+  accumulation) — recomputing p = exp(s·scale − lse) per tile. Training
+  memory is O(T) (q, k, v, o, lse residuals); no [T,T] materialization.
+
+Math (FlashAttention-2): with s̃ = s·scale, p = softmax(s̃),
+delta = rowsum(dO ∘ O):
+  dV = pᵀ dO;  dS̃ = p ∘ (dO Vᵀ − delta);  dQ = scale·dS̃ K;  dK = scale·dS̃ᵀ Q.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -25,128 +34,377 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(
-    q_ref,  # [bq, dh]
-    k_ref,  # [Tkv, dh]
-    v_ref,  # [Tkv, dh]
-    o_ref,  # [bq, dh]
+def _mask_block(s, q_start, kv_start, causal, window):
+    """Apply causal/sliding-window mask to one [bq, bkv] score tile.
+    q_start/kv_start are absolute positions of the tile origin."""
+    bq, bkv = s.shape
+    qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+    kpos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+    mask = jnp.ones((bq, bkv), jnp.bool_)
+    if causal:
+        mask = mask & (kpos <= qpos)
+    if window is not None:
+        mask = mask & (kpos > qpos - window)
+    return jnp.where(mask, s, NEG_INF)
+
+
+def _block_active(q_start, kv_start, bq, bkv, causal, window):
+    """True when the [bq, bkv] tile at (q_start, kv_start) has any
+    unmasked (q, k) pair."""
+    run = True
+    if causal:
+        run = kv_start <= q_start + bq - 1
+    if window is not None:
+        run = jnp.logical_and(run, kv_start + bkv - 1 > q_start - window)
+    return run
+
+
+def _needs_mask(q_start, kv_start, bq, bkv, causal, window):
+    """True when the tile is only PARTIALLY unmasked (boundary tile)."""
+    need = False
+    if causal:
+        need = kv_start + bkv - 1 > q_start
+    if window is not None:
+        need = jnp.logical_or(need, kv_start <= q_start + bq - 1 - window)
+    return need
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref,  # [1, 1, bq, d]
+    k_ref,  # [1, 1, bkv, d]
+    v_ref,  # [1, 1, bkv, dv]
+    o_ref,  # [1, 1, bq, dv]
+    lse_ref,  # [1, 1, bq, 1]
+    m_scr,  # VMEM [bq, 1] f32
+    l_scr,  # VMEM [bq, 1] f32
+    acc_scr,  # VMEM [bq, dv] f32
     *,
     scale: float,
-    block_kv: int,
     causal: bool,
     window: Optional[int],
-    q_offset_blocks: int,
-):
-    bq = q_ref.shape[-2]
-    dv = v_ref.shape[-1]
-    Tkv = k_ref.shape[-2]
-    i = pl.program_id(2)  # query block index
-
-    q = q_ref[0, 0]  # keep input dtype (bf16): MXU-native, fp32 accumulate
-
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, dv), jnp.float32)
-
-    n_kv = Tkv // block_kv
-    # causal: only kv blocks whose start <= last query position
-    q_start = (i + q_offset_blocks) * bq
-
-    def body(j, carry):
-        m, l, acc = carry
-        kv_start = j * block_kv
-        k_blk = k_ref[0, 0, pl.ds(kv_start, block_kv), :]
-        v_blk = v_ref[0, 0, pl.ds(kv_start, block_kv), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, block_kv] fp32 accumulators
-
-        def masked(s):
-            qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0)
-            kpos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
-            mask = jnp.ones((bq, block_kv), jnp.bool_)
-            if causal:
-                mask = mask & (kpos <= qpos)
-            if window is not None:
-                mask = mask & (kpos > qpos - window)
-            return jnp.where(mask, s, NEG_INF)
-
-        if causal or window is not None:
-            # mask only boundary blocks; interior blocks skip the VPU work
-            on_diag = (kv_start + block_kv - 1) > q_start
-            near_win = (
-                (kv_start <= q_start + bq - 1 - (window or 0) + block_kv)
-                if window is not None
-                else False
-            )
-            s = jax.lax.cond(on_diag | near_win if window is not None else on_diag,
-                             masked, lambda s: s, s)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    if causal:
-        upper = jnp.minimum((q_start + bq + block_kv - 1) // block_kv, n_kv)
-    else:
-        upper = n_kv
-    lower = 0
-    if window is not None:
-        lower = jnp.maximum((q_start - window) // block_kv, 0)
-    m, l, acc = jax.lax.fori_loop(lower, upper, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
-def _flash_forward(
-    q: jnp.ndarray,  # [B, H, Tq, dh]
-    k: jnp.ndarray,  # [B, G, Tkv, dh]
-    v: jnp.ndarray,
-    scale: float,
-    causal: bool,
-    window: Optional[int],
+    q_offset: int,
+    n_kv: int,
     block_q: int,
     block_kv: int,
-    q_offset: int,
-) -> jnp.ndarray:
-    B, H, Tq, dh = q.shape
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    q_start = i * block_q + q_offset
+    kv_start = j * block_kv
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(_block_active(q_start, kv_start, block_q, block_kv, causal, window))
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if causal or window is not None:
+            s = jax.lax.cond(
+                _needs_mask(q_start, kv_start, block_q, block_kv, causal, window),
+                lambda s: _mask_block(s, q_start, kv_start, causal, window),
+                lambda s: s,
+                s,
+            )
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[:] = m_new
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l)).astype(jnp.float32)
+
+
+def _kv_index_map(causal, window, bq, bkv, q_offset, n_kv):
+    """Clamp the kv block index so fully-masked steps repeat the previous
+    index — Pallas skips the DMA for an unchanged block."""
+
+    def index_map(b, h, i, j, *, G, H):
+        q_start = i * bq + q_offset
+        jj = j
+        if causal:
+            j_max = jnp.minimum((q_start + bq - 1) // bkv, n_kv - 1)
+            jj = jnp.minimum(jj, j_max)
+        if window is not None:
+            j_min = jnp.maximum(q_start - window + 1, 0) // bkv
+            jj = jnp.maximum(jj, j_min)
+        return (b, h * G // H, jj, 0)
+
+    return index_map
+
+
+def _flash_forward(q, k, v, scale, causal, window, block_q, block_kv, q_offset):
+    B, H, Tq, d = q.shape
     G, Tkv = k.shape[1], k.shape[2]
     dv = v.shape[-1]
     bq = min(block_q, Tq)
     bkv = min(block_kv, Tkv)
     assert Tq % bq == 0 and Tkv % bkv == 0, (Tq, bq, Tkv, bkv)
     assert q_offset % bq == 0 or q_offset == 0
+    n_q, n_kv = Tq // bq, Tkv // bkv
 
-    kernel = functools.partial(
-        _flash_kernel,
-        scale=scale,
-        block_kv=bkv,
-        causal=causal,
-        window=window,
-        q_offset_blocks=q_offset // bq,
+    kern = functools.partial(
+        _fwd_kernel,
+        scale=scale, causal=causal, window=window, q_offset=q_offset,
+        n_kv=n_kv, block_q=bq, block_kv=bkv,
     )
-    grid = (B, H, Tq // bq)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, Tq, dv), q.dtype),
-        grid=grid,
+    kv_map = functools.partial(
+        _kv_index_map(causal, window, bq, bkv, q_offset, n_kv), G=G, H=H
+    )
+    out, lse = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tq, dv), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+        ),
+        grid=(B, H, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tkv, dh), lambda b, h, i: (b, h * G // H, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tkv, dv), lambda b, h, i: (b, h * G // H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv), kv_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, dv), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, dv), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * B * H * Tq * Tkv * dh * (0.5 if causal else 1.0)),
+            flops=int(4 * B * H * Tq * Tkv * d * (0.5 if causal else 1.0)),
             bytes_accessed=int((q.size + k.size + v.size + q.size) * q.dtype.itemsize),
-            transcendentals=int(B * H * Tq * Tkv),
+            transcendentals=int(B * H * Tq * Tkv * (0.5 if causal else 1.0)),
         ),
     )(q, k, v)
+    return out, lse
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale, causal, window, q_offset, n_kv, block_q, block_kv,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    q_start = i * block_q + q_offset
+    kv_start = j * block_kv
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(_block_active(q_start, kv_start, block_q, block_kv, causal, window))
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]  # [bq, 1]
+        delta = delta_ref[0, 0]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if causal or window is not None:
+            s = _mask_block(s, q_start, kv_start, causal, window)
+        p = jnp.exp(s - lse)  # [bq, bkv]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale, causal, window, q_offset, n_q, rep, block_q, block_kv,
+):
+    j = pl.program_id(2)   # kv block
+    r = pl.program_id(3)   # query-head-in-group (GQA)
+    i = pl.program_id(4)   # q block
+    q_start = i * block_q + q_offset
+    kv_start = j * block_kv
+
+    @pl.when(jnp.logical_and(r == 0, i == 0))
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(_block_active(q_start, kv_start, block_q, block_kv, causal, window))
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]  # [bq, 1]
+        delta = delta_ref[0, 0]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if causal or window is not None:
+            s = _mask_block(s, q_start, kv_start, causal, window)
+        p = jnp.exp(s - lse)  # [bq, bkv]
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale  # [bq, bkv]
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_and(r == pl.num_programs(3) - 1, i == n_q - 1))
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, scale, causal, window, block_q, block_kv, q_offset):
+    B, H, Tq, d = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    dv_dim = v.shape[-1]
+    rep = H // G
+    bq = min(block_q, Tq)
+    bkv = min(block_kv, Tkv)
+    n_q, n_kv = Tq // bq, Tkv // bkv
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # [B,H,Tq,1]
+
+    # ---- dq: grid (B, H, n_q, n_kv) ----
+    kv_map = functools.partial(
+        _kv_index_map(causal, window, bq, bkv, q_offset, n_kv), G=G, H=H
+    )
+    q_map = lambda b, h, i, j: (b, h, i, 0)
+    row_map = lambda b, h, i, j: (b, h, i, 0)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, causal=causal, window=window,
+            q_offset=q_offset, n_kv=n_kv, block_q=bq, block_kv=bkv,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * B * H * Tq * Tkv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int(2 * (q.size + k.size + v.size) * q.dtype.itemsize),
+            transcendentals=int(B * H * Tq * Tkv * (0.5 if causal else 1.0)),
+        ),
+    )(q, k, v, g, lse, delta)
+
+    # ---- dk/dv fused: grid (B, G, n_kv, rep, n_q) ----
+    def q_map_kv(b, gh, j, r, i):
+        ii = i
+        kv_start = j * bkv
+        if causal:
+            i_min = jnp.maximum(kv_start - q_offset, 0) // bq
+            ii = jnp.maximum(ii, i_min)
+        if window is not None:
+            i_max = jnp.minimum(
+                jnp.maximum(kv_start + bkv - 1 + window - 1 - q_offset, 0) // bq,
+                n_q - 1,
+            )
+            ii = jnp.minimum(ii, i_max)
+        return (b, gh * rep + r, ii, 0)
+
+    def row_map_kv(b, gh, j, r, i):
+        b_, h_, i_, _ = q_map_kv(b, gh, j, r, i)
+        return (b_, h_, i_, 0)
+
+    kv_map2 = lambda b, gh, j, r, i: (b, gh, j, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, causal=causal, window=window,
+            q_offset=q_offset, n_q=n_q, rep=rep, block_q=bq, block_kv=bkv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(B, G, n_kv, rep, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map_kv, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * B * H * Tq * Tkv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int(2 * (q.size + k.size + v.size) * q.dtype.itemsize),
+            transcendentals=int(B * H * Tq * Tkv * (0.5 if causal else 1.0)),
+        ),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# public API (custom_vjp)
+# --------------------------------------------------------------------------
 
 
 def _xla_reference(q, k, v, scale, causal, window, q_offset):
@@ -168,9 +426,7 @@ def _xla_reference(q, k, v, scale, causal, window, q_offset):
     return o.reshape(B, H, Tq, dh)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(
     q, k, v,
     scale: float = 1.0,
@@ -181,22 +437,354 @@ def flash_attention(
     q_offset: int = 0,
 ):
     """[B,H,Tq,dh] × [B,G,Tkv,dh]² → [B,H,Tq,dh]; GQA when G<H."""
-    return _flash_forward(q, k, v, scale, causal, window, block_q, block_kv, q_offset)
+    out, _ = _flash_forward(q, k, v, scale, causal, window, block_q, block_kv, q_offset)
+    return out
 
 
 def _fwd(q, k, v, scale, causal, window, block_q, block_kv, q_offset):
-    out = _flash_forward(q, k, v, scale, causal, window, block_q, block_kv, q_offset)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, causal, window, block_q, block_kv, q_offset)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, causal, window, block_q, block_kv, q_offset, res, g):
-    q, k, v = res
-    # recompute-based exact backward through the XLA formulation
-    def f(q, k, v):
-        return _xla_reference(q, k, v, scale, causal, window, q_offset)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, lse, g, scale, causal, window, block_q, block_kv, q_offset
+    )
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# position-aware variant (ring/context-parallel building block)
+#
+# Masks from explicit per-token position vectors instead of block offsets,
+# so arbitrary (e.g. zig-zag load-balanced) sequence chunk layouts work.
+# Returns (o, lse) so partial attentions can be merged online across ring
+# steps; the backward accepts a cotangent for lse (dS̃ += g_lse ∘ p, folded
+# into delta' = delta − g_lse).
+# --------------------------------------------------------------------------
+
+
+def _pos_mask(s, qp, kp, causal, window):
+    """qp: [bq,1] i32; kp: [1,bkv] i32; s: [bq,bkv] f32."""
+    mask = jnp.ones(s.shape, jnp.bool_)
+    if causal:
+        mask = mask & (kp <= qp)
+    if window is not None:
+        mask = mask & (kp > qp - window)
+    return jnp.where(mask, s, NEG_INF)
+
+
+def _pos_active(qp, kp, causal, window):
+    run = True
+    if causal:
+        run = jnp.min(kp) <= jnp.max(qp)
+    if window is not None:
+        run = jnp.logical_and(run, jnp.max(kp) > jnp.min(qp) - window)
+    return run
+
+
+def _fwd_pos_kernel(
+    q_ref, k_ref, v_ref, qpos_ref, kpos_ref, o_ref, lse_ref,
+    m_scr, l_scr, acc_scr, *, scale, causal, window, n_kv,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qp = qpos_ref[:]  # [bq, 1]
+    kp = kpos_ref[:]  # [1, bkv]
+
+    @pl.when(_pos_active(qp, kp, causal, window))
+    def _step():
+        q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = _pos_mask(s, qp, kp, causal, window)
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[:] = m_new
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        # fully-masked rows: lse = -inf surrogate (NEG_INF) so merging ignores
+        lse_ref[0, 0] = jnp.where(
+            m_scr[:] <= NEG_INF / 2, NEG_INF, m_scr[:] + jnp.log(l)
+        ).astype(jnp.float32)
+
+
+def _dq_pos_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qpos_ref, kpos_ref,
+    dq_ref, dq_scr, *, scale, causal, window, n_kv,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qp = qpos_ref[:]
+    kp = kpos_ref[:]
+
+    @pl.when(_pos_active(qp, kp, causal, window))
+    def _step():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, delta = lse_ref[0, 0], delta_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = _pos_mask(s, qp, kp, causal, window)
+        # rows with lse == NEG_INF attended nothing: force p = 0 there
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_pos_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qpos_ref, kpos_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, window, n_q,
+):
+    r = pl.program_id(3)
+    i = pl.program_id(4)
+
+    @pl.when(jnp.logical_and(r == 0, i == 0))
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qp = qpos_ref[:]
+    kp = kpos_ref[:]
+
+    @pl.when(_pos_active(qp, kp, causal, window))
+    def _step():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, delta = lse_ref[0, 0], delta_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = _pos_mask(s, qp, kp, causal, window)
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_and(r == pl.num_programs(3) - 1, i == n_q - 1))
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _pos_operands(qpos, kpos):
+    """qpos [Tq] i32 → [Tq,1]; kpos [Tkv] i32 → [1,Tkv]."""
+    return qpos.astype(jnp.int32)[:, None], kpos.astype(jnp.int32)[None, :]
+
+
+def _flash_forward_pos(q, k, v, qpos, kpos, scale, causal, window, block_q, block_kv):
+    B, H, Tq, d = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    dv = v.shape[-1]
+    bq, bkv = min(block_q, Tq), min(block_kv, Tkv)
+    assert Tq % bq == 0 and Tkv % bkv == 0
+    n_q, n_kv = Tq // bq, Tkv // bkv
+    qp2, kp2 = _pos_operands(qpos, kpos)
+
+    q_map = lambda b, h, i, j: (b, h, i, 0)
+    kv_map = lambda b, h, i, j: (b, h * G // H, j, 0)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_pos_kernel, scale=scale, causal=causal, window=window, n_kv=n_kv
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tq, dv), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+        ),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda b, h, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv), lambda b, h, i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, dv), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * H * Tq * Tkv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int((2 * q.size + k.size + v.size) * q.dtype.itemsize),
+            transcendentals=int(B * H * Tq * Tkv * (0.5 if causal else 1.0)),
+        ),
+    )(q, k, v, qp2, kp2)
+    return out, lse
+
+
+def _flash_backward_pos(q, k, v, o, lse, qpos, kpos, g, g_lse,
+                        scale, causal, window, block_q, block_kv):
+    B, H, Tq, d = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    dv_dim = v.shape[-1]
+    rep = H // G
+    bq, bkv = min(block_q, Tq), min(block_kv, Tkv)
+    n_q, n_kv = Tq // bq, Tkv // bkv
+    qp2, kp2 = _pos_operands(qpos, kpos)
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if g_lse is not None:
+        delta = delta - g_lse.astype(jnp.float32)
+
+    q_map = lambda b, h, i, j: (b, h, i, 0)
+    kv_map = lambda b, h, i, j: (b, h * G // H, j, 0)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_pos_kernel, scale=scale, causal=causal, window=window, n_kv=n_kv
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda b, h, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv), lambda b, h, i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(q, k, v, g, lse, delta, qp2, kp2)
+
+    q_map_kv = lambda b, gh, j, r, i: (b, gh * rep + r, i, 0)
+    kv_map2 = lambda b, gh, j, r, i: (b, gh, j, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_pos_kernel, scale=scale, causal=causal, window=window, n_q=n_q
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(B, G, n_kv, rep, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda b, gh, j, r, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv), lambda b, gh, j, r, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+    )(q, k, v, g, lse, delta, qp2, kp2)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def flash_attention_positions(
+    q, k, v, qpos, kpos,
+    scale: float = 1.0,
+    causal: bool = True,
+    window: Optional[int] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+):
+    """Flash attention with explicit position vectors; returns (o, lse).
+
+    qpos: [Tq] i32 global positions of the query rows; kpos: [Tkv] i32 of
+    the key rows. Rows whose positions attend nothing get o=0, lse=NEG_INF
+    (safe for online merging across ring steps)."""
+    return _flash_forward_pos(q, k, v, qpos, kpos, scale, causal, window, block_q, block_kv)
+
+
+def _pos_fwd(q, k, v, qpos, kpos, scale, causal, window, block_q, block_kv):
+    out, lse = _flash_forward_pos(q, k, v, qpos, kpos, scale, causal, window, block_q, block_kv)
+    return (out, lse), (q, k, v, out, lse, qpos, kpos)
+
+
+def _pos_bwd(scale, causal, window, block_q, block_kv, res, cts):
+    q, k, v, o, lse, qpos, kpos = res
+    g, g_lse = cts
+    dq, dk, dv = _flash_backward_pos(
+        q, k, v, o, lse, qpos, kpos, g, g_lse, scale, causal, window, block_q, block_kv
+    )
+    return dq, dk, dv, None, None
+
+
+flash_attention_positions.defvjp(_pos_fwd, _pos_bwd)
+
+
+def xla_attention_positions(q, k, v, qpos, kpos, scale=1.0, causal=True, window=None):
+    """XLA (einsum) counterpart of flash_attention_positions → (o, lse).
+    Used as the ring-attention inner on backends without Pallas (CPU tests)
+    and as the parity reference. O(T²) memory — small shapes only."""
+    B, H, Tq, dh = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    rep = H // G
+    qg = q.reshape(B, G, rep, Tq, dh)
+    s = jnp.einsum("bgrid,bgjd->bgrij", qg, k, preferred_element_type=jnp.float32) * scale
+    mask = jnp.ones((Tq, Tkv), bool)
+    if causal:
+        mask = mask & (kpos[None, :] <= qpos[:, None])
+    if window is not None:
+        mask = mask & (kpos[None, :] > qpos[:, None] - window)
+    s = jnp.where(mask[None, None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    msafe = jnp.maximum(m, NEG_INF / 2)
+    p = jnp.exp(s - msafe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bgrij,bgjd->bgrid", (p / jnp.maximum(l, 1e-30)).astype(v.dtype), v)
+    lse = jnp.where(m <= NEG_INF / 2, NEG_INF, msafe + jnp.log(jnp.maximum(l, 1e-30)))
+    return (
+        o.reshape(B, H, Tq, dh).astype(q.dtype),
+        lse.reshape(B, H, Tq, 1),
+    )

@@ -115,3 +115,62 @@ def zigzag_unshard(x: jnp.ndarray, cp: int, seq_axis: int = 1) -> jnp.ndarray:
     inv = np.argsort(ids)
     chunks = jnp.split(x, 2 * cp, axis=seq_axis)
     return jnp.concatenate([chunks[i] for i in inv], axis=seq_axis)
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,  # [B, H, Tl, dh] local query shard
+    k: jnp.ndarray,  # [B, G, Tl, dh] local key shard
+    v: jnp.ndarray,
+    qpos: jnp.ndarray,  # [Tl] i32 global positions of local rows
+    *,
+    axis_name: str = "cp",
+    scale: float = 1.0,
+    causal: bool = True,
+    window: int | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Ring attention with the Pallas flash kernel as the per-step block
+    compute: O(block) VMEM and O(Tl) HBM per step, exact online-softmax
+    merging of (o, lse) partials across ring steps. Run inside shard_map
+    with the sequence dim sharded over `axis_name`; `qpos` carries global
+    positions so zig-zag (causal load-balanced) layouts mask correctly
+    (reference: TE CP p2p ring + get_batch_on_this_cp_rank,
+    gpt/model/base.py:110)."""
+    from nemo_tpu.ops.flash_attention import (
+        NEG_INF,
+        flash_attention_positions,
+        xla_attention_positions,
+    )
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    cp = jax.lax.axis_size(axis_name)
+    B, H, Tl, dh = q.shape
+    perm = [(j, (j + 1) % cp) for j in range(cp)]
+
+    def step(carry, _):
+        o, lse, k_i, v_i, kpos_i = carry
+        if use_pallas:
+            o_i, lse_i = flash_attention_positions(
+                q, k_i, v_i, qpos, kpos_i, scale, causal, window, block_q, block_kv
+            )
+        else:
+            o_i, lse_i = xla_attention_positions(
+                q, k_i, v_i, qpos, kpos_i, scale, causal, window
+            )
+        o_i = o_i.astype(jnp.float32)
+        lse_new = jnp.logaddexp(lse, lse_i)
+        w_prev = jnp.exp(lse - lse_new)
+        w_new = jnp.exp(lse_i - lse_new)
+        o = o * w_prev + o_i * w_new
+        k_n = jax.lax.ppermute(k_i, axis_name, perm)
+        v_n = jax.lax.ppermute(v_i, axis_name, perm)
+        kpos_n = jax.lax.ppermute(kpos_i, axis_name, perm)
+        return (o, lse_new, k_n, v_n, kpos_n), None
+
+    o0 = jax.lax.pvary(jnp.zeros((B, H, Tl, dh), jnp.float32), axis_name)
+    lse0 = jax.lax.pvary(jnp.full((B, H, Tl, 1), NEG_INF, jnp.float32), axis_name)
+    (o, lse, *_), _ = jax.lax.scan(step, (o0, lse0, k, v, qpos), None, length=cp)
+    return o.astype(q.dtype)

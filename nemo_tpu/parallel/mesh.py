@@ -36,29 +36,32 @@ class MeshConfig:
     dp: int = -1
     fsdp: int = 1
     cp: int = 1
+    ep: int = 1
     tp: int = 1
 
     def resolved(self, n_devices: int) -> "MeshConfig":
-        known = self.fsdp * self.cp * self.tp
+        known = self.fsdp * self.cp * self.ep * self.tp
         dp = self.dp
         if dp == -1:
             if n_devices % known:
-                raise ValueError(f"{n_devices} devices not divisible by fsdp*cp*tp={known}")
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fsdp*cp*ep*tp={known}"
+                )
             dp = n_devices // known
         if dp * known != n_devices:
             raise ValueError(
-                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.tp} != {n_devices} devices"
+                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.ep}x{self.tp} != {n_devices} devices"
             )
         return dataclasses.replace(self, dp=dp)
 
 
-AXIS_NAMES = ("dp", "fsdp", "cp", "tp")
+AXIS_NAMES = ("dp", "fsdp", "cp", "ep", "tp")
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = cfg.resolved(len(devices))
-    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.tp)
+    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
     return Mesh(arr, AXIS_NAMES)
 
 
@@ -67,21 +70,28 @@ def default_axis_rules(sequence_parallel: bool = True):
 
     TP maps heads/mlp/vocab (Megatron column/row parallel equivalents);
     FSDP shards the embed dim of every weight; activations shard batch over
-    (dp, fsdp) and sequence over cp (+ tp when sequence_parallel, the
-    Megatron-SP analog for LN/dropout activations).
+    (dp, fsdp) and sequence over cp. `act_seq_sp` is the RESIDUAL-stream
+    sequence axis (between blocks / at norms): with sequence_parallel it
+    also shards over tp — the Megatron-SP analog (`sequence_parallel`,
+    megatron_strategy.py:247) — and XLA inserts the all-gather before the
+    qkv/fc1 GEMMs and the reduce-scatter after o_proj/fc2. `act_seq` (used
+    on attention-internal tensors, which shard heads over tp) stays on cp
+    only. `qkv` maps to None on purpose: its sibling dims (heads/kv_heads)
+    already take tp, and flax forbids reusing a mesh axis within one array.
     """
     return (
         ("batch", ("dp", "fsdp")),
         ("act_seq", "cp"),
+        ("act_seq_sp", ("cp", "tp") if sequence_parallel else ("cp",)),
         ("act_embed", None),
         ("embed", "fsdp"),
         ("vocab", "tp"),
         ("heads", "tp"),
         ("kv_heads", "tp"),
         ("mlp", "tp"),
-        ("qkv", "tp"),
+        ("qkv", None),
         ("layers", None),
-        ("expert", "tp"),
+        ("expert", "ep"),
     )
 
 

@@ -33,16 +33,38 @@ def test_flash_gradients_match():
     scale = 1.0 / np.sqrt(64)
 
     def f_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v, scale, True, None, 64, 64, 0) ** 2)
+        return jnp.sum(flash_attention(q, k, v, scale, True, None, 64, 64, 0) ** 2)
 
     def f_ref(q, k, v):
         return jnp.sum(_xla_reference(q, k, v, scale, True, None, 0) ** 2)
 
-    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("causal,window,G", [(True, None, 4), (True, 64, 2), (False, None, 2)])
+def test_flash_backward_pallas_kernels(causal, window, G):
+    """dq/dk/dv Pallas kernels vs XLA autodiff (GQA, window, non-causal)."""
+    q, k, v = _mk(B=2, H=4, G=G, T=256, dh=64, seed=3)
+    scale = 1.0 / np.sqrt(64)
+    g = jnp.asarray(np.random.RandomState(7).randn(*q.shape).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return flash_attention(q, k, v, scale, causal, window, 128, 128, 0)
+
+    def f_ref(q, k, v):
+        return _xla_reference(q, k, v, scale, causal, window, 0)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(f_flash, q, k, v)
+        got = vjp(g)
+    _, vjp_ref = jax.vjp(f_ref, q, k, v)
+    want = vjp_ref(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
 
 def test_gpt_flash_backend_matches_xla():

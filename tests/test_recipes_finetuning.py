@@ -19,7 +19,7 @@ def test_all_recipes_build_configs():
         assert r.model.num_layers > 0
         mesh = r.mesh
         n = jax.device_count()
-        assert mesh.dp * mesh.fsdp * mesh.cp * mesh.tp == n, (name, mesh)
+        assert mesh.dp * mesh.fsdp * mesh.cp * mesh.ep * mesh.tp == n, (name, mesh)
         sched = r.lr_schedule()
         assert float(sched(0)) >= 0
 
