@@ -38,24 +38,44 @@ class CheckpointIO:
         *,
         keep_top_k: int = 3,
         async_save: bool = True,
+        monitor: Optional[str] = None,
+        mode: str = "min",
     ):
+        """`monitor` enables metric-based top-k retention (reference
+        ModelCheckpoint semantics, callbacks/model_checkpoint.py): keep the
+        k checkpoints with the best `monitor` value (`mode` min/max) plus
+        the newest '-last'. Without `monitor`, keeps the newest k."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.keep_top_k = keep_top_k
+        self.monitor = monitor
+        self.mode = mode
         self.ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) if async_save else ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
     # -- save ---------------------------------------------------------------
-    def save(self, state: Any, step: int, context: Optional[Dict] = None) -> str:
+    def save(self, state: Any, step: int, context: Optional[Dict] = None,
+             metrics: Optional[Dict] = None) -> str:
         path = os.path.join(self.directory, f"step={step}-last")
         self.ckptr.save(os.path.join(path, "weights"), state, force=True)
         if context is not None:
             os.makedirs(os.path.join(path, "context"), exist_ok=True)
             with open(os.path.join(path, "context", "config.json"), "w") as f:
                 json.dump(context, f, indent=2, default=str)
+        if metrics is not None:
+            with open(os.path.join(path, "metrics.json"), "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()}, f)
         self._relink_last(step)
         self._prune()
         logging.info(f"Saved checkpoint step={step} → {path}")
         return path
+
+    def _metric_of(self, step: int) -> Optional[float]:
+        for suffix in ("-last", ""):
+            p = os.path.join(self.directory, f"step={step}{suffix}", "metrics.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f).get(self.monitor)
+        return None
 
     def wait(self):
         if hasattr(self.ckptr, "wait_until_finished"):
@@ -76,8 +96,22 @@ class CheckpointIO:
             for n in os.listdir(self.directory)
             if _STEP_RE.match(n)
         )
-        while len(steps) > self.keep_top_k:
-            victim = steps.pop(0)
+        if len(steps) <= self.keep_top_k:
+            return
+        newest = steps[-1]
+        if self.monitor is not None:
+            # metric-based: always keep the newest (resume anchor) + the
+            # best (k-1) by metric; steps without a metric rank worst
+            sign = 1.0 if self.mode == "min" else -1.0
+            rest = steps[:-1]
+            rest.sort(key=lambda st: (
+                (m := self._metric_of(st)) is None, sign * (m or 0.0)
+            ))
+            keep = {newest} | set(rest[: max(0, self.keep_top_k - 1)])
+            victims = [st for st in steps if st not in keep]
+        else:
+            victims = steps[: len(steps) - self.keep_top_k]
+        for victim in victims:
             for suffix in ("", "-last"):
                 p = os.path.join(self.directory, f"step={victim}{suffix}")
                 if os.path.exists(p):

@@ -53,6 +53,7 @@ class Trainer:
         self.module = None
         self.state = None
         self.global_step = 0
+        self._last_metrics: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
     def _emit(self, event: str, *args):
@@ -65,11 +66,15 @@ class Trainer:
         context = getattr(self.module, "context", None)
         if callable(context):
             context = context()
-        path = self.ckpt_io.save(self.state, step, context=context)
+        path = self.ckpt_io.save(
+            self.state, step, context=context, metrics=self._last_metrics
+        )
         self._emit("on_checkpoint", step, path)
 
     # ------------------------------------------------------------------
-    def fit(self, module, datamodule) -> Dict[str, Any]:
+    def fit(self, module, datamodule, initial_state=None) -> Dict[str, Any]:
+        """`initial_state` seeds the loop with pre-built state (finetuning
+        from imported weights); an AutoResume restore still wins over it."""
         self.module = module
         start_step = 0
         self.state = None
@@ -84,7 +89,7 @@ class Trainer:
                 self.state = restored
                 start_step = int(step)
         if self.state is None:
-            self.state = module.init_state()
+            self.state = initial_state if initial_state is not None else module.init_state()
 
         rng = jax.random.PRNGKey(self.seed)
         self._emit("on_train_start")
@@ -101,6 +106,9 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             self.state, metrics = module.train_step(self.state, batch, sub)
             metrics = dict(metrics)
+            self._last_metrics = {
+                k: v for k, v in metrics.items() if k in ("loss", "grad_norm")
+            }
             self._emit("on_step_end", step, metrics)
             if self.logger is not None:
                 self.logger.log(step, metrics)

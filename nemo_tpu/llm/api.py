@@ -106,24 +106,12 @@ def finetune(
         state = state.replace(params=_cast_like(params, state.params, module))
     if trainer is None:
         ckpt_io = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
-        trainer = Trainer(max_steps=max_steps, ckpt_io=ckpt_io)
-    trainer.state = state
-    # run loop manually from existing state
-    trainer.module = module
-    import jax
-
-    rng = jax.random.PRNGKey(0)
-    batches = data.train_batches(0)
-    metrics = {}
-    trainer._emit("on_train_start")
-    for step in range(max_steps):
-        batch = next(batches)
-        trainer._emit("on_step_start", step)
-        rng, sub = jax.random.split(rng)
-        trainer.state, metrics = module.train_step(trainer.state, batch, sub)
-        metrics = dict(metrics)
-        trainer._emit("on_step_end", step, metrics)
-    trainer._emit("on_train_end")
+        trainer = Trainer(
+            max_steps=max_steps, ckpt_io=ckpt_io,
+            resume=AutoResume() if ckpt_io else None,
+        )
+    # full Trainer loop: callbacks, validation, checkpointing, auto-resume
+    metrics = trainer.fit(module, data, initial_state=state)
     return module, trainer.state, metrics
 
 

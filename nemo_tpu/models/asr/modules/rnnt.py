@@ -177,3 +177,194 @@ def rnnt_greedy_decode(
         frame_step, (pred_out0, state0, counts0, buf0), jnp.arange(T)
     )
     return buf, counts
+
+
+def rnnt_greedy_decode_label_looping(
+    joint_logits_fn,
+    pred_step_fn,
+    initial_state,
+    enc: jnp.ndarray,  # [B, T, H_e]
+    enc_len: jnp.ndarray,  # [B]
+    blank: int,
+    max_symbols: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Label-looping batched greedy decode (the reference's fast path:
+    GreedyBatchedRNNTLabelLoopingComputer,
+    `transducer_decoding/rnnt_label_looping.py:172`).
+
+    One joint evaluation per loop iteration for the WHOLE batch; utterances
+    that emit blank advance their frame pointer, emitters advance the
+    prediction net — so total iterations ≈ max_b(T_b + U_b) instead of the
+    frame-loop's T·max_symbols. Token-exact vs `rnnt_greedy_decode`.
+
+    Returns (tokens [B, T*max_symbols] padded with -1, counts [B]).
+    """
+    B, T, _ = enc.shape
+    max_total = T * max_symbols
+    buf0 = jnp.full((B, max_total), -1, jnp.int32)
+
+    pred_out0, state0 = pred_step_fn(jnp.full((B,), -1, jnp.int32), initial_state)
+    iters_cap = T * (max_symbols + 1) + 1
+
+    def cond(c):
+        t, *_ , it = c
+        return jnp.any(t < enc_len) & (it < iters_cap)
+
+    def body(c):
+        t, counts, sym_count, buf, pred_out, state, it = c
+        t_c = jnp.minimum(t, T - 1)
+        enc_t = jnp.take_along_axis(
+            enc, t_c[:, None, None].repeat(enc.shape[2], 2), axis=1
+        )[:, 0]  # [B, H]
+        logits = joint_logits_fn(enc_t, pred_out)  # [B, V+1]
+        k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        active = t < enc_len
+        force_blank = sym_count >= max_symbols
+        is_blank = (k == blank) | force_blank
+        emit = active & ~is_blank
+        buf = buf.at[jnp.arange(B), counts].set(
+            jnp.where(emit, k, buf[jnp.arange(B), counts])
+        )
+        counts = counts + emit.astype(jnp.int32)
+        new_out, new_state = pred_step_fn(jnp.where(emit, k, 0), state)
+        pred_out = jnp.where(emit[:, None], new_out, pred_out)
+        state = jax.tree.map(
+            lambda n, o: jnp.where(emit[:, None], n, o), new_state, state
+        )
+        advance = active & is_blank
+        t = t + advance.astype(jnp.int32)
+        sym_count = jnp.where(advance, 0, sym_count + emit.astype(jnp.int32))
+        return (t, counts, sym_count, buf, pred_out, state, it + 1)
+
+    t0 = jnp.zeros(B, jnp.int32)
+    counts0 = jnp.zeros(B, jnp.int32)
+    sym0 = jnp.zeros(B, jnp.int32)
+    out = jax.lax.while_loop(
+        cond, body, (t0, counts0, sym0, buf0, pred_out0, state0, 0)
+    )
+    return out[3], out[1]
+
+
+def rnnt_beam_decode(
+    joint_logits_fn,
+    pred_step_fn,
+    initial_state,
+    enc: jnp.ndarray,  # [B, T, H_e]
+    enc_len: jnp.ndarray,  # [B]
+    blank: int,
+    beam_size: int = 4,
+    max_symbols: int = 10,
+    max_tokens: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched alignment-length-synchronous beam search, fully on-device
+    (reference: mALSD `rnnt_malsd_batched_computer.py` / beam
+    `rnnt_beam_decoding.py` — the CUDA-graph batched beam family).
+
+    All hypotheses across the batch step in lockstep: each iteration does one
+    batched joint over [B·N] (N = beam), expands to N·(V+1) candidates,
+    keeps the global top-N per utterance (gathering parent token buffers and
+    prediction-net states), where a blank candidate advances its frame
+    pointer. Finished hypotheses (t ≥ enc_len) only admit the blank
+    continuation (score unchanged), so comparisons stay length-synchronous.
+
+    Returns (tokens [B, cap] padded with −1, counts [B], score [B]) for the
+    best final hypothesis per utterance (score = alignment log-prob).
+    """
+    B, T, H = enc.shape
+    N = beam_size
+    cap = max_tokens or T * max_symbols
+    V1 = None  # inferred on first joint call
+
+    # replicate state across beam: leaves [B, ...] -> [B*N, ...]
+    def rep(x):
+        return jnp.repeat(x, N, axis=0)
+
+    state0 = jax.tree.map(rep, initial_state)
+    pred_out0, state0 = pred_step_fn(jnp.full((B * N,), -1, jnp.int32), state0)
+
+    # scores: only hyp 0 alive initially (others -inf so they never win)
+    scores0 = jnp.full((B, N), -1e30, jnp.float32).at[:, 0].set(0.0)
+    t0 = jnp.zeros((B, N), jnp.int32)
+    sym0 = jnp.zeros((B, N), jnp.int32)
+    buf0 = jnp.full((B, N, cap), -1, jnp.int32)
+    counts0 = jnp.zeros((B, N), jnp.int32)
+    iters_cap = T * (max_symbols + 1) + 1
+
+    def cond(c):
+        t, scores, *_ , it = c
+        return jnp.any(t < enc_len[:, None]) & (it < iters_cap)
+
+    def body(c):
+        t, scores, sym_count, buf, counts, pred_out, state, it = c
+        t_c = jnp.minimum(t, T - 1).reshape(B * N)
+        b_of = jnp.arange(B * N) // N
+        enc_t = enc[b_of, t_c]  # [B*N, H] gather, no materialized repeat
+        logits = joint_logits_fn(enc_t, pred_out)  # [B*N, V+1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(B, N, -1)
+        V1 = logp.shape[-1]
+
+        alive = t < enc_len[:, None]  # [B, N]
+        force_blank = sym_count >= max_symbols
+        # finished or forced hyps: only blank allowed; finished blank = free
+        tok_mask = alive[..., None] & ~force_blank[..., None]
+        tok_mask = tok_mask | (
+            jax.lax.broadcasted_iota(jnp.int32, (B, N, V1), 2) == blank
+        )
+        blank_lp = logp[..., blank]
+        logp = jnp.where(tok_mask, logp, -1e30)
+        # finished hyps carry score unchanged on their blank slot
+        logp = logp.at[..., blank].set(jnp.where(alive, blank_lp, 0.0))
+
+        cand = scores[..., None] + logp  # [B, N, V1]
+        flat = cand.reshape(B, N * V1)
+        top_s, top_idx = jax.lax.top_k(flat, N)  # [B, N]
+        parent = top_idx // V1  # [B, N]
+        token = (top_idx % V1).astype(jnp.int32)
+
+        def g(x):  # gather along hyp dim by parent: x [B, N, ...]
+            return jnp.take_along_axis(
+                x, parent.reshape(B, N, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        new_t = g(t)
+        new_sym = g(sym_count)
+        new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
+        new_counts = g(counts)
+        new_alive = new_t < enc_len[:, None]
+        is_blank = token == blank
+        emit = new_alive & ~is_blank
+
+        # append token where emitting
+        bidx = jnp.arange(B)[:, None].repeat(N, 1)
+        nidx = jnp.arange(N)[None, :].repeat(B, 0)
+        pos = jnp.minimum(new_counts, cap - 1)
+        cur = new_buf[bidx, nidx, pos]
+        new_buf = new_buf.at[bidx, nidx, pos].set(jnp.where(emit, token, cur))
+        new_counts = new_counts + emit.astype(jnp.int32)
+        new_sym = jnp.where(emit, new_sym + 1, new_sym)
+        adv = new_alive & is_blank
+        new_t = new_t + adv.astype(jnp.int32)
+        new_sym = jnp.where(adv, 0, new_sym)
+
+        # prediction-net state: gather by parent, then step where emitting
+        flat_parent = (bidx * N + parent).reshape(B * N)
+        pred_out_g = pred_out[flat_parent]
+        state_g = jax.tree.map(lambda x: x[flat_parent], state)
+        stepped_out, stepped_state = pred_step_fn(
+            jnp.where(emit.reshape(B * N), token.reshape(B * N), 0), state_g
+        )
+        emit_f = emit.reshape(B * N)[:, None]
+        new_pred_out = jnp.where(emit_f, stepped_out, pred_out_g)
+        new_state = jax.tree.map(
+            lambda s, gth: jnp.where(emit_f, s, gth), stepped_state, state_g
+        )
+        return (new_t, top_s, new_sym, new_buf, new_counts,
+                new_pred_out, new_state, it + 1)
+
+    init = (t0, scores0, sym0, buf0, counts0, pred_out0, state0, 0)
+    t, scores, sym, buf, counts, *_ = jax.lax.while_loop(cond, body, init)
+    best = jnp.argmax(scores, axis=1)  # [B]
+    tokens = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
+    n = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, n, best_score

@@ -22,7 +22,9 @@ from nemo_tpu.models.asr.ctc_models import _bucket, _mel_cfg_from, build_encoder
 from nemo_tpu.models.asr.modules.rnnt import (
     PredictionNetwork,
     RNNTJoint,
+    rnnt_beam_decode,
     rnnt_greedy_decode,
+    rnnt_greedy_decode_label_looping,
 )
 from nemo_tpu.ops.audio import mel_spectrogram
 from nemo_tpu.ops.rnnt import rnnt_loss_mean
@@ -90,7 +92,14 @@ class EncDecRNNTModel(Model):
             enc_out = int(enc_cfg.jasper[-1]["filters"])
         dec_cfg = cfg.get("decoder", ConfigDict())
         joint_cfg = cfg.get("joint", ConfigDict())
-        self.max_symbols = int(cfg.get("decoding", {}).get("max_symbols", 10))
+        dec_strategy = cfg.get("decoding", {})
+        self.max_symbols = int(dec_strategy.get("max_symbols", 10))
+        # strategy: greedy_batch (label-looping, default) | greedy (frame
+        # loop) | beam (batched ALSD)
+        self.decoding_strategy = str(dec_strategy.get("strategy", "greedy_batch"))
+        self.beam_size = int(dec_strategy.get("beam", {}).get("beam_size", 4)
+                             if hasattr(dec_strategy.get("beam", {}), "get")
+                             else 4)
         # TDT support (reference fastconformer-TDT): model_defaults.tdt_durations
         self.durations = tuple(cfg.get("model_defaults", {}).get("tdt_durations", ()))
         self.net = _RNNTNet(
@@ -153,8 +162,18 @@ class EncDecRNNTModel(Model):
                 joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
                 self.durations,
             )
-        else:
+        elif self.decoding_strategy == "beam":
+            tokens, counts, _ = rnnt_beam_decode(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                beam_size=self.beam_size, max_symbols=self.max_symbols,
+            )
+        elif self.decoding_strategy == "greedy":
             tokens, counts = rnnt_greedy_decode(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                self.max_symbols,
+            )
+        else:  # greedy_batch: label-looping fast path (reference default)
+            tokens, counts = rnnt_greedy_decode_label_looping(
                 joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
                 self.max_symbols,
             )

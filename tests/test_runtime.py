@@ -129,3 +129,25 @@ def test_flops_formulas():
     tokens = 128 * 8192
     approx = 6 * 8.0e9 * tokens
     assert 0.5 < f / approx < 2.0
+
+
+def test_checkpoint_metric_topk(tmp_path):
+    """monitor='loss' keeps best-k by metric plus newest (reference
+    ModelCheckpoint top-k semantics)."""
+    import jax.numpy as jnp
+
+    from nemo_tpu.core.checkpoint import CheckpointIO
+
+    io = CheckpointIO(str(tmp_path), keep_top_k=2, async_save=False,
+                      monitor="loss", mode="min")
+    state = {"w": jnp.zeros((2,))}
+    losses = {1: 5.0, 2: 1.0, 3: 4.0, 4: 3.0}
+    for step, loss in losses.items():
+        io.save(state, step, metrics={"loss": loss})
+    import os
+
+    kept = sorted(
+        int(n.split("=")[1].split("-")[0]) for n in os.listdir(str(tmp_path))
+    )
+    # newest (4) + best-by-loss (2)
+    assert kept == [2, 4], kept
