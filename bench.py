@@ -19,6 +19,10 @@ import numpy as np
 
 
 def main():
+    import os
+    import tempfile
+
+    from nemo_tpu.data.audio_io import write_wav
     from nemo_tpu.models.asr.configs import conformer_ctc
     from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
 
@@ -28,25 +32,31 @@ def main():
     secs = 30.0
     T = int(16000 * secs)
     rng = np.random.RandomState(0)
-    # distinct inputs per iteration (identical inputs can be served from
+    # distinct wav files per iteration (identical inputs can be served from
     # execution caches and undercount the work)
     iters = 5
-    batches = [
-        [rng.randn(T).astype(np.float32) * 0.05 for _ in range(B)]
-        for _ in range(iters)
-    ]
+    tmp = tempfile.mkdtemp(prefix="bench_wavs_")
+    batches = []
+    for i in range(iters):
+        paths = []
+        for b in range(B):
+            p = os.path.join(tmp, f"{i}_{b}.wav")
+            write_wav(p, rng.randn(T).astype(np.float32) * 0.05, 16000)
+            paths.append(p)
+        batches.append(paths)
 
-    # warmup (compile) with the same shapes
+    # warmup (compile) with the same shapes; transcribe ALL batches once so
+    # timing measures steady-state pipelined throughput
     model.transcribe(batches[0], batch_size=B)
 
+    flat = [p for batch in batches for p in batch]
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = model.transcribe(batches[i], batch_size=B)
+    out = model.transcribe(flat, batch_size=B)
     t1 = time.perf_counter()
-    assert len(out) == B
+    assert len(out) == B * iters
 
     wall = (t1 - t0) / iters
-    audio_seconds = B * secs
+    audio_seconds = B * secs  # per batch
     rtfx = audio_seconds / wall
     baseline = 2000.0
     print(

@@ -114,6 +114,7 @@ class EncDecCTCModel(Model):
         if init_params:
             self._init_params()
         self._jit_infer = jax.jit(self._infer_fn)
+        self._jit_infer_ids = jax.jit(self._infer_ids_fn)
 
     # ------------------------------------------------------------------
     def _init_params(self, seed: int = 0):
@@ -122,8 +123,17 @@ class EncDecCTCModel(Model):
         self.variables = self.net.init(jax.random.PRNGKey(seed), feats, lens, train=False)
 
     def _infer_fn(self, variables, signal, length):
+        if signal.dtype == jnp.int16:
+            # 16-bit PCM shipped raw (half the host→device bytes; exact —
+            # the wav samples were int16 to begin with)
+            signal = signal.astype(jnp.float32) / 32768.0
         feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
         return self.net.apply(variables, feats, feat_len, train=False)
+
+    def _infer_ids_fn(self, variables, signal, length):
+        """Forward + on-device argmax: only [B, F] token ids leave the chip."""
+        log_probs, enc_len = self._infer_fn(variables, signal, length)
+        return jnp.argmax(log_probs, axis=-1).astype(jnp.int32), enc_len
 
     def forward(self, signal: jnp.ndarray, length: jnp.ndarray):
         """[B, T] float audio, [B] sample counts → (log_probs [B,F,V+1], frame lens)."""
@@ -140,30 +150,54 @@ class EncDecCTCModel(Model):
         batch_size: int = 4,
         verbose: bool = False,
     ) -> List[str]:
+        """Pipelined batched transcription: while the device runs batch i,
+        the host reads/pads/uploads batch i+1 and collapses batch i−1's ids
+        (only [B, F] int32 ids are fetched — decode itself is on-device
+        argmax). Wav inputs ship as raw int16 PCM (exact, half the transfer).
+        """
+        from nemo_tpu.ops.ctc import ctc_collapse
+
         results: List[str] = []
+        pending = None  # (preds_dev, enc_len_dev, n_valid)
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            preds, enc_len, n = pending
+            pending = None
+            id_lists = ctc_collapse(preds[:n], enc_len[:n], blank=self.decoding.blank_id)
+            results.extend(self.decoding.ids_to_text(ids) for ids in id_lists)
+
         for start in range(0, len(audio), batch_size):
             batch = audio[start : start + batch_size]
             sigs = []
+            all_i16 = True
             for a in batch:
                 if isinstance(a, str):
                     x, _ = read_wav(a, target_sr=self.sample_rate)
                 else:
                     x = np.asarray(a, np.float32)
+                    all_i16 = False
                 sigs.append(x)
             lens = np.array([len(s) for s in sigs], np.int32)
             pad_len = _bucket(int(lens.max()))
-            # pad the batch dim to batch_size too, so jit sees one shape
-            padded = np.zeros((batch_size, pad_len), np.float32)
+            dtype = np.int16 if all_i16 else np.float32
+            padded = np.zeros((batch_size, pad_len), dtype)
             for i, s in enumerate(sigs):
+                if dtype == np.int16:
+                    s = np.clip(np.rint(s * 32768.0), -32768, 32767).astype(np.int16)
                 padded[i, : len(s)] = s
             full_lens = np.ones(batch_size, np.int32)
             full_lens[: len(sigs)] = lens
-            log_probs, enc_len = self.forward(jnp.asarray(padded), jnp.asarray(full_lens))
-            results.extend(
-                self.decoding.decode(log_probs[: len(sigs)], enc_len[: len(sigs)])
+            preds, enc_len = self._jit_infer_ids(
+                self.variables, jnp.asarray(padded), jnp.asarray(full_lens)
             )
+            drain()  # host-collapse previous batch while this one computes
+            pending = (preds, enc_len, len(sigs))
             if verbose:
                 logging.info(f"transcribed {start + len(batch)}/{len(audio)}")
+        drain()
         return results
 
 

@@ -68,6 +68,12 @@ class GPTConfig:
     # causal load balancing (reference: TE CP p2p ring, parallelisms.rst:365).
     cp_size: int = 1
 
+    # fused linear+CE training loss: never materializes [B,S,V] logits
+    # (chunked remat scan over the sequence; Megatron vocab-parallel-CE
+    # equivalent). Identical math to the plain path.
+    fused_ce: bool = True
+    fused_ce_chunk: int = 512
+
     # numerics / training
     init_method_std: float = 0.02
     hidden_dropout: float = 0.0

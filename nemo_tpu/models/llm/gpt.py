@@ -485,7 +485,10 @@ class GPTModel(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None,
-                 kv_valid=None, segment_ids=None, train=False):
+                 kv_valid=None, segment_ids=None, train=False, output_hidden=False):
+        """output_hidden=True → return the final-norm hidden states [B,S,D]
+        instead of logits (the fused-CE training path computes the LM head
+        inside the loss to avoid materializing [B,S,V])."""
         cfg = self.cfg
         dtype = _dtype(cfg.compute_dtype)
         B, S = tokens.shape
@@ -516,6 +519,15 @@ class GPTModel(nn.Module):
             layer = TransformerLayer
             if cfg.remat == "full":
                 layer = nn.remat(layer, prevent_cse=False)
+            elif cfg.remat == "dots":
+                # keep GEMM outputs, recompute elementwise (XLA refuses to
+                # rematerialize matmuls anyway; this trades a little HBM for
+                # much less recompute than 'full')
+                layer = nn.remat(
+                    layer,
+                    prevent_cse=False,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
             ScanLayers = nn.scan(
                 layer,
                 variable_axes={"params": 0},
@@ -555,6 +567,8 @@ class GPTModel(nn.Module):
                 new_caches = None
 
         x = make_norm(cfg, "final_norm")(x)
+        if output_hidden:
+            return x
 
         if cfg.share_embeddings_and_output_weights:
             logits = jnp.einsum("bsd,vd->bsv", x, embed.astype(dtype))

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nemo_tpu.models.llm.config import GPTConfig
 from nemo_tpu.models.llm.gpt import GPTModel
-from nemo_tpu.models.llm.loss import masked_token_loss
+from nemo_tpu.models.llm.loss import fused_linear_cross_entropy, masked_token_loss
 from nemo_tpu.parallel.mesh import MeshConfig, default_axis_rules, make_mesh
 
 
@@ -146,13 +146,30 @@ class GPTTrainModule:
                     positions = jnp.asarray(order, jnp.int32)[None, :].repeat(
                         tokens.shape[0], 0
                     )
-            logits = model.apply(
-                {"params": params}, tokens,
-                positions,
-                segment_ids=batch.get("segment_ids"),
-                train=True, rngs={"dropout": rng},
-            )
-            loss, n = masked_token_loss(logits, labels, loss_mask)
+            if cfg.fused_ce:
+                hidden = model.apply(
+                    {"params": params}, tokens,
+                    positions,
+                    segment_ids=batch.get("segment_ids"),
+                    train=True, output_hidden=True, rngs={"dropout": rng},
+                )
+                if cfg.share_embeddings_and_output_weights:
+                    w_vd = params["embedding"]
+                else:
+                    w_vd = params["lm_head"]["kernel"].T
+                loss, n = fused_linear_cross_entropy(
+                    hidden, w_vd, labels, loss_mask,
+                    logit_softcapping=cfg.logit_softcapping,
+                    chunk=cfg.fused_ce_chunk,
+                )
+            else:
+                logits = model.apply(
+                    {"params": params}, tokens,
+                    positions,
+                    segment_ids=batch.get("segment_ids"),
+                    train=True, rngs={"dropout": rng},
+                )
+                loss, n = masked_token_loss(logits, labels, loss_mask)
             return loss, n
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:

@@ -1,0 +1,95 @@
+"""AED multitask (Canary-style): e2e tiny train + prompted decode."""
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.core.config import ConfigDict
+from nemo_tpu.models.asr.aed_models import EncDecMultiTaskModel
+
+
+def _tiny_cfg():
+    return ConfigDict(
+        dict(
+            labels=list("ab "),
+            preprocessor=dict(features=32),
+            encoder=dict(
+                _target_="ConformerEncoder",
+                feat_in=32,
+                n_layers=1,
+                d_model=32,
+                n_heads=2,
+                subsampling_factor=4,
+                dropout=0.0,
+                dropout_att=0.0,
+            ),
+            transf_decoder=dict(
+                num_layers=1, hidden_size=32, num_attention_heads=2, inner_size=64
+            ),
+            prompt_format=dict(langs=["en", "de"], tasks=["transcribe", "translate"]),
+            max_dec_len=64,
+        )
+    )
+
+
+def test_aed_train_loss_decreases_and_decodes():
+    m = EncDecMultiTaskModel(_tiny_cfg())
+    rng = np.random.RandomState(0)
+    B, T = 2, 8000
+    signal = jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1)
+    sig_len = jnp.full((B,), T, jnp.int32)
+    dec_in, labels, mask = m.make_batch(["ab ab", "ba"], max_len=16)
+
+    opt = optax.adam(3e-3)
+    params = m.variables
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: m.loss_fn(p, signal, sig_len, dec_in, labels, mask, rng=key)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 0.9, losses
+
+    # decode with the trained params
+    m.variables = params
+    out = m.transcribe([np.asarray(signal[0]), np.asarray(signal[1])], batch_size=2)
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)
+
+
+def test_aed_prompt_conditioning_changes_decode():
+    """Different task/lang prompt tokens must reach the decoder (different
+    forced prefix → generally different continuations on a random model)."""
+    m = EncDecMultiTaskModel(_tiny_cfg())
+    rng = np.random.RandomState(1)
+    audio = rng.randn(8000).astype(np.float32) * 0.1
+
+    p1 = m.prompt_ids(lang="en", task="transcribe", pnc=True)
+    p2 = m.prompt_ids(lang="de", task="translate", pnc=False)
+    assert p1 != p2 and p1[0] == m.bos_id
+
+    out1 = m.transcribe([audio], batch_size=1, lang="en", task="transcribe")
+    out2 = m.transcribe([audio], batch_size=1, lang="de", task="translate")
+    assert isinstance(out1[0], str) and isinstance(out2[0], str)
+
+
+def test_aed_batched_matches_single():
+    m = EncDecMultiTaskModel(_tiny_cfg())
+    rng = np.random.RandomState(2)
+    a1 = rng.randn(8000).astype(np.float32) * 0.1
+    a2 = rng.randn(8000).astype(np.float32) * 0.1
+    batched = m.transcribe([a1, a2], batch_size=2)
+    singles = m.transcribe([a1], batch_size=1) + m.transcribe([a2], batch_size=1)
+    assert batched == singles

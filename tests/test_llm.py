@@ -113,3 +113,53 @@ def test_moe_forward():
     variables = model.init(jax.random.PRNGKey(0), tokens)
     logits = model.apply(variables, tokens)
     assert logits.shape == (2, 8, cfg.vocab_size)
+
+
+def test_fused_ce_matches_plain_loss():
+    """fused_linear_cross_entropy == masked_token_loss through the model."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.models.llm.loss import (
+        fused_linear_cross_entropy,
+        masked_token_loss,
+    )
+    from nemo_tpu.models.llm.gpt import GPTModel
+
+    for tied in (False, True):
+        cfg = tiny_test(seq_length=64, scan_layers=False, remat="none",
+                        share_embeddings_and_output_weights=tied)
+        m = GPTModel(cfg)
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 64)), jnp.int32)
+        labels = jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 64)), jnp.int32)
+        mask = jnp.asarray(rng.rand(2, 64) > 0.2, jnp.float32)
+        import flax.linen as nn
+
+        variables = m.init(jax.random.PRNGKey(0), tokens)
+        params = nn.meta.unbox(variables["params"])
+
+        def plain(params):
+            logits = m.apply({"params": params}, tokens)
+            return masked_token_loss(logits, labels, mask)[0]
+
+        def fused(params):
+            h = m.apply({"params": params}, tokens, output_hidden=True)
+            w = params["embedding"] if tied else params["lm_head"]["kernel"].T
+            return fused_linear_cross_entropy(h, w, labels, mask, chunk=16)[0]
+
+        lp, gp = jax.value_and_grad(plain)(params)
+        lf, gf = jax.value_and_grad(fused)(params)
+        np.testing.assert_allclose(float(lp), float(lf), rtol=1e-6)
+        for (kp, vp), (kf, vf) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gf),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(vp), np.asarray(vf), atol=1e-5, rtol=1e-4,
+                err_msg=jax.tree_util.keystr(kp),
+            )
