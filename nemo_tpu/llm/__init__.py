@@ -1,12 +1,15 @@
 """User-facing LLM namespace (reference: nemo.collections.llm)."""
 
 from nemo_tpu.llm.api import (  # noqa: F401
+    distill,
     export_ckpt,
     train,
     finetune,
     generate,
     import_ckpt,
     pretrain,
+    prune,
+    ptq,
     validate,
     validate_config,
 )

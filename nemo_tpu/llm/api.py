@@ -167,6 +167,104 @@ def generate(
     return _gen(model, params, tokenizer, prompts, sampling, seed)
 
 
+def ptq(cfg: GPTConfig, params, *, algorithm: str = "int8_weight_only",
+        min_size: int = 1 << 16):
+    """Post-training quantization (reference api.py:305 `ptq`).
+
+    "int8_weight_only": every large kernel → (int8, per-channel scale);
+    halves checkpoint/HBM-at-rest size. Returns (cfg, quantized_params);
+    pass through `nemo_tpu.ops.quant.dequantize_params` before serving,
+    or serve with cfg.quantization="int8" for on-the-fly int8 GEMMs."""
+    from nemo_tpu.ops.quant import quantize_params_int8
+
+    if algorithm != "int8_weight_only":
+        raise ValueError(f"unknown ptq algorithm: {algorithm}")
+    return cfg, quantize_params_int8(params, min_size=min_size)
+
+
+class _TeacherData:
+    """Data proxy: adds on-device teacher logits to every train batch."""
+
+    def __init__(self, data, teacher_fn, teacher_params):
+        self._data = data
+        self._fn = teacher_fn
+        self._params = teacher_params
+        self.global_batch_size = data.global_batch_size
+        self.micro_batch_size = data.micro_batch_size
+
+    def train_batches(self, start_step=0):
+        for batch in self._data.train_batches(start_step):
+            batch = dict(batch)
+            batch["teacher_logits"] = self._fn(self._params, batch["tokens"])
+            yield batch
+
+    def val_batches(self):
+        return self._data.val_batches()
+
+
+def distill(
+    teacher: GPTConfig,
+    teacher_params,
+    student: GPTConfig,
+    data,
+    *,
+    mesh: Optional[MeshConfig] = None,
+    max_steps: int = 100,
+    temperature: float = 2.0,
+    alpha: float = 0.5,
+    trainer: Optional[Trainer] = None,
+    log_dir: Optional[str] = None,
+    student_params=None,
+):
+    """Logit knowledge distillation (reference api.py:390 `distill`).
+
+    Teacher runs a frozen jitted forward per batch; the student trains with
+    (1−α)·CE + α·T²·KL. Typical flow: `prune()` the teacher → distill into
+    the pruned student (Minitron recipe). Returns (module, state, metrics)."""
+    import jax
+
+    from nemo_tpu.models.llm.gpt import GPTModel
+
+    mesh = mesh or MeshConfig()
+    validate_config(student, mesh, data.global_batch_size, data.micro_batch_size)
+    if teacher.vocab_size != student.vocab_size:
+        raise ValueError("teacher/student vocab_size must match for logit KD")
+    t_model = GPTModel(teacher)
+
+    @jax.jit
+    def teacher_fn(p, tokens):
+        return jax.lax.stop_gradient(t_model.apply({"params": p}, tokens))
+
+    module = GPTTrainModule(student, mesh_cfg=mesh,
+                            kd_temperature=temperature, kd_alpha=alpha)
+    initial_state = None
+    if student_params is not None:
+        initial_state = module.init_state()
+        initial_state = initial_state.replace(
+            params=_cast_like(student_params, initial_state.params, module))
+    if trainer is None:
+        ckpt_io = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
+        trainer = Trainer(max_steps=max_steps, ckpt_io=ckpt_io,
+                          resume=AutoResume() if ckpt_io else None)
+    wrapped = _TeacherData(data, teacher_fn, teacher_params)
+    metrics = trainer.fit(module, wrapped, initial_state=initial_state)
+    return module, trainer.state, metrics
+
+
+def prune(cfg: GPTConfig, params, *, target_ffn_hidden_size: Optional[int] = None,
+          target_num_layers: Optional[int] = None, probe_tokens=None):
+    """Structured width/depth pruning (reference api.py:476 `prune`);
+    see nemo_tpu.llm.prune for the importance metrics. Returns (cfg, params)."""
+    from nemo_tpu.llm.pruning import prune_depth, prune_width
+
+    if target_ffn_hidden_size is not None:
+        cfg, params = prune_width(cfg, params, target_ffn_hidden_size)
+    if target_num_layers is not None:
+        cfg, params = prune_depth(cfg, params, target_num_layers,
+                                  probe_tokens=probe_tokens)
+    return cfg, params
+
+
 def import_ckpt(source: str):
     """'hf://<repo-or-path>' → (GPTConfig, params) (reference api.py:894)."""
     if source.startswith("hf://"):

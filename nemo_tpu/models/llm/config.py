@@ -68,6 +68,12 @@ class GPTConfig:
     # causal load balancing (reference: TE CP p2p ring, parallelisms.rst:365).
     cp_size: int = 1
 
+    # quantized GEMMs: None (bf16) | "fp8" (e4m3 fwd / e5m2 bwd grads,
+    # current scaling — TE Float8CurrentScaling 'hybrid' recipe equivalent,
+    # mixed_precision.py:55) | "fp8_e4m3" | "int8" (v5e MXU int8 fwd,
+    # bf16 bwd). Applies to the attention q/k/v/o and MLP fc1/fc2 GEMMs.
+    quantization: Optional[str] = None
+
     # fused linear+CE training loss: never materializes [B,S,V] logits
     # (chunked remat scan over the sequence; Megatron vocab-parallel-CE
     # equivalent). Identical math to the plain path.

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nemo_tpu.models.llm.config import GPTConfig
+from nemo_tpu.ops.quant import dense_layer
 
 with_constraint = nn.with_logical_constraint
 
@@ -181,7 +182,8 @@ class Attention(nn.Module):
         H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
         dtype = x.dtype
         dense = partial(
-            nn.DenseGeneral,
+            dense_layer,
+            cfg.quantization,
             use_bias=cfg.add_qkv_bias or cfg.add_bias_linear,
             dtype=dtype,
             param_dtype=_dtype(cfg.params_dtype),
@@ -273,7 +275,8 @@ class Attention(nn.Module):
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
                 kv_valid=kv_valid, segment_ids=segment_ids,
             )
-        out = nn.DenseGeneral(
+        out = dense_layer(
+            cfg.quantization,
             features=cfg.hidden_size,
             axis=(-2, -1),
             use_bias=cfg.add_bias_linear,
@@ -306,7 +309,8 @@ class MLP(nn.Module):
         ffn = self.ffn_size or cfg.ffn_hidden_size
         dtype = x.dtype
         mult = 2 if cfg.gated_linear_unit else 1
-        h = nn.DenseGeneral(
+        h = dense_layer(
+            cfg.quantization,
             features=mult * ffn,
             use_bias=cfg.add_bias_linear,
             dtype=dtype,
@@ -320,7 +324,8 @@ class MLP(nn.Module):
         else:
             h = _act(cfg.activation)(h)
         h = with_constraint(h, ("batch", "act_seq", "mlp"))
-        out = nn.DenseGeneral(
+        out = dense_layer(
+            cfg.quantization,
             features=cfg.hidden_size,
             use_bias=cfg.add_bias_linear,
             dtype=dtype,

@@ -52,6 +52,11 @@ class GPTTrainModule:
     optimizer: Optional[optax.GradientTransformation] = None
     lr_schedule: Optional[Callable] = None
     mesh: Optional[Mesh] = None
+    # knowledge distillation (reference: llm/api.py:390 `distill` /
+    # megatron distillation GPT): when a batch carries "teacher_logits",
+    # loss = (1−α)·CE + α·T²·KL(teacher/T ‖ student/T)
+    kd_temperature: float = 1.0
+    kd_alpha: float = 0.5
 
     def __post_init__(self):
         if self.mesh is None:
@@ -146,6 +151,24 @@ class GPTTrainModule:
                     positions = jnp.asarray(order, jnp.int32)[None, :].repeat(
                         tokens.shape[0], 0
                     )
+            teacher_logits = batch.get("teacher_logits")
+            if teacher_logits is not None:
+                logits = model.apply(
+                    {"params": params}, tokens, positions,
+                    segment_ids=batch.get("segment_ids"),
+                    train=True, rngs={"dropout": rng},
+                )
+                ce, n = masked_token_loss(logits, labels, loss_mask)
+                T = self.kd_temperature
+                lp_s = jax.nn.log_softmax(logits.astype(jnp.float32) / T)
+                p_t = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T)
+                kl = jnp.sum(p_t * (jnp.log(jnp.maximum(p_t, 1e-20)) - lp_s), -1)
+                if loss_mask is not None:
+                    kl = jnp.sum(kl * loss_mask) / jnp.maximum(jnp.sum(loss_mask), 1)
+                else:
+                    kl = jnp.mean(kl)
+                a = self.kd_alpha
+                return (1 - a) * ce + a * (T * T) * kl, n
             if cfg.fused_ce:
                 hidden = model.apply(
                     {"params": params}, tokens,

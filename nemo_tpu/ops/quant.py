@@ -1,0 +1,214 @@
+"""Quantized GEMMs for training and inference (fp8 / int8).
+
+Reference parity: MegatronMixedPrecision fp8 plumbing
+(`nemo/lightning/pytorch/plugins/mixed_precision.py:55-243` — DtypeConfig
+fp8='hybrid', e4m3 forward / e5m2 backward via TransformerEngine) and the
+PTQ path (`nemo/collections/llm/api.py:305` quantization).
+
+TPU-native design — no TE, no per-tensor state objects:
+- *Current scaling* (per-call amax), the modern TE recipe
+  (``Float8CurrentScaling``): every quantized tensor gets scale =
+  amax/dtype_max computed on the spot, so there is no delayed-scaling
+  amax history to checkpoint and the whole thing stays functional
+  (jit/scan/vmap-safe).
+- fp8: e4m3 for activations/weights on the forward GEMM, e5m2 for the
+  incoming gradient on the two backward GEMMs (dgrad/wgrad) — the
+  "hybrid" recipe. XLA lowers fp8 dot_general to native MXU fp8 where
+  the chip supports it and to an upcast dot elsewhere; numerics are the
+  fp8 numerics either way.
+- int8: symmetric per-tensor round-to-nearest on the forward GEMM
+  (int8×int8→int32 rides the v5e MXU at 2× bf16 throughput); backward
+  stays bf16 — int8 gradients are too lossy for training.
+
+The straight-through parts are exact: the custom VJP differentiates the
+*quantized* forward product w.r.t. the fp32 inputs (d/dx of q(x)·q(w) ≈
+q(w), the standard STE), matching TE semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+E4M3 = jnp.float8_e4m3fn
+E5M2 = jnp.float8_e5m2
+
+
+def _dtype_max(dtype) -> float:
+    if dtype == jnp.int8:
+        return 127.0
+    return float(jnp.finfo(dtype).max)
+
+
+def quantize(x: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor quantization with current (just-in-time) scaling.
+
+    Returns (q, scale) with x ≈ q.astype(f32) * scale."""
+    maxval = _dtype_max(dtype)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / maxval
+    y = x.astype(jnp.float32) / scale
+    y = jnp.clip(y, -maxval, maxval)
+    if dtype == jnp.int8:
+        y = jnp.round(y)
+    return y.astype(dtype), scale
+
+
+def _qdot(qx, qw, sx, sw, out_dtype):
+    """dot(qx, qw) over the last/first axes with dequant scales applied."""
+    acc = jnp.int32 if qx.dtype == jnp.int8 else jnp.float32
+    y = jax.lax.dot_general(
+        qx, qw, (((qx.ndim - 1,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def quant_matmul(x: jnp.ndarray, w: jnp.ndarray, mode: str = "fp8",
+                 out_dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """[.., K] @ [K, N] with quantized operands.
+
+    mode: "fp8" (e4m3 fwd, e5m2 bwd grads) | "fp8_e4m3" (e4m3 everywhere)
+        | "int8" (int8 fwd, bf16 bwd).
+    """
+    fwd_q = jnp.int8 if mode == "int8" else E4M3
+    qx, sx = quantize(x, fwd_q)
+    qw, sw = quantize(w, fwd_q)
+    return _qdot(qx, qw, sx, sw, out_dtype)
+
+
+def _qm_fwd(x, w, mode, out_dtype):
+    fwd_q = jnp.int8 if mode == "int8" else E4M3
+    qx, sx = quantize(x, fwd_q)
+    qw, sw = quantize(w, fwd_q)
+    y = _qdot(qx, qw, sx, sw, out_dtype)
+    # zero-size dtype carriers: residuals must be JAX types, and the bwd
+    # must return cotangents in the primal dtypes
+    return y, (qx, sx, qw, sw, jnp.zeros((0,), x.dtype), jnp.zeros((0,), w.dtype))
+
+
+def _qm_bwd(mode, out_dtype, res, g):
+    qx, sx, qw, sw, x_proto, w_proto = res
+    x_dtype, w_dtype = x_proto.dtype, w_proto.dtype
+    if mode == "int8":
+        # bf16 backward against the dequantized operands (STE)
+        gb = g.astype(jnp.bfloat16)
+        wdq = (qw.astype(jnp.float32) * sw).astype(jnp.bfloat16)
+        xdq = (qx.astype(jnp.float32) * sx).astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(
+            gb, wdq, (((gb.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x2 = xdq.reshape(-1, xdq.shape[-1])
+        g2 = gb.reshape(-1, gb.shape[-1])
+        dw = jax.lax.dot_general(
+            x2, g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dx.astype(x_dtype), dw.astype(w_dtype)
+    bwd_q = E4M3 if mode == "fp8_e4m3" else E5M2
+    qg, sg = quantize(g, bwd_q)
+    # dgrad: g [.., N] @ w.T [N, K]
+    dx = jax.lax.dot_general(
+        qg, qw, (((qg.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (sg * sw)
+    # wgrad: x.T [K, M] @ g [M, N]
+    qx2 = qx.reshape(-1, qx.shape[-1])
+    qg2 = qg.reshape(-1, qg.shape[-1])
+    dw = jax.lax.dot_general(
+        qx2, qg2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (sx * sg)
+    return dx.astype(x_dtype), dw.astype(w_dtype)
+
+
+quant_matmul.defvjp(_qm_fwd, _qm_bwd)
+
+
+class QuantDense(nn.Module):
+    """Drop-in nn.DenseGeneral with a quantized GEMM core.
+
+    Supports the DenseGeneral surface used by our models: `features` int or
+    tuple, `axis` int or tuple of trailing axes, bias, logical-partitioned
+    kernel init. The GEMM runs via quant_matmul (fp8/int8, current scaling);
+    bias add and everything around it stay in `dtype`.
+    """
+
+    features: Any  # int | tuple
+    mode: str = "fp8"
+    axis: Any = -1
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        features = self.features if isinstance(self.features, tuple) else (self.features,)
+        axis = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        axis = tuple(a % x.ndim for a in axis)
+        contract = tuple(x.shape[a] for a in axis)
+        kernel = self.param("kernel", self.kernel_init, contract + features, self.param_dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, features, self.param_dtype)
+        batch_shape = tuple(x.shape[i] for i in range(x.ndim) if i not in axis)
+        # move contracting axes last, flatten
+        perm = [i for i in range(x.ndim) if i not in axis] + list(axis)
+        xt = jnp.transpose(x, perm).reshape(batch_shape + (int(np.prod(contract)),))
+        k2 = kernel.reshape(int(np.prod(contract)), int(np.prod(features)))
+        y = quant_matmul(xt, k2, self.mode, self.dtype)
+        y = y.reshape(batch_shape + features)
+        if self.use_bias:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def dense_layer(quantization: Optional[str], **kw):
+    """Factory: nn.DenseGeneral, or QuantDense when quantization is set.
+
+    Models route their large GEMMs through this so `cfg.quantization`
+    in {"fp8","fp8_e4m3","int8"} flips the whole network."""
+    if quantization:
+        return QuantDense(mode=quantization, **kw)
+    return nn.DenseGeneral(**kw)
+
+
+# --------------------------------------------------------------------------
+# PTQ: weight-only int8 for inference (reference: llm/api.py:305 `ptq`)
+# --------------------------------------------------------------------------
+
+
+def quantize_params_int8(params, min_size: int = 1 << 16):
+    """Post-training weight-only int8: replace every float kernel >= min_size
+    elements with (int8 q, per-output-channel fp32 scale). Returns a pytree of
+    the same structure where quantized leaves become dicts
+    {"q": int8, "scale": f32} — consumed by dequantize_params."""
+
+    def _q(path, leaf):
+        if not isinstance(leaf, jnp.ndarray) and not isinstance(leaf, np.ndarray):
+            return leaf
+        if leaf.ndim < 2 or leaf.size < min_size or not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        x = jnp.asarray(leaf, jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale}
+
+    return jax.tree_util.tree_map_with_path(_q, params)
+
+
+def dequantize_params(params, dtype=jnp.bfloat16):
+    """Inverse of quantize_params_int8 (materializes dtype weights)."""
+
+    def _is_q(n):
+        return isinstance(n, dict) and set(n.keys()) == {"q", "scale"}
+
+    def _dq(n):
+        if _is_q(n):
+            return (n["q"].astype(jnp.float32) * n["scale"]).astype(dtype)
+        return n
+
+    return jax.tree_util.tree_map(_dq, params, is_leaf=_is_q)
