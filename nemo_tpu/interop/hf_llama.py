@@ -73,7 +73,7 @@ def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str,
         "o_proj": {"kernel": stack("model.layers.{i}.self_attn.o_proj.weight",
                                    lambda k: np.transpose(sd[k]).reshape(H, dh, D))},
     }
-    if cfg.add_qkv_bias:
+    if cfg.add_qkv_bias or cfg.add_bias_linear:
         attention["q_proj"]["bias"] = stack(
             "model.layers.{i}.self_attn.q_proj.bias", lambda k: sd[k].reshape(H, dh))
         attention["k_proj"]["bias"] = stack(
@@ -81,25 +81,52 @@ def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str,
         attention["v_proj"]["bias"] = stack(
             "model.layers.{i}.self_attn.v_proj.bias", lambda k: sd[k].reshape(G, dh))
 
+    if cfg.add_bias_linear:
+        attention["o_proj"]["bias"] = stack(
+            "model.layers.{i}.self_attn.o_proj.bias", lambda k: sd[k])
+
+    # MLP: gated (gate_proj+up_proj fused into fc1) or plain (up_proj/c_fc)
+    up_key = ("model.layers.{i}.mlp.up_proj.weight"
+              if "model.layers.0.mlp.up_proj.weight" in sd
+              else "model.layers.{i}.mlp.c_fc.weight")
+    down_key = ("model.layers.{i}.mlp.down_proj.weight"
+                if "model.layers.0.mlp.down_proj.weight" in sd
+                else "model.layers.{i}.mlp.c_proj.weight")
+
     def fc1(i):
-        gate = np.transpose(sd[f"model.layers.{i}.mlp.gate_proj.weight"])  # [D, F]
-        up = np.transpose(sd[f"model.layers.{i}.mlp.up_proj.weight"])
-        return np.concatenate([gate, up], axis=1)  # [D, 2F]
+        if cfg.gated_linear_unit:
+            gate = np.transpose(sd[f"model.layers.{i}.mlp.gate_proj.weight"])  # [D, F]
+            up = np.transpose(sd[up_key.format(i=i)])
+            return np.concatenate([gate, up], axis=1)  # [D, 2F]
+        return np.transpose(sd[up_key.format(i=i)])
+
+    mlp = {
+        "fc1": {"kernel": np.stack([fc1(i) for i in range(L)])},
+        "fc2": {"kernel": stack(down_key, t)},
+    }
+    if cfg.add_bias_linear:
+        mlp["fc1"]["bias"] = stack(up_key.replace(".weight", ".bias"), lambda k: sd[k])
+        mlp["fc2"]["bias"] = stack(down_key.replace(".weight", ".bias"), lambda k: sd[k])
+
+    def norm(prefix):
+        out = {"scale": stack(prefix + ".weight", lambda k: sd[k])}
+        if prefix.format(i=0) + ".bias" in sd:
+            out["bias"] = stack(prefix + ".bias", lambda k: sd[k])
+        return out
 
     layers = {
-        "input_norm": {"scale": stack("model.layers.{i}.input_layernorm.weight", lambda k: sd[k])},
-        "post_attn_norm": {"scale": stack(
-            "model.layers.{i}.post_attention_layernorm.weight", lambda k: sd[k])},
+        "input_norm": norm("model.layers.{i}.input_layernorm"),
+        "post_attn_norm": norm("model.layers.{i}.post_attention_layernorm"),
         "attention": attention,
-        "mlp": {
-            "fc1": {"kernel": np.stack([fc1(i) for i in range(L)])},
-            "fc2": {"kernel": stack("model.layers.{i}.mlp.down_proj.weight", t)},
-        },
+        "mlp": mlp,
     }
+    final_norm = {"scale": sd["model.norm.weight"]}
+    if "model.norm.bias" in sd:
+        final_norm["bias"] = sd["model.norm.bias"]
     params = {
         "embedding": sd["model.embed_tokens.weight"],
         "layers": layers,
-        "final_norm": {"scale": sd["model.norm.weight"]},
+        "final_norm": final_norm,
     }
     if not cfg.share_embeddings_and_output_weights:
         lm = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])

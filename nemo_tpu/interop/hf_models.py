@@ -1,0 +1,196 @@
+"""HF importers beyond the llama family: phi3, starcoder2, nemotron,
+deepseek-v3 (MLA + sigmoid-routed MoE).
+
+Reference parity: the per-family importer connectors
+(`nemo/collections/llm/gpt/model/phi3.py`, `starcoder2.py`, `nemotron.py`,
+`deepseek.py` — each registers an HF importer via ConnectorMixin).
+
+Each family maps to a GPTConfig + our canonical param tree; fused HF
+projections (phi3 qkv_proj / gate_up_proj) are split, deepseek's
+rope-interleaved columns are permuted to the half-split convention so a
+single rope implementation serves every family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from nemo_tpu.interop.hf_llama import config_from_hf, params_from_hf_state
+from nemo_tpu.models.llm.config import GPTConfig
+
+
+def _split_phi3_fused(sd: Dict[str, np.ndarray], hf_cfg) -> Dict[str, np.ndarray]:
+    """phi3 fuses qkv_proj ([H*dh + 2*G*dh, D]) and gate_up_proj; split to
+    llama-style names so the generic converter applies."""
+    out = dict(sd)
+    H = hf_cfg.num_attention_heads
+    G = hf_cfg.num_key_value_heads
+    dh = hf_cfg.hidden_size // H
+    F = hf_cfg.intermediate_size
+    i = 0
+    while f"model.layers.{i}.self_attn.qkv_proj.weight" in out:
+        w = out.pop(f"model.layers.{i}.self_attn.qkv_proj.weight")
+        out[f"model.layers.{i}.self_attn.q_proj.weight"] = w[: H * dh]
+        out[f"model.layers.{i}.self_attn.k_proj.weight"] = w[H * dh : (H + G) * dh]
+        out[f"model.layers.{i}.self_attn.v_proj.weight"] = w[(H + G) * dh :]
+        gu = out.pop(f"model.layers.{i}.mlp.gate_up_proj.weight")
+        out[f"model.layers.{i}.mlp.gate_proj.weight"] = gu[:F]
+        out[f"model.layers.{i}.mlp.up_proj.weight"] = gu[F:]
+        i += 1
+    return out
+
+
+def _deinterleave(w_cols: np.ndarray) -> np.ndarray:
+    """Permute rope columns interleaved→half-split: half-split col j pairs
+    (j, j+d/2) must carry what interleaved pairs (2j, 2j+1) carried."""
+    d = w_cols.shape[-1]
+    perm = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    return w_cols[..., perm]
+
+
+def config_from_hf_deepseek(c) -> GPTConfig:
+    return GPTConfig(
+        num_layers=c.num_hidden_layers,
+        hidden_size=c.hidden_size,
+        ffn_hidden_size=c.intermediate_size,
+        num_attention_heads=c.num_attention_heads,
+        vocab_size=c.vocab_size,
+        seq_length=c.max_position_embeddings,
+        layernorm_epsilon=c.rms_norm_eps,
+        rotary_base=c.rope_theta,
+        kv_lora_rank=c.kv_lora_rank,
+        q_lora_rank=c.q_lora_rank,
+        qk_head_dim=c.qk_nope_head_dim,
+        qk_pos_emb_head_dim=c.qk_rope_head_dim,
+        v_head_dim=c.v_head_dim,
+        num_moe_experts=c.n_routed_experts or 0,
+        moe_router_topk=c.num_experts_per_tok,
+        moe_ffn_hidden_size=c.moe_intermediate_size,
+        moe_shared_expert_intermediate_size=(
+            c.moe_intermediate_size * c.n_shared_experts if c.n_shared_experts else None),
+        moe_first_k_dense=c.first_k_dense_replace,
+        moe_router_score_function="sigmoid",
+        moe_router_enable_expert_bias=True,
+        moe_router_num_groups=c.n_group,
+        moe_router_group_topk=c.topk_group,
+        moe_router_topk_scaling_factor=c.routed_scaling_factor,
+        moe_router_norm_topk_prob=c.norm_topk_prob,
+        moe_dispatch="dense",  # exact combine for import-parity; flip to topk to train
+        scan_layers=False,
+        compute_dtype="float32",
+        share_embeddings_and_output_weights=bool(c.tie_word_embeddings),
+    )
+
+
+def params_from_hf_deepseek(sd: Dict[str, np.ndarray], cfg: GPTConfig,
+                            interleaved_rope: bool = True) -> Dict[str, Any]:
+    L, D, H = cfg.num_layers, cfg.hidden_size, cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_head_dim, cfg.qk_pos_emb_head_dim, cfg.v_head_dim
+    E = cfg.num_moe_experts
+
+    def t(k):
+        return np.ascontiguousarray(np.transpose(sd[k]))
+
+    params: Dict[str, Any] = {
+        "embedding": sd["model.embed_tokens.weight"],
+        "final_norm": {"scale": sd["model.norm.weight"]},
+    }
+    if not cfg.share_embeddings_and_output_weights:
+        params["lm_head"] = {"kernel": np.transpose(sd["lm_head.weight"])}
+
+    for i in range(L):
+        pre = f"model.layers.{i}"
+        q_up = t(f"{pre}.self_attn.q_b_proj.weight").reshape(cfg.q_lora_rank, H, dn + dr)
+        kv_down = t(f"{pre}.self_attn.kv_a_proj_with_mqa.weight")  # [D, kv_lora+dr]
+        if interleaved_rope:
+            q_up = np.concatenate([q_up[..., :dn], _deinterleave(q_up[..., dn:])], -1)
+            kv_down = np.concatenate(
+                [kv_down[:, : cfg.kv_lora_rank],
+                 _deinterleave(kv_down[:, cfg.kv_lora_rank:])], -1)
+        attn = {
+            "q_down": {"kernel": t(f"{pre}.self_attn.q_a_proj.weight")},
+            "q_down_norm": {"scale": sd[f"{pre}.self_attn.q_a_layernorm.weight"]},
+            "q_up": {"kernel": q_up},
+            "kv_down": {"kernel": kv_down},
+            "kv_down_norm": {"scale": sd[f"{pre}.self_attn.kv_a_layernorm.weight"]},
+            "kv_up": {"kernel": t(f"{pre}.self_attn.kv_b_proj.weight").reshape(
+                cfg.kv_lora_rank, H, dn + dv)},
+            "o_proj": {"kernel": t(f"{pre}.self_attn.o_proj.weight").reshape(H, dv, D)},
+        }
+        layer: Dict[str, Any] = {
+            "input_norm": {"scale": sd[f"{pre}.input_layernorm.weight"]},
+            "post_attn_norm": {"scale": sd[f"{pre}.post_attention_layernorm.weight"]},
+            "attention": attn,
+        }
+        if E and i >= cfg.moe_first_k_dense:
+            Fm = cfg.moe_ffn_hidden_size
+            w1 = np.stack([
+                np.concatenate([t(f"{pre}.mlp.experts.{e}.gate_proj.weight"),
+                                t(f"{pre}.mlp.experts.{e}.up_proj.weight")], 1)
+                for e in range(E)])  # [E, D, 2F]
+            w2 = np.stack([t(f"{pre}.mlp.experts.{e}.down_proj.weight") for e in range(E)])
+            moe: Dict[str, Any] = {
+                "router": {"kernel": t(f"{pre}.mlp.gate.weight")},
+                "w1": w1, "w2": w2,
+            }
+            if cfg.moe_router_enable_expert_bias:
+                moe["expert_bias"] = sd[f"{pre}.mlp.gate.e_score_correction_bias"]
+            if cfg.moe_shared_expert_intermediate_size:
+                moe["shared_expert"] = {
+                    "fc1": {"kernel": np.concatenate(
+                        [t(f"{pre}.mlp.shared_experts.gate_proj.weight"),
+                         t(f"{pre}.mlp.shared_experts.up_proj.weight")], 1)},
+                    "fc2": {"kernel": t(f"{pre}.mlp.shared_experts.down_proj.weight")},
+                }
+            layer["moe"] = moe
+        else:
+            layer["mlp"] = {
+                "fc1": {"kernel": np.concatenate(
+                    [t(f"{pre}.mlp.gate_proj.weight"), t(f"{pre}.mlp.up_proj.weight")], 1)},
+                "fc2": {"kernel": t(f"{pre}.mlp.down_proj.weight")},
+            }
+        params[f"layer{i}"] = layer
+    return params
+
+
+def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
+    """Any supported HF causal LM → (GPTConfig, params). Dispatches on
+    config.model_type; llama/mistral/qwen2/qwen3-style handled by hf_llama."""
+    if isinstance(path_or_model, str):
+        from transformers import AutoModelForCausalLM
+
+        hf = AutoModelForCausalLM.from_pretrained(path_or_model)
+    else:
+        hf = path_or_model
+    c = hf.config
+    sd = {k: v.detach().to("cpu").float().numpy() for k, v in hf.state_dict().items()}
+    mt = c.model_type
+
+    if mt == "deepseek_v3":
+        cfg = config_from_hf_deepseek(c)
+        return cfg, params_from_hf_deepseek(
+            sd, cfg, interleaved_rope=getattr(c, "rope_interleave", True))
+
+    cfg = config_from_hf(c)
+    if mt == "phi3":
+        sd = _split_phi3_fused(sd, c)
+    elif mt == "starcoder2":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, normalization="LayerNorm", gated_linear_unit=False,
+            activation="gelu", add_bias_linear=True,
+            layernorm_epsilon=c.norm_epsilon,
+        )
+    elif mt == "nemotron":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, normalization="LayerNorm", layernorm_zero_centered_gamma=True,
+            gated_linear_unit=False, activation="squared_relu",
+            rotary_percent=getattr(c, "partial_rotary_factor", 0.5),
+            layernorm_epsilon=c.norm_eps,
+        )
+    return cfg, params_from_hf_state(sd, cfg)

@@ -268,9 +268,9 @@ def prune(cfg: GPTConfig, params, *, target_ffn_hidden_size: Optional[int] = Non
 def import_ckpt(source: str):
     """'hf://<repo-or-path>' → (GPTConfig, params) (reference api.py:894)."""
     if source.startswith("hf://"):
-        from nemo_tpu.interop.hf_llama import import_hf_llama
+        from nemo_tpu.interop.hf_models import import_hf_model
 
-        return import_hf_llama(source[len("hf://"):])
+        return import_hf_model(source[len("hf://"):])
     raise ValueError(f"Unknown source scheme: {source}")
 
 

@@ -53,6 +53,27 @@ class GPTConfig:
     moe_shared_expert_intermediate_size: Optional[int] = None
     moe_router_pre_softmax: bool = False
     moe_aux_loss_coeff: float = 0.0
+    # deepseek-v3 routing (reference: gpt/model/deepseek.py): sigmoid scores,
+    # aux-loss-free e-score correction bias, node/group-limited topk,
+    # normalized weights × scaling factor
+    moe_router_score_function: str = "softmax"  # softmax | sigmoid
+    moe_router_enable_expert_bias: bool = False
+    moe_router_num_groups: Optional[int] = None
+    moe_router_group_topk: Optional[int] = None
+    moe_router_topk_scaling_factor: Optional[float] = None
+    moe_router_norm_topk_prob: bool = False
+    # layers [0, moe_first_k_dense) use a dense MLP instead of MoE
+    # (deepseek first_k_dense_replace). Requires scan_layers=False.
+    moe_first_k_dense: int = 0
+
+    # Multi-head Latent Attention (deepseek v2/v3; reference
+    # gpt/model/deepseek.py MLATransformerConfig). kv_lora_rank != None
+    # switches Attention → MLAAttention.
+    kv_lora_rank: Optional[int] = None
+    q_lora_rank: Optional[int] = None
+    qk_head_dim: int = 128  # nope (non-rotary) part per head
+    qk_pos_emb_head_dim: int = 64  # rotary part per head
+    v_head_dim: int = 128
     # dispatch: "topk" = sort-based capacity dispatch (per-token FLOPs ∝ topk,
     # expert-sharded over the ep mesh axis — MCore a2a token-dispatcher
     # equivalent); "dense" = all-experts einsum (exact, no drops; debug/parity)
@@ -149,6 +170,48 @@ def qwen3_8b(**kw) -> GPTConfig:
     return _preset(dict(num_layers=36, hidden_size=4096, ffn_hidden_size=12288, num_attention_heads=32, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0), kw)
 
 
+def phi3_mini_4k(**kw) -> GPTConfig:
+    """reference: gpt/model/phi3.py Phi3ConfigMini."""
+    return _preset(dict(num_layers=32, hidden_size=3072, ffn_hidden_size=8192, num_attention_heads=32, vocab_size=32064, seq_length=4096, rotary_base=10000.0), kw)
+
+
+def starcoder2_7b(**kw) -> GPTConfig:
+    """reference: gpt/model/starcoder2.py (GQA-4, gelu MLP with biases,
+    LayerNorm, rope theta 1e6)."""
+    return _preset(dict(num_layers=32, hidden_size=4608, ffn_hidden_size=18432, num_attention_heads=36, num_query_groups=4, vocab_size=49152, seq_length=16384, normalization='LayerNorm', gated_linear_unit=False, activation='gelu', add_bias_linear=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def nemotron4_15b(**kw) -> GPTConfig:
+    """reference: gpt/model/nemotron.py (squared-relu, LayerNorm1p,
+    rotary_percent 0.5, no biases)."""
+    return _preset(dict(num_layers=32, hidden_size=6144, ffn_hidden_size=24576, num_attention_heads=48, num_query_groups=8, vocab_size=256000, seq_length=4096, normalization='LayerNorm', layernorm_zero_centered_gamma=True, gated_linear_unit=False, activation='squared_relu', rotary_percent=0.5), kw)
+
+
+def nemotron4_340b(**kw) -> GPTConfig:
+    return nemotron4_15b(num_layers=96, hidden_size=18432, ffn_hidden_size=73728, num_attention_heads=96, num_query_groups=8, **kw)
+
+
+def qwen25_7b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=28, hidden_size=3584, ffn_hidden_size=18944, num_attention_heads=28, num_query_groups=4, vocab_size=152064, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0), kw)
+
+
+def deepseek_v3(**kw) -> GPTConfig:
+    """reference: gpt/model/deepseek.py DeepSeekV3Config (MLA + 256-expert
+    sigmoid-routed MoE with e-score bias and group-limited topk)."""
+    return _preset(dict(
+        num_layers=61, hidden_size=7168, ffn_hidden_size=18432,
+        num_attention_heads=128, vocab_size=129280, seq_length=4096,
+        kv_lora_rank=512, q_lora_rank=1536, qk_head_dim=128,
+        qk_pos_emb_head_dim=64, v_head_dim=128,
+        num_moe_experts=256, moe_router_topk=8, moe_ffn_hidden_size=2048,
+        moe_shared_expert_intermediate_size=2048, moe_first_k_dense=3,
+        moe_router_score_function='sigmoid', moe_router_enable_expert_bias=True,
+        moe_router_num_groups=8, moe_router_group_topk=4,
+        moe_router_topk_scaling_factor=2.5, moe_router_norm_topk_prob=True,
+        scan_layers=False,  # first_k_dense layers are heterogeneous
+    ), kw)
+
+
 def gpt3_175b(**kw) -> GPTConfig:
     return _preset(dict(num_layers=96, hidden_size=12288, ffn_hidden_size=49152, num_attention_heads=96, vocab_size=51200, seq_length=2048, normalization='LayerNorm', gated_linear_unit=False, activation='gelu', add_bias_linear=True, position_embedding_type='learned_absolute', share_embeddings_and_output_weights=True), kw)
 
@@ -180,6 +243,12 @@ PRESETS = {
     "gemma_7b": gemma_7b,
     "qwen2_7b": qwen2_7b,
     "qwen3_8b": qwen3_8b,
+    "phi3_mini_4k": phi3_mini_4k,
+    "starcoder2_7b": starcoder2_7b,
+    "nemotron4_15b": nemotron4_15b,
+    "nemotron4_340b": nemotron4_340b,
+    "qwen25_7b": qwen25_7b,
+    "deepseek_v3": deepseek_v3,
     "gpt3_175b": gpt3_175b,
     "gpt_2b": gpt_2b,
     "tiny_test": tiny_test,

@@ -65,17 +65,30 @@ class RMSNorm(nn.Module):
 
 
 class LayerNormFP32(nn.Module):
+    """fp32 LayerNorm; zero_centered_gamma=True gives Megatron LayerNorm1p
+    ((1+g) scale — nemotron family, apex persist_layer_norm equivalent)."""
+
     cfg: GPTConfig
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(
-            epsilon=self.cfg.layernorm_epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros, ("act_embed",)),
-        )(x).astype(x.dtype)
+        zc = self.cfg.layernorm_zero_centered_gamma
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros if zc else nn.initializers.ones, ("act_embed",)),
+            (dim,), jnp.float32)
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros, ("act_embed",)),
+            (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.cfg.layernorm_epsilon)
+        g = (1.0 + scale) if zc else scale
+        return (y * g + bias).astype(x.dtype)
 
 
 def make_norm(cfg: GPTConfig, name: str):
@@ -169,7 +182,7 @@ def causal_attention(
         scores = scores.astype(q.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v)
-    return out.reshape(B, Sq, H, D)
+    return out.reshape(B, Sq, H, v.shape[-1])
 
 
 class Attention(nn.Module):
@@ -290,6 +303,94 @@ class Attention(nn.Module):
         return out, kv_cache
 
 
+class MLAAttention(nn.Module):
+    """Multi-head Latent Attention (deepseek v2/v3; reference:
+    `nemo/collections/llm/gpt/model/deepseek.py` MLA fields of
+    DeepSeekV3Config, HF modeling_deepseek_v3 semantics).
+
+    q: x → (optional rank-r down-proj + RMSNorm) → per-head [nope | rope].
+    kv: x → one shared down-proj [kv_lora | shared k_rope]; the latent is
+    RMSNorm'd then up-projected per-head to [k_nope | v]. RoPE is applied
+    only to the rope slices (k_rope is head-shared — the MQA-like trick).
+
+    v0 caches the full post-rope K/V (correct; the latent-cache memory
+    optimization is a follow-up)."""
+
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
+                 segment_ids=None, *, train=False):
+        cfg = self.cfg
+        H = cfg.num_attention_heads
+        dn, dr, dv = cfg.qk_head_dim, cfg.qk_pos_emb_head_dim, cfg.v_head_dim
+        dtype = x.dtype
+        dense = partial(nn.DenseGeneral, use_bias=False, dtype=dtype,
+                        param_dtype=_dtype(cfg.params_dtype))
+
+        if cfg.q_lora_rank:
+            qd = dense(features=cfg.q_lora_rank,
+                       kernel_init=_init(cfg.init_method_std, ("embed", None)),
+                       name="q_down")(x)
+            qd = RMSNorm(cfg, dim=cfg.q_lora_rank, name="q_down_norm")(qd)
+            q = dense(features=(H, dn + dr),
+                      kernel_init=_init(cfg.init_method_std, (None, "heads", "qkv")),
+                      name="q_up")(qd)
+        else:
+            q = dense(features=(H, dn + dr),
+                      kernel_init=_init(cfg.init_method_std, ("embed", "heads", "qkv")),
+                      name="q_proj")(x)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+        kvd = dense(features=cfg.kv_lora_rank + dr,
+                    kernel_init=_init(cfg.init_method_std, ("embed", None)),
+                    name="kv_down")(x)
+        c_kv, k_pe = kvd[..., : cfg.kv_lora_rank], kvd[..., cfg.kv_lora_rank:]
+        c_kv = RMSNorm(cfg, dim=cfg.kv_lora_rank, name="kv_down_norm")(c_kv)
+        kv = dense(features=(H, dn + dv),
+                   kernel_init=_init(cfg.init_method_std, (None, "heads", "qkv")),
+                   name="kv_up")(c_kv)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+
+        # rope on the positional slices only (shared single-head k_pe)
+        inv = 1.0 / (cfg.rotary_base ** (np.arange(0, dr, 2, dtype=np.float64) / dr))
+        inv = jnp.asarray(inv.astype(np.float32))
+        q_pe = apply_rope(q_pe, positions, inv)
+        k_pe = apply_rope(k_pe[:, :, None, :], positions, inv)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (dr,))], axis=-1)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+
+        q = with_constraint(q, ("batch", "act_seq", "heads", None))
+        k = with_constraint(k, ("batch", "act_seq", "heads", None))
+        v = with_constraint(v, ("batch", "act_seq", "heads", None))
+
+        kv_offset = 0
+        if kv_cache is not None and kv_cache[0].shape[1] > 0:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
+            k, v = ck, cv
+            kv_cache = (ck, cv)
+            kv_offset = decode_index
+
+        scale = cfg.attention_multiplier or (1.0 / np.sqrt(dn + dr))
+        out = causal_attention(
+            q, k, v, scale=scale, window=cfg.window_size,
+            softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
+            kv_valid=kv_valid, segment_ids=segment_ids,
+        )
+        out = nn.DenseGeneral(
+            features=cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=dtype,
+            param_dtype=_dtype(cfg.params_dtype),
+            kernel_init=_init(cfg.init_method_std, ("heads", "qkv", "embed")),
+            name="o_proj",
+        )(out)
+        if cfg.attention_dropout:
+            out = nn.Dropout(cfg.attention_dropout, deterministic=not train)(out)
+        return out, kv_cache
+
+
 # --------------------------------------------------------------------------
 # MLP / MoE
 # --------------------------------------------------------------------------
@@ -370,7 +471,35 @@ class MoEMLP(nn.Module):
             kernel_init=_init(cfg.init_method_std, ("embed", None)),
             name="router",
         )(x.astype(jnp.float32))  # [B,S,E]
-        if cfg.moe_router_pre_softmax:
+        if cfg.moe_router_score_function == "sigmoid":
+            # deepseek-v3 routing: sigmoid scores; selection uses scores +
+            # e-score correction bias (aux-loss-free balancing) and optional
+            # group-limited topk; combine weights use the *unbiased* scores,
+            # normalized, × scaling factor (HF DeepseekV3TopkRouter).
+            scores = jax.nn.sigmoid(router)
+            sel = scores
+            if cfg.moe_router_enable_expert_bias:
+                expert_bias = self.param(
+                    "expert_bias",
+                    nn.with_logical_partitioning(nn.initializers.zeros, (None,)),
+                    (E,), jnp.float32)
+                sel = sel + jax.lax.stop_gradient(expert_bias)
+            if cfg.moe_router_num_groups:
+                ng, gk = cfg.moe_router_num_groups, cfg.moe_router_group_topk
+                gs = sel.reshape(B, S, ng, E // ng)
+                group_scores = jnp.sum(jax.lax.top_k(gs, 2)[0], axis=-1)  # [B,S,ng]
+                _, gidx = jax.lax.top_k(group_scores, gk)
+                gmask = jnp.any(
+                    jax.nn.one_hot(gidx, ng, dtype=jnp.bool_), axis=-2)  # [B,S,ng]
+                sel = jnp.where(
+                    jnp.repeat(gmask, E // ng, axis=-1), sel, 0.0)
+            _, top_i = jax.lax.top_k(sel, K)
+            top_w = jnp.take_along_axis(scores, top_i, axis=-1)
+            if cfg.moe_router_norm_topk_prob:
+                top_w = top_w / (jnp.sum(top_w, -1, keepdims=True) + 1e-20)
+            if cfg.moe_router_topk_scaling_factor:
+                top_w = top_w * cfg.moe_router_topk_scaling_factor
+        elif cfg.moe_router_pre_softmax:
             probs = jax.nn.softmax(router, axis=-1)
             top_w, top_i = jax.lax.top_k(probs, K)
         else:
@@ -461,6 +590,7 @@ class MoEMLP(nn.Module):
 class TransformerLayer(nn.Module):
     cfg: GPTConfig
     is_training: bool = False
+    layer_idx: Optional[int] = None  # set on the unrolled path (first-k-dense)
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
@@ -468,13 +598,16 @@ class TransformerLayer(nn.Module):
         cfg = self.cfg
         train = self.is_training
         h = make_norm(cfg, "input_norm")(x)
-        attn_out, kv_cache = Attention(cfg, name="attention")(
+        attn_cls = MLAAttention if cfg.kv_lora_rank else Attention
+        attn_out, kv_cache = attn_cls(cfg, name="attention")(
             h, positions, kv_cache=kv_cache, decode_index=decode_index,
             kv_valid=kv_valid, segment_ids=segment_ids, train=train
         )
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
-        if cfg.num_moe_experts > 0:
+        use_moe = cfg.num_moe_experts > 0 and (
+            self.layer_idx is None or self.layer_idx >= cfg.moe_first_k_dense)
+        if use_moe:
             mlp_out = MoEMLP(cfg, name="moe")(h, train=train)
         else:
             mlp_out = MLP(cfg, name="mlp")(h, train=train)
@@ -542,10 +675,8 @@ class GPTModel(nn.Module):
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
             if kv_caches is None:
-                caches_in = (
-                    jnp.zeros((cfg.num_layers, B, 0, cfg.n_kv_heads, cfg.head_dim), dtype),
-                    jnp.zeros((cfg.num_layers, B, 0, cfg.n_kv_heads, cfg.head_dim), dtype),
-                )
+                empty = init_kv_caches(cfg, B, 0, dtype)
+                caches_in = (empty[0], empty[1])
             else:
                 caches_in = kv_caches  # stacked [L, B, T, G, D] pair
             x, new_caches = ScanLayers(cfg, is_training=train, name="layers")(
@@ -559,7 +690,7 @@ class GPTModel(nn.Module):
                 cache_i = None
                 if kv_caches is not None:
                     cache_i = (kv_caches[0][i], kv_caches[1][i])
-                x, cache_i = TransformerLayer(cfg, is_training=train, name=f"layer{i}")(
+                x, cache_i = TransformerLayer(cfg, is_training=train, layer_idx=i, name=f"layer{i}")(
                     x, positions, cache_i, decode_index, kv_valid, segment_ids
                 )
                 new_caches.append(cache_i)
@@ -596,7 +727,13 @@ class GPTModel(nn.Module):
 
 
 def init_kv_caches(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    """Stacked KV cache: ([L, B, T, G, D], [L, B, T, G, D])."""
-    G, D = cfg.n_kv_heads, cfg.head_dim
-    shape = (cfg.num_layers, batch, max_len, G, D)
-    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    """Stacked KV cache: ([L, B, T, G, Dk], [L, B, T, G, Dv])."""
+    if cfg.kv_lora_rank:  # MLA: full-head K (nope+rope) and V
+        G = cfg.num_attention_heads
+        Dk, Dv = cfg.qk_head_dim + cfg.qk_pos_emb_head_dim, cfg.v_head_dim
+    else:
+        G, Dk, Dv = cfg.n_kv_heads, cfg.head_dim, cfg.head_dim
+    return (
+        jnp.zeros((cfg.num_layers, batch, max_len, G, Dk), dtype),
+        jnp.zeros((cfg.num_layers, batch, max_len, G, Dv), dtype),
+    )
