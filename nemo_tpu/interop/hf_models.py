@@ -155,6 +155,51 @@ def params_from_hf_deepseek(sd: Dict[str, np.ndarray], cfg: GPTConfig,
     return params
 
 
+def config_from_hf_mamba2(c):
+    from nemo_tpu.models.llm.ssm import SSMConfig
+
+    return SSMConfig(
+        num_layers=c.num_hidden_layers,
+        hidden_size=c.hidden_size,
+        vocab_size=c.vocab_size,
+        num_heads=c.num_heads,
+        head_dim=c.head_dim,
+        n_groups=c.n_groups,
+        state_size=c.state_size,
+        conv_kernel=c.conv_kernel,
+        chunk_size=c.chunk_size,
+        layernorm_epsilon=c.layer_norm_epsilon,
+        time_step_limit=tuple(c.time_step_limit),
+        use_conv_bias=c.use_conv_bias,
+        share_embeddings_and_output_weights=bool(c.tie_word_embeddings),
+    )
+
+
+def params_from_hf_mamba2(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    params: Dict[str, Any] = {
+        "embedding": sd["backbone.embeddings.weight"],
+        "norm_f": {"scale": sd["backbone.norm_f.weight"]},
+    }
+    if not cfg.share_embeddings_and_output_weights:
+        params["lm_head"] = {"kernel": np.transpose(sd["lm_head.weight"])}
+    for i in range(cfg.num_layers):
+        pre = f"backbone.layers.{i}"
+        params[f"norm{i}"] = {"scale": sd[f"{pre}.norm.weight"]}
+        mixer = {
+            "in_proj": {"kernel": np.transpose(sd[f"{pre}.mixer.in_proj.weight"])},
+            "conv_kernel": np.transpose(sd[f"{pre}.mixer.conv1d.weight"][:, 0, :]),
+            "dt_bias": sd[f"{pre}.mixer.dt_bias"],
+            "A_log": sd[f"{pre}.mixer.A_log"],
+            "D": sd[f"{pre}.mixer.D"],
+            "norm_scale": sd[f"{pre}.mixer.norm.weight"],
+            "out_proj": {"kernel": np.transpose(sd[f"{pre}.mixer.out_proj.weight"])},
+        }
+        if cfg.use_conv_bias:
+            mixer["conv_bias"] = sd[f"{pre}.mixer.conv1d.bias"]
+        params[f"mixer{i}"] = mixer
+    return params
+
+
 def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
     """Any supported HF causal LM → (GPTConfig, params). Dispatches on
     config.model_type; llama/mistral/qwen2/qwen3-style handled by hf_llama."""
@@ -168,6 +213,9 @@ def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
     sd = {k: v.detach().to("cpu").float().numpy() for k, v in hf.state_dict().items()}
     mt = c.model_type
 
+    if mt == "mamba2":
+        cfg = config_from_hf_mamba2(c)
+        return cfg, params_from_hf_mamba2(sd, cfg)
     if mt == "deepseek_v3":
         cfg = config_from_hf_deepseek(c)
         return cfg, params_from_hf_deepseek(

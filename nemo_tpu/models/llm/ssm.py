@@ -1,0 +1,304 @@
+"""Mamba2 (SSD) mixer + hybrid attention/mamba/MLP stack, TPU-native.
+
+Reference parity: `nemo/collections/llm/gpt/model/ssm.py` (SSMConfig,
+NemotronH/mamba2 hybrid families backed by megatron's mamba_block) and
+HF `modeling_mamba2.py` semantics (in_proj [z|xBC|dt] layout, causal
+depthwise conv, softplus dt, gated RMSNorm, D skip).
+
+TPU-first design: the selective-state-space recurrence runs in the
+*chunked SSD* formulation — intra-chunk work is batched matmuls
+(C·Bᵀ ⊙ decay) that ride the MXU, and the inter-chunk state handoff is a
+`lax.scan` over chunk boundaries (seq_len/chunk_size steps). No per-token
+scan, no torch-style python loops; everything is static-shaped for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nemo_tpu.models.llm.config import GPTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SSMConfig:
+    """Mamba2 / hybrid model config (reference: ssm.py SSMConfig +
+    HF Mamba2Config field names)."""
+
+    num_layers: int = 2
+    hidden_size: int = 64
+    vocab_size: int = 128
+    seq_length: int = 128
+    # mamba mixer
+    num_heads: int = 8
+    head_dim: int = 8  # d_inner = num_heads * head_dim
+    n_groups: int = 2
+    state_size: int = 16
+    conv_kernel: int = 4
+    chunk_size: int = 64
+    layernorm_epsilon: float = 1e-5
+    time_step_limit: Tuple[float, float] = (0.0, float("inf"))
+    use_conv_bias: bool = True
+    share_embeddings_and_output_weights: bool = True
+    # hybrid layout: one char per layer — 'M' mamba, '*' attention, '-' MLP.
+    # None → all-'M' (pure mamba2). Reference: NemotronH hybrid_override_pattern.
+    hybrid_override_pattern: Optional[str] = None
+    # attention/MLP blocks ('*','-') are configured by this sub-config
+    attn: Optional[GPTConfig] = None
+    init_method_std: float = 0.02
+    compute_dtype: str = "float32"
+
+    @property
+    def d_inner(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return self.d_inner + 2 * self.n_groups * self.state_size
+
+    def pattern(self) -> str:
+        return self.hybrid_override_pattern or "M" * self.num_layers
+
+
+def _segsum(a: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular pairwise cumulative sums: out[..., t, s] =
+    sum(a[..., s+1:t+1]), -inf above the diagonal."""
+    T = a.shape[-1]
+    cum = jnp.cumsum(a, axis=-1)
+    d = cum[..., :, None] - cum[..., None, :]
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    return jnp.where(mask, d, -jnp.inf)
+
+
+def ssd_chunked(x, dt, A, B, C, D, chunk: int, prev_state=None):
+    """Chunked SSD (Mamba-2): recurrence h_t = exp(dt_t·A) h_{t-1} + dt_t·B_t⊗x_t,
+    y_t = C_t·h_t + D·x_t.
+
+    x: [b,T,h,p]; dt: [b,T,h] (post-softplus); A: [h] (negative);
+    B,C: [b,T,h,n] (already head-broadcast); D: [h].
+    Returns (y [b,T,h,p], final_state [b,h,p,n]).
+    T must be a multiple of `chunk` (pad upstream)."""
+    b, T, h, p = x.shape
+    n = B.shape[-1]
+    c = T // chunk
+    xd = x * dt[..., None]  # discretized input
+    dA = dt * A  # [b,T,h]
+
+    def r(t, last=()):  # [b,T,...] → [b,c,chunk,...]
+        return t.reshape((b, c, chunk) + t.shape[2:])
+
+    xd, dAc, Bc, Cc = r(xd), r(dA), r(B), r(C)
+    Acum = jnp.cumsum(dAc, axis=2)  # [b,c,q,h]
+
+    # intra-chunk (diagonal blocks): masked "attention" matmuls
+    L = jnp.exp(_segsum(jnp.moveaxis(dAc, -1, 2)))  # [b,c,h,q,q]
+    G = jnp.einsum("bcqhn,bcshn->bchqs", Cc, Bc)
+    M = G * L
+    Y_diag = jnp.einsum("bchqs,bcshp->bcqhp", M, xd)
+
+    # per-chunk input→state contribution
+    decay_states = jnp.exp(Acum[:, :, -1:, :] - Acum)  # [b,c,q,h]
+    S = jnp.einsum("bcqhn,bcqh,bcqhp->bchpn", Bc, decay_states, xd)
+
+    # inter-chunk recurrence over chunk boundaries (lax.scan, c steps)
+    A_tot = jnp.exp(Acum[:, :, -1, :])  # [b,c,h]
+    if prev_state is None:
+        prev_state = jnp.zeros((b, h, p, n), S.dtype)
+
+    def step(hstate, inp):
+        a_c, s_c = inp  # [b,h], [b,h,p,n]
+        new = hstate * a_c[..., None, None] + s_c
+        return new, hstate  # emit the state at the *start* of the chunk
+
+    final, h0 = jax.lax.scan(step, prev_state,
+                             (jnp.moveaxis(A_tot, 1, 0), jnp.moveaxis(S, 1, 0)))
+    h0 = jnp.moveaxis(h0, 0, 1)  # [b,c,h,p,n]
+
+    # state → output within each chunk
+    Y_off = jnp.einsum("bcqhn,bchpn,bcqh->bcqhp", Cc, h0, jnp.exp(Acum))
+    y = (Y_diag + Y_off).reshape(b, T, h, p) + x * D[None, None, :, None]
+    return y, final
+
+
+class Mamba2Mixer(nn.Module):
+    """HF-parity Mamba2 mixer; one fused in_proj → [z | x,B,C | dt],
+    causal depthwise conv+silu on [x,B,C], chunked SSD, gated RMSNorm."""
+
+    cfg: SSMConfig
+
+    @nn.compact
+    def __call__(self, u):
+        cfg = self.cfg
+        bsz, T, Dm = u.shape
+        di, g, n, H, p = cfg.d_inner, cfg.n_groups, cfg.state_size, cfg.num_heads, cfg.head_dim
+        proj = nn.DenseGeneral(
+            features=2 * di + 2 * g * n + H, use_bias=False, dtype=u.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.normal(cfg.init_method_std), ("embed", "mlp")),
+            name="in_proj")(u)
+        z, xBC, dt = jnp.split(proj, [di, di + cfg.conv_dim], axis=-1)
+
+        # causal depthwise conv over time (conv state = last K-1 inputs)
+        K = cfg.conv_kernel
+        w = self.param("conv_kernel",
+                       nn.with_logical_partitioning(
+                           nn.initializers.lecun_normal(), (None, "mlp")),
+                       (K, cfg.conv_dim), jnp.float32)
+        xBC_pad = jnp.pad(xBC, ((0, 0), (K - 1, 0), (0, 0)))
+        conv = jax.lax.conv_general_dilated(
+            xBC_pad.astype(jnp.float32), w[:, None, :],
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=cfg.conv_dim)
+        if cfg.use_conv_bias:
+            cb = self.param("conv_bias",
+                            nn.with_logical_partitioning(nn.initializers.zeros, ("mlp",)),
+                            (cfg.conv_dim,), jnp.float32)
+            conv = conv + cb
+        xBC = nn.silu(conv).astype(u.dtype)
+
+        x, B, C = jnp.split(xBC, [di, di + g * n], axis=-1)
+        x = x.reshape(bsz, T, H, p).astype(jnp.float32)
+        B = B.reshape(bsz, T, g, n).astype(jnp.float32)
+        C = C.reshape(bsz, T, g, n).astype(jnp.float32)
+        B = jnp.repeat(B, H // g, axis=2)
+        C = jnp.repeat(C, H // g, axis=2)
+
+        dt_bias = self.param("dt_bias",
+                             nn.with_logical_partitioning(nn.initializers.zeros, (None,)),
+                             (H,), jnp.float32)
+        A_log = self.param("A_log",
+                           nn.with_logical_partitioning(
+                               lambda key, shape, dtype: jnp.log(
+                                   jnp.arange(1, shape[0] + 1, dtype=jnp.float32)),
+                               (None,)),
+                           (H,), jnp.float32)
+        Dskip = self.param("D",
+                           nn.with_logical_partitioning(nn.initializers.ones, (None,)),
+                           (H,), jnp.float32)
+        dt = jax.nn.softplus(dt.astype(jnp.float32) + dt_bias)
+        lo, hi = cfg.time_step_limit
+        if lo > 0.0 or np.isfinite(hi):
+            dt = jnp.clip(dt, lo, hi)
+        A = -jnp.exp(A_log)
+
+        # pad T to a chunk multiple (masked tail contributes nothing to y[:T])
+        Q = cfg.chunk_size
+        pad = (-T) % Q
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+            B = jnp.pad(B, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        y, _ = ssd_chunked(x, dt, A, B, C, Dskip, Q)
+        y = y[:, :T].reshape(bsz, T, di)
+
+        # gated RMSNorm: norm(y * silu(z)) * scale
+        scale = self.param("norm_scale",
+                           nn.with_logical_partitioning(nn.initializers.ones, ("mlp",)),
+                           (di,), jnp.float32)
+        y = y * nn.silu(z.astype(jnp.float32))
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
+        y = (y * jax.lax.rsqrt(var + 1e-5) * scale).astype(u.dtype)
+
+        return nn.DenseGeneral(
+            features=Dm, use_bias=False, dtype=u.dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.normal(cfg.init_method_std), ("mlp", "embed")),
+            name="out_proj")(y)
+
+
+class _RMS(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale",
+                           nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
+                           (x.shape[-1],), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        y = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), -1, keepdims=True) + self.eps)
+        return (y * scale).astype(x.dtype)
+
+
+class SSMModel(nn.Module):
+    """Pure-mamba2 or hybrid (pattern) causal LM.
+
+    'M' layers: pre-norm Mamba2Mixer residual. '*': pre-norm GPT attention.
+    '-': pre-norm GPT MLP. Attention/MLP blocks read cfg.attn (a GPTConfig)."""
+
+    cfg: SSMConfig
+
+    @nn.compact
+    def __call__(self, tokens, positions=None, *, train=False):
+        from nemo_tpu.models.llm.gpt import MLP, Attention
+
+        cfg = self.cfg
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+        Bsz, S = tokens.shape
+        if positions is None:
+            positions = jnp.arange(S)[None, :].repeat(Bsz, 0)
+        embed = self.param(
+            "embedding",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(cfg.init_method_std), ("vocab", "embed")),
+            (cfg.vocab_size, cfg.hidden_size), jnp.float32)
+        x = jnp.take(embed, tokens, axis=0).astype(dtype)
+        pat = cfg.pattern()
+        assert len(pat) == cfg.num_layers, "pattern length must equal num_layers"
+        acfg = cfg.attn
+        for i, ch in enumerate(pat):
+            h = _RMS(cfg.layernorm_epsilon, name=f"norm{i}")(x)
+            if ch == "M":
+                x = x + Mamba2Mixer(cfg, name=f"mixer{i}")(h)
+            elif ch == "*":
+                out, _ = Attention(acfg, name=f"attention{i}")(
+                    h, positions, train=train)
+                x = x + out
+            elif ch == "-":
+                x = x + MLP(acfg, name=f"mlp{i}")(h, train=train)
+            else:
+                raise ValueError(f"unknown pattern char {ch!r}")
+        x = _RMS(cfg.layernorm_epsilon, name="norm_f")(x)
+        if cfg.share_embeddings_and_output_weights:
+            logits = jnp.einsum("bsd,vd->bsv", x, embed.astype(dtype))
+        else:
+            logits = nn.DenseGeneral(
+                features=cfg.vocab_size, use_bias=False, dtype=dtype,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.normal(cfg.init_method_std), ("embed", "vocab")),
+                name="lm_head")(x)
+        return logits.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# presets (reference: ssm.py + nemotron-h configs)
+# --------------------------------------------------------------------------
+
+
+def mamba2_2_7b(**kw) -> SSMConfig:
+    d = dict(num_layers=64, hidden_size=2560, vocab_size=50288, seq_length=4096,
+             num_heads=80, head_dim=64, n_groups=1, state_size=128, chunk_size=256)
+    d.update(kw)
+    return SSMConfig(**d)
+
+
+def nemotron_h_8b(**kw) -> SSMConfig:
+    """52-layer hybrid: attention every 8th mamba block + interleaved MLPs
+    (reference: gpt/model/ssm.py NemotronHConfig8B pattern)."""
+    pat = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    d = dict(num_layers=len(pat), hidden_size=4096, vocab_size=131072,
+             seq_length=8192, num_heads=128, head_dim=64, n_groups=8,
+             state_size=128, chunk_size=256,
+             hybrid_override_pattern=pat,
+             attn=GPTConfig(hidden_size=4096, num_attention_heads=32,
+                            num_query_groups=8, ffn_hidden_size=21504,
+                            gated_linear_unit=False, activation="squared_relu",
+                            position_embedding_type="none"))
+    d.update(kw)
+    return SSMConfig(**d)

@@ -1,0 +1,122 @@
+"""Mamba2/SSD + hybrid model tests (reference: gpt/model/ssm.py, HF mamba2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.models.llm.config import GPTConfig
+from nemo_tpu.models.llm.ssm import SSMConfig, SSMModel, ssd_chunked
+
+
+def _ssd_reference(x, dt, A, B, C, D):
+    """Per-token recurrence in numpy (ground truth)."""
+    b, T, h, p = x.shape
+    n = B.shape[-1]
+    hstate = np.zeros((b, h, p, n), np.float64)
+    ys = []
+    for t in range(T):
+        dA = np.exp(dt[:, t] * A)  # [b,h]
+        hstate = hstate * dA[..., None, None] + (
+            dt[:, t][..., None, None] * x[:, t][..., None] * B[:, t][:, :, None, :])
+        y = np.einsum("bhpn,bhn->bhp", hstate, C[:, t]) + D[None, :, None] * x[:, t]
+        ys.append(y)
+    return np.stack(ys, 1)
+
+
+@pytest.mark.parametrize("chunk", [4, 8, 16])
+def test_ssd_chunked_matches_recurrence(chunk):
+    rng = np.random.RandomState(0)
+    b, T, h, p, n = 2, 16, 3, 4, 5
+    x = rng.randn(b, T, h, p).astype(np.float32)
+    dt = np.abs(rng.randn(b, T, h)).astype(np.float32) * 0.5
+    A = -np.abs(rng.randn(h)).astype(np.float32)
+    B = rng.randn(b, T, h, n).astype(np.float32)
+    C = rng.randn(b, T, h, n).astype(np.float32)
+    D = rng.randn(h).astype(np.float32)
+    ref = _ssd_reference(x, dt, A, B, C, D)
+    y, final = ssd_chunked(*map(jnp.asarray, (x, dt, A, B, C, D)), chunk)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
+    # final state matches recurrence final state
+    hstate = np.zeros((b, h, p, n), np.float64)
+    for t in range(T):
+        dA = np.exp(dt[:, t] * A)
+        hstate = hstate * dA[..., None, None] + (
+            dt[:, t][..., None, None] * x[:, t][..., None] * B[:, t][:, :, None, :])
+    np.testing.assert_allclose(np.asarray(final), hstate, atol=1e-4, rtol=1e-4)
+
+
+def test_hf_mamba2_parity():
+    import torch
+    from transformers import Mamba2Config
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2ForCausalLM
+
+    from nemo_tpu.interop.hf_models import import_hf_model
+
+    torch.manual_seed(0)
+    c = Mamba2Config(hidden_size=32, num_heads=8, head_dim=8, expand=2,
+                     n_groups=2, state_size=16, num_hidden_layers=2,
+                     vocab_size=100, conv_kernel=4, chunk_size=8)
+    m = Mamba2ForCausalLM(c).eval()
+    cfg, params = import_hf_model(m)
+    tok = np.random.RandomState(0).randint(0, 99, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.tensor(tok, dtype=torch.long)).logits.float().numpy()
+    ours = np.asarray(SSMModel(cfg).apply({"params": params}, jnp.asarray(tok)))
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-3)
+
+
+def test_mamba_causality():
+    cfg = SSMConfig(num_layers=2, hidden_size=32, vocab_size=100, num_heads=4,
+                    head_dim=8, n_groups=2, state_size=8, chunk_size=8)
+    model = SSMModel(cfg)
+    rng = np.random.RandomState(0)
+    t1 = rng.randint(0, 100, (1, 16)).astype(np.int32)
+    t2 = t1.copy()
+    t2[0, 10:] = (t2[0, 10:] + 7) % 100
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(t1))
+    l1 = model.apply(v, jnp.asarray(t1))
+    l2 = model.apply(v, jnp.asarray(t2))
+    np.testing.assert_allclose(np.asarray(l1)[:, :10], np.asarray(l2)[:, :10],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_hybrid_pattern_trains():
+    """nemotron-h-style hybrid (mamba + attention + MLP) one grad step."""
+    import optax
+
+    cfg = SSMConfig(
+        num_layers=4, hidden_size=32, vocab_size=100, num_heads=4, head_dim=8,
+        n_groups=2, state_size=8, chunk_size=8,
+        hybrid_override_pattern="M*-M",
+        attn=GPTConfig(hidden_size=32, num_attention_heads=4,
+                       num_query_groups=2, ffn_hidden_size=64,
+                       position_embedding_type="none", compute_dtype="float32"))
+    model = SSMModel(cfg)
+    rng = np.random.RandomState(0)
+    tok = jnp.asarray(rng.randint(0, 100, (2, 16)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tok)["params"]
+    import flax.linen as nn
+    params = nn.meta.unbox(params)
+    opt = optax.adam(1e-3)
+    ost = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, tok)
+        lp = jax.nn.log_softmax(logits[:, :-1])
+        return -jnp.mean(jnp.take_along_axis(lp, tok[:, 1:, None], -1))
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    upd, ost = opt.update(grads, ost)
+    params = optax.apply_updates(params, upd)
+    l1 = loss_fn(params)
+    assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+
+def test_ssm_presets():
+    from nemo_tpu.models.llm.ssm import mamba2_2_7b, nemotron_h_8b
+
+    assert mamba2_2_7b().num_layers == 64
+    nh = nemotron_h_8b()
+    assert len(nh.pattern()) == nh.num_layers
