@@ -1,6 +1,7 @@
 """AED multitask (Canary-style): e2e tiny train + prompted decode."""
 
 import numpy as np
+import pytest
 import optax
 
 import jax
@@ -34,6 +35,7 @@ def _tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_aed_train_loss_decreases_and_decodes():
     m = EncDecMultiTaskModel(_tiny_cfg())
     rng = np.random.RandomState(0)

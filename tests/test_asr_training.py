@@ -82,6 +82,7 @@ def test_ctc_training_loss_drops(toy_corpus):
     assert isinstance(out[0], str)
 
 
+@pytest.mark.slow
 def test_interctc_training(toy_corpus):
     """InterCTC aux loss trains through intermediate conformer captures."""
     from nemo_tpu.models.asr.configs import conformer_ctc

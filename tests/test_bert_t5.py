@@ -49,6 +49,7 @@ def _tiny_t5():
                     dropout=0.0)
 
 
+@pytest.mark.slow
 def test_t5_forward_loss_decode():
     cfg = _tiny_t5()
     model = T5Model(cfg)

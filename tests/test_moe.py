@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,7 @@ def test_topk_dispatch_gradients_match_dense():
         )
 
 
+@pytest.mark.slow
 def test_topk_flops_scale_with_topk_not_experts():
     """Compiled per-step FLOPs of top-2-of-8 dispatch must be well below the
     dense all-experts einsum (VERDICT r1: 'assert via cost analysis')."""
@@ -80,6 +82,7 @@ def test_topk_flops_scale_with_topk_not_experts():
     assert f_topk < 0.55 * f_dense, (f_topk, f_dense)
 
 
+@pytest.mark.slow
 def test_moe_ep_sharded_train_step():
     from nemo_tpu.models.llm.train import GPTTrainModule
     from nemo_tpu.parallel.mesh import MeshConfig

@@ -301,6 +301,7 @@ class TorchPredJoint(tnn.Module):
         return self.joint.joint_net(h)
 
 
+@pytest.mark.slow
 def test_rnnt_prediction_joint_import_numerics():
     from nemo_tpu.core.config import ConfigDict
     from nemo_tpu.interop.nemo_import import convert_rnnt_state

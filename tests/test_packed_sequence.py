@@ -1,6 +1,7 @@
 """Packed-sequence tests: bin packing + segment-id attention equivalence."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,7 @@ def test_first_fit_pack():
     assert first_fit_pack([10], 8) == []
 
 
+@pytest.mark.slow
 def test_packed_forward_matches_separate():
     cfg = tiny_test(seq_length=16, scan_layers=False, remat="none")
     model = GPTModel(cfg)

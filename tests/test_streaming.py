@@ -26,6 +26,7 @@ def causal_model():
     return EncDecCTCModel(cfg)
 
 
+@pytest.mark.slow
 def test_streaming_matches_offline(causal_model):
     rng = np.random.RandomState(0)
     audio = (rng.randn(48000) * 0.1).astype(np.float32)

@@ -58,6 +58,7 @@ def test_hifigan_vocoder(hifigan):
     assert np.abs(np.asarray(audio)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_hifigan_gan_steps(hifigan):
     from nemo_tpu.ops.audio import mel_spectrogram
 
