@@ -275,9 +275,15 @@ def import_ckpt(source: str):
 
 
 def export_ckpt(cfg: GPTConfig, params, target: str, output_path: str):
-    """Export to HF layout (reference api.py:986)."""
+    """Export a checkpoint (reference api.py:986). Targets:
+    "hf" (HF state-dict layout), "stablehlo" (serialized jax.export saved
+    program + weights — the TPU engine-export analog of export/tensorrt_llm.py)."""
+    if target == "stablehlo":
+        from nemo_tpu.export import export_gpt_logits
+
+        return export_gpt_logits(cfg, params, output_path)
     if target != "hf":
-        raise ValueError("only target='hf' supported")
+        raise ValueError("target must be 'hf' or 'stablehlo'")
     import os
 
     import torch
