@@ -622,14 +622,34 @@ class GPTModel(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
+    def embed_tokens(self, tokens):
+        """Token → embedding lookup (same 'embedding' param as __call__);
+        multimodal callers build spliced inputs_embeds from this."""
+        embed = self.param(
+            "embedding",
+            _init(self.cfg.init_method_std, ("vocab", "embed")),
+            (self.cfg.vocab_size, self.cfg.hidden_size),
+            _dtype(self.cfg.params_dtype),
+        )
+        return jnp.take(embed, tokens, axis=0)
+
+    @nn.compact
     def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None,
-                 kv_valid=None, segment_ids=None, train=False, output_hidden=False):
+                 kv_valid=None, segment_ids=None, train=False, output_hidden=False,
+                 inputs_embeds=None):
         """output_hidden=True → return the final-norm hidden states [B,S,D]
         instead of logits (the fused-CE training path computes the LM head
-        inside the loss to avoid materializing [B,S,V])."""
+        inside the loss to avoid materializing [B,S,V]).
+
+        inputs_embeds [B,S,D] bypasses token embedding — the multimodal
+        entry point (speechlm/vlm splice audio/vision embeddings in;
+        reference: speechlm2 SALM / vlm NeVA input pipelines)."""
         cfg = self.cfg
         dtype = _dtype(cfg.compute_dtype)
-        B, S = tokens.shape
+        if inputs_embeds is not None:
+            B, S = inputs_embeds.shape[:2]
+        else:
+            B, S = tokens.shape
         if positions is None:
             positions = jnp.arange(S)[None, :].repeat(B, 0)
 
@@ -639,7 +659,10 @@ class GPTModel(nn.Module):
             (cfg.vocab_size, cfg.hidden_size),
             _dtype(cfg.params_dtype),
         )
-        x = jnp.take(embed, tokens, axis=0).astype(dtype)
+        if inputs_embeds is not None:
+            x = inputs_embeds.astype(dtype)
+        else:
+            x = jnp.take(embed, tokens, axis=0).astype(dtype)
         if cfg.embedding_multiplier:
             x = x * jnp.asarray(cfg.embedding_multiplier, dtype)
         if cfg.position_embedding_type == "learned_absolute":

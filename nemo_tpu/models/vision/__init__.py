@@ -1,0 +1,3 @@
+"""Vision collection (reference: nemo/collections/vision, vlm encoders)."""
+
+from nemo_tpu.models.vision.vit import ViT, ViTConfig  # noqa: F401
