@@ -132,6 +132,114 @@ class GenerationEngine:
         return results
 
 
+class ContinuousBatchingEngine:
+    """vLLM-style continuous batching on a fixed slot pool.
+
+    Reference parity: the deploy stack's dynamic batching (SURVEY §2.7;
+    the reference leans on Triton/vLLM for this — here it is native).
+
+    TPU-native shape: a shared KV-cache pool [L, slots, max_len, ...];
+    per-request prefill writes one slot (few bucketed shapes → few
+    compiles), then ONE jitted decode program steps every active slot
+    per iteration with per-slot write indices (scatter on the time axis)
+    and per-slot causal offsets. Requests join and retire mid-flight
+    without touching other slots — no recompiles in steady state."""
+
+    def __init__(self, cfg: GPTConfig, params, *, max_slots: int = 4,
+                 max_len: int = 512, prefill_buckets: Sequence[int] = (32, 64, 128),
+                 cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.model = GPTModel(cfg)
+        self.params = params
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.buckets = sorted(prefill_buckets)
+        self.caches = init_kv_caches(cfg, max_slots, max_len, cache_dtype)
+        self.cur_len = np.zeros(max_slots, np.int64)  # next write index per slot
+        self._prefill_jit = {}
+        self._decode_jit = None
+        model = self.model
+
+        def prefill(params, k_cache, v_cache, slot, tokens, plen, temperature, rng):
+            """tokens [1, Sb] right-padded; writes slot's KV, returns first tok."""
+            Sb = tokens.shape[1]
+            positions = jnp.arange(Sb)[None, :]
+            kv_valid = (jnp.arange(self.max_len) < plen)[None, :]
+            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
+            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            logits, (kc, vc) = model.apply(
+                {"params": params}, tokens, positions,
+                kv_caches=(kc, vc), decode_index=0, kv_valid=kv_valid)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc, slot, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc, slot, axis=1)
+            last = logits[0, plen - 1]
+            tok = _temp_sample(last[None], rng, temperature)[0]
+            return k_cache, v_cache, tok
+
+        def decode(params, k_cache, v_cache, tok, cur_len, temperature, rng):
+            """One step for every slot: tok [B] feeds, writes at cur_len [B]."""
+            positions = cur_len[:, None].astype(jnp.int32)
+            kv_valid = jnp.arange(self.max_len)[None, :] <= cur_len[:, None]
+            logits, (k_cache, v_cache) = model.apply(
+                {"params": params}, tok[:, None], positions,
+                kv_caches=(k_cache, v_cache),
+                decode_index=cur_len.astype(jnp.int32), kv_valid=kv_valid)
+            nxt = _temp_sample(logits[:, 0], rng, temperature)
+            return k_cache, v_cache, nxt
+
+        self._prefill_fn = prefill
+        self._decode_fn = decode
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def prefill_slot(self, slot: int, prompt_ids: Sequence[int],
+                     temperature: float = 0.0, seed: int = 0) -> int:
+        """Admit a request into `slot`; returns its first generated token."""
+        Sb = self._bucket(len(prompt_ids))
+        if Sb not in self._prefill_jit:
+            self._prefill_jit[Sb] = jax.jit(self._prefill_fn)
+        ids = list(prompt_ids)[-Sb:]
+        toks = np.zeros((1, Sb), np.int32)
+        toks[0, : len(ids)] = ids
+        k, v, tok = self._prefill_jit[Sb](
+            self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
+            jnp.asarray(toks), jnp.asarray(len(ids)),
+            jnp.asarray(temperature, jnp.float32), jax.random.PRNGKey(seed))
+        self.caches = (k, v)
+        self.cur_len[slot] = len(ids)
+        return int(tok)
+
+    def decode_step(self, feed_tokens: np.ndarray, active: np.ndarray,
+                    temperature: float = 0.0, seed: int = 0) -> np.ndarray:
+        """feed_tokens [slots] (last sampled per slot; 0 for inactive).
+        Advances active slots one token; returns next tokens [slots]."""
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(self._decode_fn)
+        k, v, nxt = self._decode_jit(
+            self.params, self.caches[0], self.caches[1],
+            jnp.asarray(feed_tokens, jnp.int32), jnp.asarray(self.cur_len),
+            jnp.asarray(temperature, jnp.float32), jax.random.PRNGKey(seed))
+        self.caches = (k, v)
+        self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
+        return np.asarray(nxt)
+
+    def free_slot(self, slot: int):
+        self.cur_len[slot] = 0
+
+
+def _temp_sample(logits: jnp.ndarray, rng, temperature) -> jnp.ndarray:
+    """Greedy when temperature==0 else categorical — one program for both
+    (lax.cond keeps the decode jit cache at size 1)."""
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    sampled = jax.random.categorical(
+        rng, logits / jnp.maximum(temperature, 1e-6), axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
 def generate(
     cfg: GPTConfig,
     params,

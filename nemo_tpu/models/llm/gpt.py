@@ -137,6 +137,21 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) ->
     return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
 
 
+def _update_kv_cache(ck, cv, k, v, decode_index):
+    """Write new K/V into the cache at decode_index — a scalar (all slots at
+    the same depth: batch generate) or a per-slot [B] vector (continuous
+    batching: one scatter along the time axis per slot, Sq must be 1)."""
+    idx = jnp.asarray(decode_index)
+    if idx.ndim == 1:
+        B = k.shape[0]
+        ck = ck.at[jnp.arange(B), idx].set(k[:, 0].astype(ck.dtype))
+        cv = cv.at[jnp.arange(B), idx].set(v[:, 0].astype(cv.dtype))
+    else:
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
+    return ck, cv, (ck, cv), decode_index
+
+
 # --------------------------------------------------------------------------
 # Attention
 # --------------------------------------------------------------------------
@@ -156,9 +171,10 @@ def causal_attention(
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
-    decode (q at slot kv_offset..kv_offset+Sq-1 attends to k slots ≤ that);
-    kv_valid additionally masks out slots (left-padded prompts in batched
-    generation)."""
+    decode (q at slot kv_offset..kv_offset+Sq-1 attends to k slots ≤ that) —
+    scalar, or per-batch [B] for continuous batching where every slot sits
+    at its own depth; kv_valid additionally masks out slots (left-padded
+    prompts in batched generation)."""
     B, Sq, H, D = q.shape
     G = k.shape[2]
     rep = H // G
@@ -166,12 +182,15 @@ def causal_attention(
     scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     Skv = k.shape[1]
-    qpos = jnp.arange(Sq) + kv_offset
+    kv_off = jnp.asarray(kv_offset)
+    if kv_off.ndim == 1:  # per-slot offsets [B]
+        qpos = jnp.arange(Sq)[None, :] + kv_off[:, None]  # [B, Sq]
+    else:
+        qpos = jnp.broadcast_to(jnp.arange(Sq) + kv_off, (B, Sq))
     kpos = jnp.arange(Skv)
-    mask = kpos[None, :] <= qpos[:, None]
+    mask = kpos[None, None, :] <= qpos[:, :, None]  # [B, Sq, Skv]
     if window is not None:
-        mask = mask & (kpos[None, :] > qpos[:, None] - window)
-    mask = jnp.broadcast_to(mask[None], (B, Sq, Skv))
+        mask = mask & (kpos[None, None, :] > qpos[:, :, None] - window)
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
     if segment_ids is not None:
@@ -221,11 +240,7 @@ class Attention(nn.Module):
         kv_offset = 0
         if kv_cache is not None and kv_cache[0].shape[1] > 0:
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
-            k, v = ck, cv
-            kv_cache = (ck, cv)
-            kv_offset = decode_index
+            k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
         no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
@@ -368,11 +383,7 @@ class MLAAttention(nn.Module):
         kv_offset = 0
         if kv_cache is not None and kv_cache[0].shape[1] > 0:
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
-            k, v = ck, cv
-            kv_cache = (ck, cv)
-            kv_offset = decode_index
+            k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(dn + dr))
         out = causal_attention(

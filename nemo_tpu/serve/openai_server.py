@@ -3,11 +3,10 @@
 Reference parity: the deploy stack (SURVEY.md §2.7) — DeployPyTriton
 (`deploy/deploy_pytriton.py:26`) + the FastAPI OpenAI proxy
 (`deploy/service/fastapi_interface_to_pytriton.py`: /v1/completions,
-/v1/chat/completions) collapsed into one TPU-native process: a stdlib
-ThreadingHTTPServer frontend and a single-worker generation loop that
-micro-batches concurrent requests into the jitted decode program
-(continuous batching lite; Triton has no analog here — the jit cache is
-the "engine").
+/v1/chat/completions incl. `stream`) collapsed into one TPU-native
+process: a stdlib ThreadingHTTPServer frontend and a continuous-batching
+scheduler (vLLM-style slot pool — requests join/retire mid-decode, one
+jitted step serves every active request per iteration).
 """
 
 from __future__ import annotations
@@ -18,71 +17,127 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
-from nemo_tpu.models.llm.generate import GenerationEngine, SamplingParams
+import numpy as np
+
+from nemo_tpu.models.llm.generate import ContinuousBatchingEngine, SamplingParams
 from nemo_tpu.utils.logging import logging
 
+_END = object()  # stream sentinel
 
-class _Request:
-    def __init__(self, prompt_ids, sampling):
+
+class _StreamRequest:
+    def __init__(self, prompt_ids, max_new: int, eos_id: int, temperature: float):
         self.prompt_ids = prompt_ids
-        self.sampling = sampling
-        self.done = threading.Event()
-        self.result: Optional[List[int]] = None
+        self.max_new = max_new
+        self.eos_id = eos_id
+        self.temperature = temperature
+        self.tokens: "queue.Queue" = queue.Queue()
+        self.produced = 0
+
+
+def format_chat(messages: Sequence[Dict[str, str]], template: str = "chatml") -> str:
+    """Chat template (reference: the proxy delegates to the model's
+    tokenizer template; here chatml + a plain fallback)."""
+    if template == "chatml":
+        parts = [f"<|im_start|>{m.get('role', 'user')}\n{m.get('content', '')}<|im_end|>"
+                 for m in messages]
+        return "\n".join(parts) + "\n<|im_start|>assistant\n"
+    return "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}"
+                     for m in messages) + "\nassistant:"
 
 
 class LLMServer:
-    """Owns the generation engine + a batching worker + the HTTP frontend."""
+    """Continuous-batching scheduler + HTTP frontend."""
 
-    def __init__(self, cfg, params, tokenizer, *, max_batch: int = 8,
-                 model_name: str = "nemo-tpu-llm"):
-        self.engine = GenerationEngine(cfg, params)
+    def __init__(self, cfg, params, tokenizer, *, max_slots: int = 4,
+                 max_len: int = 512, model_name: str = "nemo-tpu-llm",
+                 chat_template: str = "chatml"):
+        self.engine = ContinuousBatchingEngine(
+            cfg, params, max_slots=max_slots, max_len=max_len)
         self.tokenizer = tokenizer
-        self.max_batch = max_batch
         self.model_name = model_name
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self.chat_template = chat_template
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self._queue: "queue.Queue[_StreamRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
 
-    # -- batching worker ------------------------------------------------------
+    # -- continuous-batching scheduler ----------------------------------------
     def _loop(self):
+        slots: List[Optional[_StreamRequest]] = [None] * self.max_slots
+        feed = np.zeros(self.max_slots, np.int32)
+        step = 0
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            deadline = time.time() + 0.01  # 10ms batching window
-            while len(batch) < self.max_batch and time.time() < deadline:
+            # admit waiting requests into free slots
+            admitted = False
+            for s in range(self.max_slots):
+                if slots[s] is not None:
+                    continue
                 try:
-                    batch.append(self._queue.get_nowait())
+                    req = self._queue.get_nowait()
                 except queue.Empty:
-                    time.sleep(0.001)
-            # group by sampling params (one jit program per param set)
-            groups: Dict[Any, List[_Request]] = {}
-            for r in batch:
-                groups.setdefault(r.sampling, []).append(r)
-            for sampling, reqs in groups.items():
+                    break
                 try:
-                    outs = self.engine.generate_tokens(
-                        [r.prompt_ids for r in reqs], sampling
-                    )
-                    for r, o in zip(reqs, outs):
-                        r.result = o
+                    tok = self.engine.prefill_slot(
+                        s, req.prompt_ids, req.temperature, seed=step)
                 except Exception as e:  # pragma: no cover
-                    logging.error(f"generation failed: {e}")
-                    for r in reqs:
-                        r.result = []
-                for r in reqs:
-                    r.done.set()
+                    logging.error(f"prefill failed: {e}")
+                    req.tokens.put(_END)
+                    continue
+                slots[s] = req
+                feed[s] = tok
+                self._emit(slots, feed, s)
+                admitted = True
+            active = np.asarray([r is not None for r in slots])
+            if not active.any():
+                if not admitted:
+                    time.sleep(0.002)
+                continue
+            # one batched decode step for every active slot
+            temp = max((r.temperature for r in slots if r), default=0.0)
+            nxt = self.engine.decode_step(feed, active, temp, seed=step)
+            step += 1
+            for s, req in enumerate(slots):
+                if req is None:
+                    continue
+                feed[s] = nxt[s]
+                self._emit(slots, feed, s)
+
+    def _emit(self, slots, feed, s):
+        """Push slot s's latest token; retire on eos / budget / overflow."""
+        req = slots[s]
+        tok = int(feed[s])
+        done = (tok == req.eos_id or req.produced + 1 >= req.max_new
+                or self.engine.cur_len[s] + 1 >= self.max_len)
+        if tok != req.eos_id:
+            req.tokens.put(tok)
+            req.produced += 1
+        if done:
+            req.tokens.put(_END)
+            slots[s] = None
+            feed[s] = 0
+            self.engine.free_slot(s)
+
+    # -- client API -------------------------------------------------------------
+    def submit_stream(self, prompt: str, sampling: SamplingParams) -> "queue.Queue":
+        ids = self.tokenizer.text_to_ids(prompt)
+        req = _StreamRequest(ids, sampling.max_new_tokens, sampling.eos_id,
+                             0.0 if sampling.greedy else sampling.temperature)
+        self._queue.put(req)
+        return req.tokens
 
     def submit(self, prompt: str, sampling: SamplingParams) -> str:
-        ids = self.tokenizer.text_to_ids(prompt)
-        req = _Request(ids, sampling)
-        self._queue.put(req)
-        req.done.wait()
-        return self.tokenizer.ids_to_text(req.result)
+        q = self.submit_stream(prompt, sampling)
+        out = []
+        while True:
+            t = q.get()
+            if t is _END:
+                break
+            out.append(t)
+        return self.tokenizer.ids_to_text(out)
 
     # -- HTTP frontend ----------------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 8000, blocking: bool = True):
@@ -126,6 +181,27 @@ class LLMServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _sse(self, rid: str, obj: str, token_q, chat: bool):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                while True:
+                    t = token_q.get()
+                    if t is _END:
+                        break
+                    piece = outer.tokenizer.ids_to_text([t])
+                    if chat:
+                        delta = {"choices": [{"index": 0,
+                                              "delta": {"content": piece}}]}
+                    else:
+                        delta = {"choices": [{"index": 0, "text": piece}]}
+                    delta.update(id=rid, object=obj, model=outer.model_name)
+                    self.wfile.write(f"data: {json.dumps(delta)}\n\n".encode())
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -133,15 +209,13 @@ class LLMServer:
                 except Exception:
                     return self._json(400, {"error": {"message": "invalid JSON body"}})
 
+                chat = self.path == "/v1/chat/completions"
                 if self.path == "/v1/completions":
                     prompt = req.get("prompt", "")
                     if isinstance(prompt, list):
                         prompt = prompt[0] if prompt else ""
-                elif self.path == "/v1/chat/completions":
-                    msgs = req.get("messages", [])
-                    prompt = "\n".join(
-                        f"{m.get('role','user')}: {m.get('content','')}" for m in msgs
-                    ) + "\nassistant:"
+                elif chat:
+                    prompt = format_chat(req.get("messages", []), outer.chat_template)
                 else:
                     return self._json(404, {"error": "not found"})
 
@@ -151,18 +225,23 @@ class LLMServer:
                     top_p=float(req.get("top_p") or 0.0),
                     max_new_tokens=int(req.get("max_tokens", 64)),
                 )
-                text = outer.submit(prompt, sampling)
                 rid = f"cmpl-{uuid.uuid4().hex[:12]}"
-                if self.path == "/v1/completions":
+                if req.get("stream"):
+                    q = outer.submit_stream(prompt, sampling)
+                    obj = "chat.completion.chunk" if chat else "text_completion"
+                    return self._sse(rid, obj, q, chat)
+                text = outer.submit(prompt, sampling)
+                if chat:
                     self._json(200, {
-                        "id": rid, "object": "text_completion", "model": outer.model_name,
-                        "choices": [{"index": 0, "text": text, "finish_reason": "length"}],
+                        "id": rid, "object": "chat.completion", "model": outer.model_name,
+                        "choices": [{"index": 0,
+                                     "message": {"role": "assistant", "content": text},
+                                     "finish_reason": "length"}],
                     })
                 else:
                     self._json(200, {
-                        "id": rid, "object": "chat.completion", "model": outer.model_name,
-                        "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
-                                     "finish_reason": "length"}],
+                        "id": rid, "object": "text_completion", "model": outer.model_name,
+                        "choices": [{"index": 0, "text": text, "finish_reason": "length"}],
                     })
 
         return Handler

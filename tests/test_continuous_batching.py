@@ -1,0 +1,130 @@
+"""Continuous batching tests: per-slot decode correctness vs the batch
+engine, staggered admission, SSE streaming (reference: deploy dynamic
+batching, SURVEY §2.7)."""
+
+import http.client
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.models.llm.config import tiny_test
+from nemo_tpu.models.llm.gpt import GPTModel
+from nemo_tpu.models.llm.generate import (
+    ContinuousBatchingEngine,
+    GenerationEngine,
+    SamplingParams,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test()
+    model = GPTModel(cfg)
+    import flax.linen as nn
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    params = nn.meta.unbox(variables["params"])
+    return cfg, params
+
+
+def _run_continuous(cfg, params, prompts, max_new, stagger=False):
+    eng = ContinuousBatchingEngine(cfg, params, max_slots=4, max_len=64,
+                                   prefill_buckets=(8, 16))
+    outs = {i: [] for i in range(len(prompts))}
+    slots = {}
+    feed = np.zeros(4, np.int32)
+    pending = list(enumerate(prompts))
+    produced = {i: 0 for i in range(len(prompts))}
+    step = 0
+    while pending or slots:
+        # admit one per iteration when staggering, else all at once
+        while pending and len(slots) < 4:
+            i, p = pending.pop(0)
+            s = min(set(range(4)) - set(slots.keys()))
+            tok = eng.prefill_slot(s, p)
+            slots[s] = i
+            feed[s] = tok
+            outs[i].append(tok)
+            produced[i] += 1
+            if stagger:
+                break
+        active = np.asarray([s in slots for s in range(4)])
+        if not active.any():
+            continue
+        nxt = eng.decode_step(feed, active)
+        step += 1
+        for s in list(slots.keys()):
+            i = slots[s]
+            if produced[i] >= max_new:
+                del slots[s]
+                eng.free_slot(s)
+                feed[s] = 0
+                continue
+            feed[s] = nxt[s]
+            outs[i].append(int(nxt[s]))
+            produced[i] += 1
+        for s in list(slots.keys()):
+            i = slots[s]
+            if produced[i] >= max_new:
+                del slots[s]
+                eng.free_slot(s)
+                feed[s] = 0
+    return [outs[i][:max_new] for i in range(len(prompts))]
+
+
+def test_continuous_matches_batch_engine(setup):
+    cfg, params = setup
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 9, 3)]
+    max_new = 6
+    ref = GenerationEngine(cfg, params, cache_dtype=jnp.float32).generate_tokens(
+        prompts, SamplingParams(greedy=True, max_new_tokens=max_new, eos_id=-1))
+    cont = _run_continuous(cfg, params, prompts, max_new)
+    assert cont == ref
+
+
+def test_continuous_staggered_admission(setup):
+    """Requests joining mid-decode must not perturb earlier slots."""
+    cfg, params = setup
+    rng = np.random.RandomState(1)
+    prompts = [list(rng.randint(1, 100, n)) for n in (4, 7)]
+    ref = _run_continuous(cfg, params, prompts, 5, stagger=False)
+    stag = _run_continuous(cfg, params, prompts, 5, stagger=True)
+    assert stag == ref
+
+
+def test_sse_streaming():
+    from nemo_tpu.serve.openai_server import LLMServer
+
+    class ByteTok:
+        def text_to_ids(self, t):
+            return [b % 120 for b in t.encode()] or [1]
+
+        def ids_to_text(self, ids):
+            return bytes(max(32, min(126, i + 32)) for i in ids).decode(errors="replace")
+
+    cfg = tiny_test()
+    model = GPTModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    srv = LLMServer(cfg, variables["params"], ByteTok(), max_slots=2, max_len=64)
+    srv.serve(port=18127, blocking=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 18127, timeout=240)
+        conn.request("POST", "/v1/chat/completions", json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "stream": True}),
+            {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert "text/event-stream" in r.getheader("Content-Type", "")
+        body = r.read().decode()
+        events = [l for l in body.split("\n\n") if l.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        deltas = [json.loads(e[6:]) for e in events[:-1]]
+        assert len(deltas) >= 1
+        assert all("delta" in d["choices"][0] for d in deltas)
+    finally:
+        srv.shutdown()
