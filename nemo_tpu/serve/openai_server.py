@@ -139,6 +139,30 @@ class LLMServer:
             out.append(t)
         return self.tokenizer.ids_to_text(out)
 
+    def score(self, prompt: str):
+        """Prompt-token logprobs (the logprobs+echo+max_tokens=0 scoring
+        contract NeMoFWLMEval-style endpoint evaluation relies on)."""
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_score_jit"):
+            from nemo_tpu.models.llm.gpt import GPTModel
+
+            model = GPTModel(self.engine.cfg)
+
+            def f(params, tokens):
+                logits = model.apply({"params": params}, tokens)
+                return jax.nn.log_softmax(logits, axis=-1)
+
+            self._score_jit = jax.jit(f)
+        ids = self.tokenizer.text_to_ids(prompt)
+        S = max(8, int(2 ** np.ceil(np.log2(len(ids)))))
+        toks = np.zeros((1, S), np.int32)
+        toks[0, : len(ids)] = ids
+        lp = np.asarray(self._score_jit(self.engine.params, jnp.asarray(toks)))[0]
+        token_lp = [None] + [float(lp[p - 1, ids[p]]) for p in range(1, len(ids))]
+        return ids, token_lp
+
     # -- HTTP frontend ----------------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 8000, blocking: bool = True):
         self._worker.start()
@@ -219,13 +243,24 @@ class LLMServer:
                 else:
                     return self._json(404, {"error": "not found"})
 
+                rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+                if (not chat and req.get("logprobs")
+                        and int(req.get("max_tokens", 64)) == 0):
+                    ids, token_lp = outer.score(prompt)
+                    return self._json(200, {
+                        "id": rid, "object": "text_completion",
+                        "model": outer.model_name,
+                        "choices": [{"index": 0, "text": prompt if req.get("echo") else "",
+                                     "finish_reason": "length",
+                                     "logprobs": {"token_logprobs": token_lp,
+                                                  "tokens": ids}}],
+                    })
                 sampling = SamplingParams(
                     greedy=not req.get("temperature"),
                     temperature=float(req.get("temperature") or 1.0),
                     top_p=float(req.get("top_p") or 0.0),
                     max_new_tokens=int(req.get("max_tokens", 64)),
                 )
-                rid = f"cmpl-{uuid.uuid4().hex[:12]}"
                 if req.get("stream"):
                     q = outer.submit_stream(prompt, sampling)
                     obj = "chat.completion.chunk" if chat else "text_completion"
