@@ -90,21 +90,39 @@ class BlendedDataset:
 @dataclasses.dataclass
 class MegatronPretrainingSampler:
     """Contiguous DP-sharded sample ids per global batch
-    (reference data.py:312). Yields index arrays for THIS process."""
+    (reference data.py:312). Yields index arrays for THIS process.
+
+    rampup_batch_size=[start_gbs, increment, rampup_samples] grows the
+    effective GBS linearly in `increment` steps across the first
+    `rampup_samples` consumed samples (reference: MegatronDataSampler
+    rampup_batch_size / megatron num_microbatches_calculator)."""
 
     total_samples: int
     global_batch_size: int
     consumed_samples: int = 0
     dp_rank: int = 0
     dp_size: int = 1
+    rampup_batch_size: Optional[Sequence[int]] = None
+
+    def current_gbs(self, consumed: int) -> int:
+        if not self.rampup_batch_size:
+            return self.global_batch_size
+        start, incr, ramp_samples = self.rampup_batch_size
+        n_incr = max(1, (self.global_batch_size - start) // incr)
+        samples_per_incr = max(1, ramp_samples // n_incr)
+        gbs = start + incr * (consumed // samples_per_incr)
+        return int(min(gbs, self.global_batch_size))
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        per_rank = self.global_batch_size // self.dp_size
         cur = self.consumed_samples
-        while cur + self.global_batch_size <= self.total_samples:
+        while True:
+            gbs = self.current_gbs(cur)
+            if cur + gbs > self.total_samples:
+                return
+            per_rank = gbs // self.dp_size
             start = cur + self.dp_rank * per_rank
             yield np.arange(start, start + per_rank)
-            cur += self.global_batch_size
+            cur += gbs
 
 
 class PreTrainingDataModule:
