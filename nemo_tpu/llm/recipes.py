@@ -114,9 +114,12 @@ def llama2_7b(**kw) -> Recipe:
 
 @register
 def llama31_405b(**kw) -> Recipe:
-    """(reference tuning DB h100 row: 1024 gpus TP8 PP8 CP2 → TPU: fsdp×tp8)"""
+    """(reference tuning DB h100 row: 1024 gpus TP8 PP8 CP2 → TPU:
+    pp7×fsdp×tp8 — 126 layers / 7 stages; parallel/pipeline.py GPipe
+    schedule composed with GSPMD tp/fsdp; memory plan per
+    llm.auto_configurator.estimate_hbm_gb)"""
     return Recipe("llama31_405b", C.llama31_405b(attention_backend="flash"),
-                  MeshConfig(dp=1, fsdp=-1, tp=8).resolved_or_default(), 512, 1,
+                  MeshConfig(dp=1, fsdp=-1, tp=8, pp=7).resolved_or_default(), 512, 1,
                   lr=8e-5, **kw)
 
 
@@ -140,9 +143,9 @@ def gemma_7b(**kw) -> Recipe:
 
 @register
 def gpt3_175b(**kw) -> Recipe:
-    """(reference tuning DB: 512 gpus TP4 PP8 VP6 → TPU fsdp×tp4)"""
+    """(reference tuning DB: 512 gpus TP4 PP8 VP6 → TPU pp8×fsdp×tp4)"""
     return Recipe("gpt3_175b", C.gpt3_175b(),
-                  MeshConfig(dp=1, fsdp=-1, tp=4).resolved_or_default(), 2048, 2,
+                  MeshConfig(dp=1, fsdp=-1, tp=4, pp=8).resolved_or_default(), 2048, 2,
                   lr=9e-5, **kw)
 
 

@@ -38,9 +38,10 @@ class MeshConfig:
     cp: int = 1
     ep: int = 1
     tp: int = 1
+    pp: int = 1  # pipeline stages (parallel/pipeline.py shard_map schedule)
 
     def resolved(self, n_devices: int) -> "MeshConfig":
-        known = self.fsdp * self.cp * self.ep * self.tp
+        known = self.fsdp * self.cp * self.ep * self.tp * self.pp
         dp = self.dp
         if dp == -1:
             if n_devices % known:
@@ -50,18 +51,18 @@ class MeshConfig:
             dp = n_devices // known
         if dp * known != n_devices:
             raise ValueError(
-                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.ep}x{self.tp} != {n_devices} devices"
+                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.ep}x{self.tp}x{self.pp} != {n_devices} devices"
             )
         return dataclasses.replace(self, dp=dp)
 
 
-AXIS_NAMES = ("dp", "fsdp", "cp", "ep", "tp")
+AXIS_NAMES = ("pp", "dp", "fsdp", "cp", "ep", "tp")
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = cfg.resolved(len(devices))
-    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
+    arr = np.array(devices).reshape(cfg.pp, cfg.dp, cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
     return Mesh(arr, AXIS_NAMES)
 
 
