@@ -115,6 +115,7 @@ class EncDecCTCModel(Model):
             self._init_params()
         self._jit_infer = jax.jit(self._infer_fn)
         self._jit_infer_ids = jax.jit(self._infer_ids_fn)
+        self._jit_infer_ids_feats = jax.jit(self._infer_ids_feats_fn)
 
     # ------------------------------------------------------------------
     def _init_params(self, seed: int = 0):
@@ -135,6 +136,13 @@ class EncDecCTCModel(Model):
         log_probs, enc_len = self._infer_fn(variables, signal, length)
         return jnp.argmax(log_probs, axis=-1).astype(jnp.int32), enc_len
 
+    def _infer_ids_feats_fn(self, variables, feats, feat_len):
+        """Features-input variant (host mel frontend): [B, D, F] bf16 mels →
+        argmax ids. Reference analog: precomputed-features / DALI path."""
+        log_probs, enc_len = self.net.apply(
+            variables, feats.astype(jnp.float32), feat_len, train=False)
+        return jnp.argmax(log_probs, axis=-1).astype(jnp.int32), enc_len
+
     def forward(self, signal: jnp.ndarray, length: jnp.ndarray):
         """[B, T] float audio, [B] sample counts → (log_probs [B,F,V+1], frame lens)."""
         return self._jit_infer(self.variables, signal, length)
@@ -149,12 +157,20 @@ class EncDecCTCModel(Model):
         audio: Sequence[Union[str, np.ndarray]],
         batch_size: int = 4,
         verbose: bool = False,
+        frontend: str = "device",
     ) -> List[str]:
         """Pipelined batched transcription: while the device runs batch i,
         the host reads/pads/uploads batch i+1 and collapses batch i−1's ids
         (only [B, F] int32 ids are fetched — decode itself is on-device
         argmax). Wav inputs ship as raw int16 PCM (exact, half the transfer).
+
+        frontend="host" computes the mel on the CPU (ops/audio_host —
+        the DALI-offload analog) and ships bf16 features instead of PCM:
+        half the wire bytes again and no frontend on the device; a
+        producer thread overlaps mel + upload with device compute.
         """
+        if frontend == "host":
+            return self._transcribe_host_frontend(audio, batch_size, verbose)
         from nemo_tpu.ops.ctc import ctc_collapse
 
         results: List[str] = []
@@ -198,6 +214,102 @@ class EncDecCTCModel(Model):
             if verbose:
                 logging.info(f"transcribed {start + len(batch)}/{len(audio)}")
         drain()
+        return results
+
+    def transcribe_staged(self, staged) -> List[str]:
+        """Full transcription over device-resident PCM batches.
+
+        staged: sequence of (signal [B,T] int16/f32 jax.Array already on
+        device, lengths [B] jax.Array, n_valid). Runs the identical
+        pipeline as transcribe() minus the host→device upload — for
+        serving topologies where audio lands on the TPU host directly
+        (the reference's local-disk harness setup)."""
+        from nemo_tpu.ops.ctc import ctc_collapse
+
+        results: List[str] = []
+        pending = None
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            preds, enc_len, n = pending
+            pending = None
+            id_lists = ctc_collapse(preds[:n], enc_len[:n], blank=self.decoding.blank_id)
+            results.extend(self.decoding.ids_to_text(ids) for ids in id_lists)
+
+        for sig, lens, n in staged:
+            preds, enc_len = self._jit_infer_ids(self.variables, sig, lens)
+            drain()
+            pending = (preds, enc_len, n)
+        drain()
+        return results
+
+    def _transcribe_host_frontend(self, audio, batch_size: int, verbose: bool
+                                  ) -> List[str]:
+        import queue
+        import threading
+
+        import ml_dtypes
+
+        from nemo_tpu.ops.audio_host import host_mel
+        from nemo_tpu.ops.ctc import ctc_collapse
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            for start in range(0, len(audio), batch_size):
+                batch = audio[start : start + batch_size]
+                sigs = []
+                for a in batch:
+                    if isinstance(a, str):
+                        x, _ = read_wav(a, target_sr=self.sample_rate)
+                    else:
+                        x = np.asarray(a, np.float32)
+                    sigs.append(x)
+                lens = np.array([len(s) for s in sigs], np.int32)
+                pad_len = _bucket(int(lens.max()))
+                padded = np.zeros((batch_size, pad_len), np.float32)
+                for i, s in enumerate(sigs):
+                    padded[i, : len(s)] = s
+                full_lens = np.ones(batch_size, np.int32)
+                full_lens[: len(sigs)] = lens
+                feats, flen = host_mel(padded, full_lens, self.mel_cfg,
+                                       out_dtype=ml_dtypes.bfloat16)
+                # transfer happens in this thread — overlaps device compute
+                feats_dev = jax.device_put(jnp.asarray(feats))
+                q.put((feats_dev, jnp.asarray(flen), len(sigs)))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        results: List[str] = []
+        pending = None
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            preds, enc_len, n = pending
+            pending = None
+            id_lists = ctc_collapse(preds[:n], enc_len[:n], blank=self.decoding.blank_id)
+            results.extend(self.decoding.ids_to_text(ids) for ids in id_lists)
+
+        done_batches = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            feats_dev, flen_dev, n = item
+            preds, enc_len = self._jit_infer_ids_feats(self.variables, feats_dev, flen_dev)
+            drain()
+            pending = (preds, enc_len, n)
+            done_batches += 1
+            if verbose:
+                logging.info(f"transcribed ~{done_batches * batch_size}/{len(audio)}")
+        drain()
+        t.join()
         return results
 
 
