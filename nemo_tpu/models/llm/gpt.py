@@ -27,6 +27,7 @@ from typing import Any, Callable, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from nemo_tpu.models.llm.config import GPTConfig
@@ -614,6 +615,10 @@ class TransformerLayer(nn.Module):
             h, positions, kv_cache=kv_cache, decode_index=decode_index,
             kv_valid=kv_valid, segment_ids=segment_ids, train=train
         )
+        # remat="selective" saves exactly this [B,S,D] per layer: the
+        # backward replay then skips qkv projections + the flash kernel
+        # forward (the most expensive recompute) at 2·L·B·S·D bytes cost.
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
         use_moe = cfg.num_moe_experts > 0 and (
@@ -699,6 +704,18 @@ class GPTModel(nn.Module):
                     layer,
                     prevent_cse=False,
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            elif cfg.remat == "selective":
+                # save only the per-layer attention output ([B,S,D] bf16):
+                # backward replay skips qkv projections + the attention
+                # kernel but recomputes the (cheap, HBM-bound) norms/MLP.
+                # Measured ≈ "full" on v5e at 551M/2k-4k (56-57% MFU both);
+                # wins as attention's share of layer FLOPs grows (long S).
+                layer = nn.remat(
+                    layer,
+                    prevent_cse=False,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "attn_out"),
                 )
             ScanLayers = nn.scan(
                 layer,

@@ -1,2 +1,3 @@
+from nemo_tpu.models.tts.aligner_model import AlignerModel  # noqa: F401
 from nemo_tpu.models.tts.fastpitch_model import FastPitchModel  # noqa: F401
 from nemo_tpu.models.tts.hifigan_model import HifiGanModel  # noqa: F401

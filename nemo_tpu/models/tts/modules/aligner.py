@@ -110,3 +110,60 @@ def viterbi_durations(
     (u, dur), _ = jax.lax.scan(back, (u0, dur0), jnp.arange(T - 1))
     dur = dur.at[jnp.arange(B), 0].add(1)  # frame 0 always at token 0
     return dur
+
+
+@partial(jax.jit, static_argnames=("U", "T", "scaling"))
+def beta_binomial_prior(
+    text_len: jnp.ndarray,  # [B]
+    mel_len: jnp.ndarray,  # [B]
+    U: int,
+    T: int,
+    scaling: float = 1.0,
+) -> jnp.ndarray:
+    """Log beta-binomial alignment prior [B, T, U], fully on-device.
+
+    Reference parity: `nemo/collections/tts/parts/utils/helpers.py`
+    `beta_binomial_prior_distribution` (scipy.stats.betabinom loop over mel
+    frames) — here one vectorized gammaln evaluation over the [T, U] lattice
+    per batch element instead of a per-frame scipy host loop.
+
+    For mel frame t (1-based) of M frames over N=text_len tokens:
+      prior[t-1, k] = BetaBinomial(k; N-1, t*w, (M+1-t)*w).logpmf
+    which concentrates mass along the diagonal k ≈ N * t / M.
+    """
+    gammaln = jax.scipy.special.gammaln
+
+    def lbeta(a, b):
+        return gammaln(a) + gammaln(b) - gammaln(a + b)
+
+    t = jnp.arange(1, T + 1, dtype=jnp.float32)[None, :, None]  # [1, T, 1]
+    k = jnp.arange(U, dtype=jnp.float32)[None, None, :]  # [1, 1, U]
+    N = text_len.astype(jnp.float32)[:, None, None]  # [B, 1, 1]
+    M = mel_len.astype(jnp.float32)[:, None, None]
+    n = jnp.maximum(N - 1.0, 0.0)
+    a = t * scaling
+    b = jnp.maximum(M + 1.0 - t, 1.0) * scaling
+    log_comb = gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(jnp.maximum(n - k, 0.0) + 1.0)
+    logp = log_comb + lbeta(k + a, n - k + b) - lbeta(a, b)
+    valid = (k <= n) & (t - 1 < M) & (k < N)
+    return jnp.where(valid, logp, NEG_INF)
+
+
+def binarization_loss(
+    log_attn: jnp.ndarray,  # [B, T, U] soft log attention
+    durations: jnp.ndarray,  # [B, U] hard Viterbi durations
+    mel_len: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """KL bin loss: -mean log p_soft(hard path) (reference `BinLoss`,
+    `nemo/collections/tts/losses/aligner_loss.py`). Encourages the soft
+    attention to peak on the binarized alignment."""
+    B, T, U = log_attn.shape
+    # frame t's hard token = searchsorted(cumsum(dur), t)
+    ends = jnp.cumsum(durations, axis=-1)  # [B, U]
+    frames = jnp.arange(T)[None, :]  # [1, T]
+    hard_u = jnp.sum(frames[:, :, None] >= ends[:, None, :], axis=-1)  # [B, T]
+    hard_u = jnp.clip(hard_u, 0, U - 1)
+    picked = jnp.take_along_axis(log_attn, hard_u[:, :, None], axis=2)[..., 0]
+    mask = frames < mel_len[:, None]
+    picked = jnp.clip(picked, -40.0, 0.0)  # reference clamps p >= ~1e-12
+    return -jnp.sum(jnp.where(mask, picked, 0.0)) / jnp.maximum(jnp.sum(mask), 1)

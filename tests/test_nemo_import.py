@@ -201,7 +201,7 @@ class TorchConformerLayer(tnn.Module):
 
 
 class TorchConformerCTC(tnn.Module):
-    def __init__(self, feat_in=32, d=32, h=4, vocab=28):
+    def __init__(self, feat_in=32, d=32, h=4, vocab=28, layers=1, k=15):
         super().__init__()
         self.d = d
         self.encoder = tnn.Module()
@@ -213,7 +213,8 @@ class TorchConformerCTC(tnn.Module):
         for _ in range(2):
             f_out = (f_out - 1) // 2 + 1
         self.encoder.pre_encode.out = tnn.Linear(d * f_out, d)
-        self.encoder.layers = tnn.ModuleList([TorchConformerLayer(d, h)])
+        self.encoder.layers = tnn.ModuleList(
+            [TorchConformerLayer(d, h, k) for _ in range(layers)])
         self.decoder = tnn.Module()
         self.decoder.decoder_layers = tnn.Sequential(tnn.Conv1d(d, vocab + 1, 1))
 
