@@ -255,10 +255,18 @@ def rnnt_beam_decode(
     beam_size: int = 4,
     max_symbols: int = 10,
     max_tokens: Optional[int] = None,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched alignment-length-synchronous beam search, fully on-device
     (reference: mALSD `rnnt_malsd_batched_computer.py` / beam
     `rnnt_beam_decoding.py` — the CUDA-graph batched beam family).
+
+    `lm` (an `ops.ngram_lm.NGramLM`) enables on-device shallow fusion: every
+    non-blank candidate gets `lm_weight · ln p_lm(v | ctx)` added before the
+    top-k, with per-hypothesis LM context windows gathered/advanced alongside
+    the prediction-net state (reference: NGramGPULanguageModel fusion in
+    `rnnt_beam_decoding.py`).
 
     All hypotheses across the batch step in lockstep: each iteration does one
     batched joint over [B·N] (N = beam), expands to N·(V+1) candidates,
@@ -289,13 +297,15 @@ def rnnt_beam_decode(
     buf0 = jnp.full((B, N, cap), -1, jnp.int32)
     counts0 = jnp.zeros((B, N), jnp.int32)
     iters_cap = T * (max_symbols + 1) + 1
+    lm_ctx0 = (lm.init_state((B, N)) if lm is not None
+               else jnp.zeros((B, N, 1), jnp.int32))
 
     def cond(c):
         t, scores, *_ , it = c
         return jnp.any(t < enc_len[:, None]) & (it < iters_cap)
 
     def body(c):
-        t, scores, sym_count, buf, counts, pred_out, state, it = c
+        t, scores, sym_count, buf, counts, pred_out, state, lm_ctx, it = c
         t_c = jnp.minimum(t, T - 1).reshape(B * N)
         b_of = jnp.arange(B * N) // N
         enc_t = enc[b_of, t_c]  # [B*N, H] gather, no materialized repeat
@@ -314,6 +324,13 @@ def rnnt_beam_decode(
         logp = jnp.where(tok_mask, logp, -1e30)
         # finished hyps carry score unchanged on their blank slot
         logp = logp.at[..., blank].set(jnp.where(alive, blank_lp, 0.0))
+
+        if lm is not None and lm_weight != 0.0:
+            lm_lp = lm.score_all(lm_ctx.reshape(B * N, -1)).reshape(B, N, -1)
+            fuse = jnp.zeros((B, N, V1), jnp.float32)
+            fuse = fuse.at[..., : lm_lp.shape[-1]].set(lm_weight * lm_lp)
+            fuse = fuse.at[..., blank].set(0.0)  # blank: acoustic only
+            logp = logp + jnp.where(tok_mask, fuse, 0.0)
 
         cand = scores[..., None] + logp  # [B, N, V1]
         flat = cand.reshape(B, N * V1)
@@ -358,10 +375,16 @@ def rnnt_beam_decode(
         new_state = jax.tree.map(
             lambda s, gth: jnp.where(emit_f, s, gth), stepped_state, state_g
         )
+        lm_ctx_g = jnp.take_along_axis(lm_ctx, parent[..., None], axis=1)
+        if lm is not None:
+            lm_adv = lm.advance(lm_ctx_g, token)
+            new_lm_ctx = jnp.where(emit[..., None], lm_adv, lm_ctx_g)
+        else:
+            new_lm_ctx = lm_ctx_g
         return (new_t, top_s, new_sym, new_buf, new_counts,
-                new_pred_out, new_state, it + 1)
+                new_pred_out, new_state, new_lm_ctx, it + 1)
 
-    init = (t0, scores0, sym0, buf0, counts0, pred_out0, state0, 0)
+    init = (t0, scores0, sym0, buf0, counts0, pred_out0, state0, lm_ctx0, 0)
     t, scores, sym, buf, counts, *_ = jax.lax.while_loop(cond, body, init)
     best = jnp.argmax(scores, axis=1)  # [B]
     tokens = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]

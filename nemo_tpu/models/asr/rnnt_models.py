@@ -100,6 +100,12 @@ class EncDecRNNTModel(Model):
         self.beam_size = int(dec_strategy.get("beam", {}).get("beam_size", 4)
                              if hasattr(dec_strategy.get("beam", {}), "get")
                              else 4)
+        # n-gram shallow fusion (reference: decoding.beam.ngram_lm_model /
+        # ngram_lm_alpha); attach at runtime with set_ngram_lm()
+        self.ngram_lm = None
+        self.ngram_lm_weight = float(dec_strategy.get("beam", {}).get(
+            "ngram_lm_alpha", 0.0) if hasattr(dec_strategy.get("beam", {}),
+                                              "get") else 0.0)
         # TDT support (reference fastconformer-TDT): model_defaults.tdt_durations
         self.durations = tuple(cfg.get("model_defaults", {}).get("tdt_durations", ()))
         self.net = _RNNTNet(
@@ -116,6 +122,17 @@ class EncDecRNNTModel(Model):
             self._init_params()
         self._jit_decode = jax.jit(self._decode_fn)
         self._jit_logits = jax.jit(self._logits_fn)
+
+    def set_ngram_lm(self, lm, weight: float = 0.3,
+                     strategy: str = "beam") -> None:
+        """Attach an `ops.ngram_lm.NGramLM` for shallow fusion in beam
+        decoding (reference: `decoding.beam.ngram_lm_model` +
+        `ngram_lm_alpha`). Re-jits the decode path so the LM tables are
+        captured as constants."""
+        self.ngram_lm = lm
+        self.ngram_lm_weight = float(weight)
+        self.decoding_strategy = strategy
+        self._jit_decode = jax.jit(self._decode_fn)
 
     def _init_params(self, seed: int = 0):
         feats = jnp.zeros((1, self.mel_cfg.features, 128), jnp.float32)
@@ -166,6 +183,7 @@ class EncDecRNNTModel(Model):
             tokens, counts, _ = rnnt_beam_decode(
                 joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
                 beam_size=self.beam_size, max_symbols=self.max_symbols,
+                lm=self.ngram_lm, lm_weight=self.ngram_lm_weight,
             )
         elif self.decoding_strategy == "greedy":
             tokens, counts = rnnt_greedy_decode(
