@@ -44,16 +44,28 @@ def build_encoder(enc_cfg: ConfigDict, default_feat_in: int, name: Optional[str]
     """Encoder dispatch from reference-style config nodes: `_target_` ending in
     ConformerEncoder / ConvASREncoder, or inferred from the keys present."""
     target = str(enc_cfg.get("_target_", ""))
-    is_conformer = target.endswith("ConformerEncoder") or "d_model" in enc_cfg
-    if is_conformer:
+
+    def _build(cls):
         import dataclasses as _dc
 
-        from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
-
-        names = {f.name for f in _dc.fields(ConformerEncoder) if f.name != "parent"}
+        names = {f.name for f in _dc.fields(cls) if f.name != "parent"}
         kwargs = {k: v for k, v in dict(enc_cfg).items() if k in names}
         kwargs.setdefault("feat_in", default_feat_in)
-        return ConformerEncoder(name=name, **kwargs)
+        return cls(name=name, **kwargs)
+
+    if target.endswith("SqueezeformerEncoder"):
+        from nemo_tpu.models.asr.modules.squeezeformer import SqueezeformerEncoder
+
+        return _build(SqueezeformerEncoder)
+    if target.endswith("RNNEncoder"):
+        from nemo_tpu.models.asr.modules.squeezeformer import RNNEncoder
+
+        return _build(RNNEncoder)
+    is_conformer = target.endswith("ConformerEncoder") or "d_model" in enc_cfg
+    if is_conformer:
+        from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
+
+        return _build(ConformerEncoder)
     import jax.numpy as _jnp
 
     dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
@@ -74,13 +86,19 @@ class _CTCNet(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, feats, lengths, *, train: bool = False):
+    def __call__(self, feats, lengths, *, train: bool = False, cache=None):
         enc_cfg = ConfigDict(dict(self.enc_cfg))
         encoder = build_encoder(enc_cfg, self.feat_in, name="encoder")
-        enc, enc_len = encoder(feats, lengths, train=train)
+        if cache is not None:  # cache-aware streaming step (conformer only)
+            enc, enc_len, new_cache = encoder(feats, lengths, train=train,
+                                              cache=cache)
+        else:
+            enc, enc_len = encoder(feats, lengths, train=train)
         log_probs = ConvASRDecoder(
             feat_in=self.d_enc, num_classes=self.num_classes, name="decoder"
         )(enc)
+        if cache is not None:
+            return log_probs, enc_len, new_cache
         return log_probs, enc_len
 
 

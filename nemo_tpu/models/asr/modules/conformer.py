@@ -47,27 +47,43 @@ class ConvSubsampling(nn.Module):
     subsampling: str = "striding"  # striding | dw_striding
     subsampling_factor: int = 4
     conv_channels: int = -1
+    causal: bool = False  # streaming: left-only time padding (reference
+    #                       causal_downsampling, subsampling.py is_causal)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, length: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, length: jnp.ndarray,
+                 cache: Any = None) -> Tuple[jnp.ndarray, ...]:
+        """cache (streaming, causal only): list of [B, 2, F_i, C_i] per conv —
+        the last two input rows at that conv's rate. Returns (+ new cache)."""
         n_layers = int(math.log2(self.subsampling_factor))
         ch = self.conv_channels if self.conv_channels > 0 else self.d_model
         h = x[..., None].astype(self.dtype)  # [B, T, F, 1]
+        tpad = (2, 0) if self.causal else (1, 1)
+        new_cache = []
         for i in range(n_layers):
+            if cache is not None:
+                # history supplied explicitly; conv runs VALID in time
+                new_cache.append(h[:, -2:])
+                h = jnp.concatenate([cache[i].astype(h.dtype), h], axis=1)
+                pad_i = (0, 0)
+            else:
+                pad_i = tpad
             if self.subsampling == "dw_striding" and i > 0:
                 h = nn.Conv(
-                    h.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    h.shape[-1], (3, 3), strides=(2, 2), padding=(pad_i, (1, 1)),
                     feature_group_count=h.shape[-1], dtype=self.dtype, name=f"dw{i}",
                 )(h)
                 h = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"pw{i}")(h)
             else:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=(pad_i, (1, 1)),
                             dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.relu(h)
         B, T, F, C = h.shape
         h = h.reshape(B, T, F * C)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(h)
+        if cache is not None:
+            return out, subsampled_length(length, n_layers), new_cache
         return out, subsampled_length(length, n_layers)
 
 
@@ -148,6 +164,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         pad_mask: jnp.ndarray,  # [B, T] True=valid
         *,
         train: bool = False,
+        kv_cache: Any = None,  # streaming: {"k","v" [B,L,H,dh], "valid" [B]}
     ) -> jnp.ndarray:
         B, T, D = x.shape
         H = self.n_heads
@@ -160,6 +177,9 @@ class RelPositionMultiHeadAttention(nn.Module):
 
         u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh))
         vb = self.param("pos_bias_v", nn.initializers.zeros, (H, dh))
+
+        if kv_cache is not None:
+            return self._stream_attend(q, k, v, w_pos, u, vb, pad_mask, kv_cache)
 
         q = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
         k = jnp.transpose(k, (0, 2, 1, 3))
@@ -212,6 +232,65 @@ class RelPositionMultiHeadAttention(nn.Module):
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, D)
         return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
 
+    def _stream_attend(self, q, k, v, w_pos, u, vb, pad_mask, kv_cache):
+        """Cache-aware streaming attention (reference: ConformerEncoder
+        cache_last_channel path, conformer_encoder.py streaming_forward).
+
+        Keys/values = [cached L frames | chunk]; queries = chunk only, with
+        a right-aligned KV cache and rel-pos distances d = i + L − j ≥ 0
+        (fully causal — att_context_size right must be 0). Exactness vs the
+        offline limited-context encoder is tested chunk-size-independently.
+        """
+        B, T, H, dh = q.shape
+        D = H * dh
+        L = kv_cache["k"].shape[1]
+        left = self.att_context_size[0]
+
+        K = jnp.concatenate([kv_cache["k"].astype(k.dtype), k], axis=1)
+        V = jnp.concatenate([kv_cache["v"].astype(v.dtype), v], axis=1)
+        new_cache = {
+            "k": K[:, -L:] if L else K[:, :0],
+            "v": V[:, -L:] if L else V[:, :0],
+            "valid": jnp.minimum(kv_cache["valid"] + T, L),
+        }
+
+        qu = q + u[None, None].astype(q.dtype)
+        qv = q + vb[None, None].astype(q.dtype)
+        ac = jnp.einsum("bihd,bjhd->bhij", qu, K,
+                        preferred_element_type=jnp.float32)
+        # sinusoidal embeddings for distances 0..L+T-1, projected
+        n_d = L + T
+        dist = jnp.arange(n_d, dtype=jnp.float32)
+        inv = jnp.exp(jnp.arange(0, D, 2, dtype=jnp.float32)
+                      * -(math.log(10000.0) / D))
+        ang = dist[:, None] * inv[None, :]
+        pe = jnp.zeros((n_d, D), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(ang)).at[:, 1::2].set(jnp.cos(ang))
+        P = (pe.astype(self.dtype) @ w_pos.astype(self.dtype)).reshape(n_d, H, dh)
+        bd_all = jnp.einsum("bihd,jhd->bhij", qv, P,
+                            preferred_element_type=jnp.float32)  # [B,H,T,n_d]
+        i = jnp.arange(T)
+        j = jnp.arange(L + T)
+        idx = i[:, None] + L - j[None, :]  # relative key distance
+        bd = jnp.take_along_axis(
+            bd_all, jnp.clip(idx, 0, n_d - 1)[None, None], axis=-1)
+        scores = (ac + bd) / math.sqrt(dh)
+
+        # valid keys: no future (idx>=0), within left window, cache filled,
+        # chunk frames unpadded
+        ok = (idx >= 0)
+        if left >= 0:
+            ok &= idx <= left
+        cache_ok = j[None, :] >= (L - kv_cache["valid"][:, None])  # [B, L+T]
+        chunk_ok = jnp.concatenate(
+            [jnp.ones((B, L), bool), pad_mask], axis=1)
+        key_ok = cache_ok & chunk_ok  # [B, L+T]
+        scores = jnp.where(ok[None, None] & key_ok[:, None, None], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn.astype(V.dtype), V)
+        out = out.reshape(B, T, D)
+        return nn.Dense(D, dtype=self.dtype, name="linear_out")(out), new_cache
+
 
 class ConformerFeedForward(nn.Module):
     d_model: int
@@ -240,17 +319,24 @@ class ConformerConvolution(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, pad_mask: jnp.ndarray, *, train: bool = False
+        self, x: jnp.ndarray, pad_mask: jnp.ndarray, *, train: bool = False,
+        cache: Any = None,  # streaming: [B, k-1, D] GLU-output history
     ) -> jnp.ndarray:
         h = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
         h = jnp.where(pad_mask[..., None], h, 0.0)
-        if self.causal:
+        new_cache = None
+        if cache is not None:
+            # causal depthwise with explicit history (reference
+            # cache_last_time): prepend k−1 cached frames, VALID conv
+            h = jnp.concatenate([cache.astype(h.dtype), h], axis=1)
+            new_cache = h[:, -(self.kernel_size - 1):]
+            pad_l = pad_r = 0
+        elif self.causal:
             pad_l, pad_r = self.kernel_size - 1, 0
         else:
             pad_l = pad_r = (self.kernel_size - 1) // 2
-        pad = None
         h = nn.Conv(
             self.d_model,
             (self.kernel_size,),
@@ -266,6 +352,8 @@ class ConformerConvolution(nn.Module):
             h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h).astype(self.dtype)
         h = nn.silu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
+        if cache is not None:
+            return h, new_cache
         return h
 
 
@@ -283,7 +371,8 @@ class ConformerLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, pad_mask, *, train: bool = False):
+    def __call__(self, x, pos_emb, pad_mask, *, train: bool = False,
+                 cache: Any = None):
         drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
         # LayerNorms compute in fp32 (islands), outputs back to compute dtype
         ln = lambda name: (lambda v: nn.LayerNorm(dtype=jnp.float32, name=name)(v).astype(self.dtype))
@@ -294,18 +383,29 @@ class ConformerLayer(nn.Module):
         x = x + 0.5 * drop(h)
 
         h = ln("norm_attn")(x)
-        h = RelPositionMultiHeadAttention(
+        attn = RelPositionMultiHeadAttention(
             self.d_model, self.n_heads, self.dropout_att, impl=self.att_impl,
             att_context_size=tuple(self.att_context_size),
             dtype=self.dtype, name="attn"
-        )(h, pos_emb, pad_mask, train=train)
+        )
+        new_cache = None
+        if cache is not None:
+            h, new_kv = attn(h, pos_emb, pad_mask, train=train,
+                             kv_cache=cache["kv"])
+        else:
+            h = attn(h, pos_emb, pad_mask, train=train)
         x = x + drop(h)
 
         h = ln("norm_conv")(x)
-        h = ConformerConvolution(
+        conv = ConformerConvolution(
             self.d_model, self.conv_kernel_size, self.conv_norm_type,
             causal=self.causal_conv, dtype=self.dtype, name="conv"
-        )(h, pad_mask, train=train)
+        )
+        if cache is not None:
+            h, new_conv = conv(h, pad_mask, train=train, cache=cache["conv"])
+            new_cache = {"kv": new_kv, "conv": new_conv}
+        else:
+            h = conv(h, pad_mask, train=train)
         x = x + drop(h)
 
         h = ln("norm_ff2")(x)
@@ -313,7 +413,10 @@ class ConformerLayer(nn.Module):
                                  dtype=self.dtype, name="ff2")(h, train=train)
         x = x + 0.5 * drop(h)
 
-        return nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x).astype(self.dtype)
+        out = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x).astype(self.dtype)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class ConformerEncoder(nn.Module):
@@ -351,19 +454,32 @@ class ConformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False,
+        cache: Any = None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Offline: (mel [B, D, T], lens) → (enc [B, d_model, T'], lens').
+
+        Streaming (`cache` from `init_stream_cache`): processes one fixed
+        chunk and returns (+ new_cache); exact vs offline for fully-causal
+        configs (att right 0, causal_downsampling). Reference:
+        conformer_encoder.py streaming_forward / cache_last_channel+time.
+        """
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.compute_dtype]
         x = jnp.transpose(audio_signal, (0, 2, 1)).astype(dtype)  # [B, T, D]
-        x, length = ConvSubsampling(
+        sub = ConvSubsampling(
             d_model=self.d_model,
             feat_in=self.feat_in,
             subsampling=self.subsampling,
             subsampling_factor=self.subsampling_factor,
             conv_channels=self.subsampling_conv_channels,
+            causal=self.causal_downsampling,
             dtype=dtype,
             name="pre_encode",
-        )(x, length)
+        )
+        if cache is not None:
+            x, length, new_sub = sub(x, length, cache=cache["sub"])
+        else:
+            x, length = sub(x, length)
 
         xscale = math.sqrt(self.d_model) if self.xscaling else None
         x, pos_emb = RelPositionalEncoding(
@@ -374,8 +490,9 @@ class ConformerEncoder(nn.Module):
         T = x.shape[1]
         pad_mask = jnp.arange(T)[None, :] < length[:, None]
 
+        new_layers = []
         for i in range(self.n_layers):
-            x = ConformerLayer(
+            layer = ConformerLayer(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 ff_expansion_factor=self.ff_expansion_factor,
@@ -388,9 +505,52 @@ class ConformerEncoder(nn.Module):
                 causal_conv=self.causal_downsampling or tuple(self.att_context_size)[1] == 0,
                 dtype=dtype,
                 name=f"layer{i}",
-            )(x, pos_emb, pad_mask, train=train)
+            )
+            if cache is not None:
+                x, nc = layer(x, pos_emb, pad_mask, train=train,
+                              cache=cache["layers"][i])
+                new_layers.append(nc)
+            else:
+                x = layer(x, pos_emb, pad_mask, train=train)
             if i in tuple(self.interctc_layers):
                 self.sow("intermediates", f"interctc_{i}", jnp.transpose(x, (0, 2, 1)))
 
         x = jnp.where(pad_mask[..., None], x, 0.0)
+        if cache is not None:
+            return jnp.transpose(x, (0, 2, 1)), length, \
+                {"sub": new_sub, "layers": new_layers}
         return jnp.transpose(x, (0, 2, 1)), length
+
+    def init_stream_cache(self, batch: int) -> Any:
+        """Zero caches for `stream` calls: per-subsampling-conv input rows,
+        per-layer right-aligned KV windows (size = left att context) and
+        depthwise-conv history. Requires att_context_size=(L≥0, 0)."""
+        left, right = tuple(self.att_context_size)
+        if right != 0 or left < 0:
+            raise ValueError(
+                "cache-aware streaming needs att_context_size=(L>=0, 0)")
+        if not self.causal_downsampling:
+            raise ValueError("cache-aware streaming needs causal_downsampling")
+        n_sub = int(math.log2(self.subsampling_factor))
+        ch = (self.subsampling_conv_channels
+              if self.subsampling_conv_channels > 0 else self.d_model)
+        f = self.feat_in
+        sub = []
+        for i in range(n_sub):
+            cin = 1 if i == 0 else ch
+            sub.append(jnp.zeros((batch, 2, f, cin), jnp.float32))
+            f = (f - 1) // 2 + 1
+        dh = self.d_model // self.n_heads
+        layers = [
+            {
+                "kv": {
+                    "k": jnp.zeros((batch, left, self.n_heads, dh), jnp.float32),
+                    "v": jnp.zeros((batch, left, self.n_heads, dh), jnp.float32),
+                    "valid": jnp.zeros((batch,), jnp.int32),
+                },
+                "conv": jnp.zeros((batch, self.conv_kernel_size - 1,
+                                   self.d_model), jnp.float32),
+            }
+            for _ in range(self.n_layers)
+        ]
+        return {"sub": sub, "layers": layers}

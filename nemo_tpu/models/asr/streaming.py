@@ -134,3 +134,69 @@ class BufferedStreamingCTC:
     @property
     def text(self) -> str:
         return self.model.decoding.ids_to_text(self._ids)
+
+
+class CacheAwareStreamingCTC:
+    """True recurrent-cache streaming (reference: cache-aware streaming
+    Conformer, `conformer_encoder.py` streaming_forward with
+    cache_last_channel / cache_last_time; simulation feeds preprocessed
+    feature chunks as in `examples/asr/asr_cache_aware_streaming/`).
+
+    Each `stream_step(feats_chunk)` runs ONE jitted fixed-shape step:
+    O(chunk) work with per-layer KV windows and conv histories carried
+    between calls — no re-encoding. Exact vs offline for fully-causal
+    configs (att_context_size=(L,0), causal_downsampling=True); tested
+    chunk-size-independently.
+    """
+
+    def __init__(self, model: EncDecCTCModel, chunk_frames: int = 16):
+        import jax
+
+        enc_cfg = model.cfg.encoder
+        if "d_model" not in enc_cfg:
+            raise ValueError("cache-aware streaming requires a conformer encoder")
+        sub = int(enc_cfg.get("subsampling_factor", 4))
+        if chunk_frames % sub:
+            raise ValueError(f"chunk_frames must be divisible by {sub}")
+        self.model = model
+        self.chunk = chunk_frames
+        from nemo_tpu.models.asr.ctc_models import build_encoder
+        from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
+
+        self.encoder = build_encoder(
+            model.cfg.encoder, model.mel_cfg.features)
+        if not isinstance(self.encoder, ConformerEncoder):
+            raise ValueError("cache-aware streaming requires a conformer")
+        self.blank = model.decoding.blank_id
+
+        def step(variables, feats, cache):
+            log_probs, _, new_cache = model.net.apply(
+                variables, feats,
+                jnp.full((feats.shape[0],), feats.shape[2], jnp.int32),
+                train=False, cache=cache,
+            )
+            return jnp.argmax(log_probs, axis=-1).astype(jnp.int32), new_cache
+
+        self._jit_step = jax.jit(step)
+        self.reset()
+
+    def reset(self, batch: int = 1):
+        self._cache = self.encoder.init_stream_cache(batch)
+        self._ids: List[int] = []
+        self._last_token = -1
+
+    def stream_step(self, feats_chunk: np.ndarray) -> str:
+        """[B=1, D, chunk_frames] mel features → newly-emitted text."""
+        ids, self._cache = self._jit_step(
+            self.model.variables, jnp.asarray(feats_chunk), self._cache)
+        new = []
+        for tok in np.asarray(ids[0]).tolist():
+            if tok != self._last_token and tok != self.blank:
+                new.append(int(tok))
+            self._last_token = tok
+        self._ids.extend(new)
+        return self.model.decoding.ids_to_text(new)
+
+    @property
+    def text(self) -> str:
+        return self.model.decoding.ids_to_text(self._ids)
