@@ -96,6 +96,8 @@ class RNNTJoint(nn.Module):
     activation: str = "relu"
     dropout: float = 0.0
     num_durations: int = 0  # >0 → TDT
+    num_big_blanks: int = 0  # >0 → multiblank RNNT (extra blank classes
+    #                          appended after the standard blank)
 
     @nn.compact
     def __call__(
@@ -110,7 +112,8 @@ class RNNTJoint(nn.Module):
         h = e + p
         h = {"relu": nn.relu, "tanh": jnp.tanh, "sigmoid": jax.nn.sigmoid}[self.activation](h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        tok = nn.Dense(self.num_classes + 1, name="out_proj")(h)
+        tok = nn.Dense(self.num_classes + 1 + self.num_big_blanks,
+                       name="out_proj")(h)
         if self.num_durations > 0:
             dur = nn.Dense(self.num_durations, name="dur_proj")(h)
             return tok, dur

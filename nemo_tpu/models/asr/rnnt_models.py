@@ -40,6 +40,7 @@ class _RNNTNet(nn.Module):
     pred_rnn_layers: int
     joint_hidden: int
     num_durations: int = 0  # >0 → TDT
+    num_big_blanks: int = 0  # >0 → multiblank RNNT
 
     def setup(self):
         self.encoder = build_encoder(ConfigDict(dict(self.enc_cfg)), self.feat_in)
@@ -49,7 +50,8 @@ class _RNNTNet(nn.Module):
             pred_rnn_layers=self.pred_rnn_layers,
         )
         self.joint = RNNTJoint(num_classes=self.vocab_size, joint_hidden=self.joint_hidden,
-                               num_durations=self.num_durations)
+                               num_durations=self.num_durations,
+                               num_big_blanks=self.num_big_blanks)
 
     def encode(self, feats, lengths, train: bool = False):
         enc, enc_len = self.encoder(feats, lengths, train=train)
@@ -108,6 +110,9 @@ class EncDecRNNTModel(Model):
                                               "get") else 0.0)
         # TDT support (reference fastconformer-TDT): model_defaults.tdt_durations
         self.durations = tuple(cfg.get("model_defaults", {}).get("tdt_durations", ()))
+        # multiblank RNNT (reference multiblank big_blank_durations)
+        self.big_blank_durations = tuple(
+            cfg.get("model_defaults", {}).get("big_blank_durations", ()))
         self.net = _RNNTNet(
             enc_cfg=enc_cfg.to_dict(),
             feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
@@ -117,6 +122,7 @@ class EncDecRNNTModel(Model):
             pred_rnn_layers=int(dec_cfg.get("pred_rnn_layers", 1)),
             joint_hidden=int(joint_cfg.get("joint_hidden", 640)),
             num_durations=len(self.durations),
+            num_big_blanks=len(self.big_blank_durations),
         )
         if init_params:
             self._init_params()
@@ -148,6 +154,13 @@ class EncDecRNNTModel(Model):
         return self.net.apply(variables, feats, feat_len, targets, train=False)
 
     def loss(self, logits, targets, enc_len, target_len):
+        if self.big_blank_durations:
+            from nemo_tpu.ops.multiblank import multiblank_rnnt_loss
+            import jax.numpy as _jnp
+
+            nll = multiblank_rnnt_loss(logits, targets, enc_len, target_len,
+                                       self.big_blank_durations)
+            return _jnp.mean(nll)
         if self.durations:
             tok, dur = logits
             nll = tdt_loss(tok, dur, targets, enc_len, target_len, self.durations)
@@ -174,7 +187,14 @@ class EncDecRNNTModel(Model):
         B = enc.shape[0]
         zeros = jnp.zeros((B, self.net.pred_hidden), jnp.float32)
         state0 = tuple((zeros, zeros) for _ in range(self.net.pred_rnn_layers))
-        if self.durations:
+        if self.big_blank_durations:
+            from nemo_tpu.ops.multiblank import multiblank_greedy_decode
+
+            tokens, counts = multiblank_greedy_decode(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                self.big_blank_durations, self.max_symbols,
+            )
+        elif self.durations:
             tokens, counts = tdt_greedy_decode(
                 joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
                 self.durations,
