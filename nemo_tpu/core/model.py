@@ -46,6 +46,19 @@ class Model:
 
     # -- save / restore (reference: save_restore_connector.py:49,231) -------
     def save_to(self, path: str) -> None:
+        from nemo_tpu.utils.remote_paths import is_remote, stage_out
+
+        if is_remote(path):
+            # remote URL (s3://, msc://, …): stage through local disk
+            # (reference S3CheckpointIO / s3_utils.py)
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as d:
+                local = os.path.join(d, "model.ntpu")
+                self.save_to(local)
+                stage_out(local, path)
+            logging.info(f"Saved model to {path}")
+            return
         tmp = path + ".tmp"
         with tarfile.open(tmp, "w") as tar:
             cfg_bytes = to_yaml({"target": type(self).__name__, **self.cfg.to_dict()}).encode()
@@ -65,6 +78,10 @@ class Model:
 
     @classmethod
     def restore_from(cls, path: str) -> "Model":
+        from nemo_tpu.utils.remote_paths import is_remote, stage_in
+
+        if is_remote(path):
+            path = stage_in(path)
         with tarfile.open(path, "r:*") as tar:
             names = tar.getnames()
             if any(n.startswith("/") or ".." in n for n in names):

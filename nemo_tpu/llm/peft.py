@@ -155,3 +155,86 @@ class LoRATrainModule:
     def num_adapter_weights(self) -> int:
         a = self.init_adapters()
         return sum(x.size for x in jax.tree.leaves(a))
+
+
+@dataclasses.dataclass
+class CanonicalLoRA(LoRA):
+    """Canonical LoRA (reference `llm/peft/canonical_lora.py`): HF-PEFT-
+    compatible semantics — each projection gets its OWN adapter pair (our
+    q/k/v/o are already separate kernels, so the fused-qkv split the
+    reference performs is structural here), with optional per-target rank
+    overrides and HF PEFT state-dict export for interop.
+    """
+
+    dim_overrides: Optional[Dict[str, int]] = None  # module name → rank
+
+    def build_module(self, cfg: GPTConfig, base_params, mesh_cfg: MeshConfig):
+        return CanonicalLoRATrainModule(cfg, base_params, self, mesh_cfg)
+
+
+class CanonicalLoRATrainModule(LoRATrainModule):
+    def _rank_of(self, path) -> int:
+        ov = self.lora.dim_overrides or {}
+        return int(ov.get(path[-2], self.lora.dim))
+
+    def init_adapters(self, seed: int = 0) -> Dict[str, Any]:
+        rng = np.random.RandomState(seed)
+        adapters = {}
+        for path, kernel in self.targets.items():
+            r = self._rank_of(path)
+            shape = kernel.shape
+            if shape[0] == self.cfg.num_layers and len(shape) >= 3:
+                L, d_in = shape[0], shape[1]
+                d_out = int(np.prod(shape[2:]))
+                a = rng.normal(0, 1.0 / r, (L, d_in, r))
+                b = np.zeros((L, r, d_out))
+            else:
+                d_in = shape[0]
+                d_out = int(np.prod(shape[1:]))
+                a = rng.normal(0, 1.0 / r, (d_in, r))
+                b = np.zeros((r, d_out))
+            adapters["/".join(path)] = {
+                "lora_a": jnp.asarray(a, jnp.float32),
+                "lora_b": jnp.asarray(b, jnp.float32),
+            }
+        return adapters
+
+    def merge(self, base_params, adapters):
+        # per-target alpha/rank scaling (alpha scales with the rank override
+        # so alpha/r stays the user-set ratio, HF PEFT convention)
+        base_scale = self.lora.alpha / self.lora.dim
+        params = base_params
+        for path, kernel in self.targets.items():
+            ad = adapters["/".join(path)]
+            a, b = ad["lora_a"], ad["lora_b"]
+            delta = jnp.einsum("...ir,...ro->...io", a, b) * base_scale
+            params = _set_in(params, path,
+                             kernel + delta.reshape(kernel.shape).astype(kernel.dtype))
+        return params
+
+    def export_hf_peft(self, adapters) -> Dict[str, np.ndarray]:
+        """Adapter state dict in HF PEFT naming:
+        base_model.model.model.layers.<i>.self_attn.<mod>.lora_A.weight
+        ([r, d_in] torch layout) / lora_B.weight ([d_out, r]).
+        Scan-stacked kernels are unstacked to per-layer entries."""
+        hf_mod = {"q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+                  "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+                  "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+                  "down_proj": "mlp.down_proj"}
+        out = {}
+        for path in self.targets:
+            name = path[-2]
+            ad = adapters["/".join(path)]
+            a = np.asarray(ad["lora_a"], np.float32)
+            b = np.asarray(ad["lora_b"], np.float32)
+            mod = hf_mod.get(name, name)
+            if a.ndim == 3:  # [L, d_in, r] scan-stacked
+                for i in range(a.shape[0]):
+                    pre = f"base_model.model.model.layers.{i}.{mod}"
+                    out[f"{pre}.lora_A.weight"] = a[i].T.copy()
+                    out[f"{pre}.lora_B.weight"] = b[i].T.copy()
+            else:
+                pre = f"base_model.model.model.{mod}"
+                out[f"{pre}.lora_A.weight"] = a.T.copy()
+                out[f"{pre}.lora_B.weight"] = b.T.copy()
+        return out

@@ -89,3 +89,42 @@ def test_validate_and_hf_roundtrip(tmp_path):
     orig = hf.state_dict()
     for k in sd:
         np.testing.assert_allclose(sd[k].numpy(), orig[k].float().numpy(), atol=1e-6)
+
+
+def test_canonical_lora_per_target_ranks_and_hf_export():
+    from nemo_tpu.llm.peft import CanonicalLoRA
+
+    cfg = tiny_test(seq_length=32)
+    from nemo_tpu.models.llm.gpt import GPTModel
+    import flax.linen as nn
+
+    model = GPTModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))
+    base = nn.meta.unbox(variables["params"])
+
+    lora = CanonicalLoRA(dim=4, alpha=8, dim_overrides={"q_proj": 8})
+    mod = lora.build_module(cfg, base, MeshConfig(dp=8))
+    state = mod.init_state()
+    # rank override applied to q_proj only
+    for key, ad in state["adapters"].items():
+        r = ad["lora_a"].shape[-1]
+        assert r == (8 if "q_proj" in key else 4), (key, r)
+    # zero-init B → merged == base
+    merged0 = mod.merged_params(state)
+    np.testing.assert_allclose(
+        np.asarray(merged0["layers"]["attention"]["q_proj"]["kernel"]),
+        np.asarray(base["layers"]["attention"]["q_proj"]["kernel"]), atol=1e-7)
+    # one step trains
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, 100, (2, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 100, (2, 32)), jnp.int32),
+        "loss_mask": jnp.ones((2, 32), jnp.float32),
+    }
+    state, m = mod.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # HF PEFT export: per-layer unstacked names + torch [r, d_in] layout
+    sd = mod.export_hf_peft(state["adapters"])
+    qa = [k for k in sd if "q_proj.lora_A" in k]
+    assert len(qa) == cfg.num_layers
+    assert sd[qa[0]].shape[0] == 8  # rank rows (torch lora_A layout)
