@@ -156,6 +156,226 @@ def tiny_test(**kw) -> Recipe:
                   warmup_steps=2, max_steps=10, **kw)
 
 
+
+
+# ---------------------------------------------------------------------------
+# size-class helpers: mesh defaults by parameter scale (scaling-book recipe:
+# FSDP on ICI for <30B, add TP when per-chip weights exceed HBM, CP for
+# long context). Mirrors the reference recipes' per-model TP/PP tables.
+# ---------------------------------------------------------------------------
+
+def _small(name, cfg, gbs=512, **kw):
+    return Recipe(name, cfg, MeshConfig(fsdp=-1).resolved_or_default(),
+                  gbs, 1, **kw)
+
+
+def _large(name, cfg, tp=4, gbs=128, lr=1.5e-4, **kw):
+    return Recipe(name, cfg,
+                  MeshConfig(dp=1, fsdp=-1, tp=tp).resolved_or_default(),
+                  gbs, 1, lr=lr, **kw)
+
+
+def _longctx(name, cfg, cp=4, gbs=64, **kw):
+    return Recipe(name, cfg,
+                  MeshConfig(dp=1, fsdp=-1, cp=cp).resolved_or_default(),
+                  gbs, 1, **kw)
+
+
+@register
+def llama31_8b(**kw) -> Recipe:
+    return _small("llama31_8b", C.llama31_8b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama31_70b(**kw) -> Recipe:
+    return _large("llama31_70b", C.llama31_70b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama32_1b(**kw) -> Recipe:
+    return _small("llama32_1b", C.llama32_1b(seq_length=8192, attention_backend="flash"), lr=4e-4, **kw)
+
+
+@register
+def llama32_3b(**kw) -> Recipe:
+    return _small("llama32_3b", C.llama32_3b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama3_8b_16k(**kw) -> Recipe:
+    return _longctx("llama3_8b_16k", C.llama3_8b(seq_length=16384, attention_backend="flash"), cp=2, gbs=128, **kw)
+
+
+@register
+def llama3_8b_128k(**kw) -> Recipe:
+    return _longctx("llama3_8b_128k", C.llama3_8b(seq_length=131072, attention_backend="flash"), cp=8, gbs=16, **kw)
+
+
+@register
+def llama3_70b_16k(**kw) -> Recipe:
+    return Recipe("llama3_70b_16k", C.llama3_70b(seq_length=16384, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=4, cp=2).resolved_or_default(), 64, 1, lr=1.5e-4, **kw)
+
+
+@register
+def llama3_70b_64k(**kw) -> Recipe:
+    return Recipe("llama3_70b_64k", C.llama3_70b(seq_length=65536, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=4, cp=4).resolved_or_default(), 32, 1, lr=1.5e-4, **kw)
+
+
+@register
+def qwen25_500m(**kw) -> Recipe:
+    return _small("qwen25_500m", C.qwen25_500m(seq_length=4096), gbs=256, lr=6e-4, **kw)
+
+
+@register
+def qwen25_1p5b(**kw) -> Recipe:
+    return _small("qwen25_1p5b", C.qwen25_1p5b(seq_length=4096), gbs=256, lr=4e-4, **kw)
+
+
+@register
+def qwen25_7b(**kw) -> Recipe:
+    return _small("qwen25_7b", C.qwen25_7b(attention_backend="flash"), **kw)
+
+
+@register
+def qwen25_14b(**kw) -> Recipe:
+    return _large("qwen25_14b", C.qwen25_14b(attention_backend="flash"), tp=2, gbs=256, **kw)
+
+
+@register
+def qwen25_32b(**kw) -> Recipe:
+    return _large("qwen25_32b", C.qwen25_32b(attention_backend="flash"), **kw)
+
+
+@register
+def qwen25_72b(**kw) -> Recipe:
+    return _large("qwen25_72b", C.qwen25_72b(attention_backend="flash"), tp=8, lr=1e-4, **kw)
+
+
+@register
+def qwen3_1p7b(**kw) -> Recipe:
+    return _small("qwen3_1p7b", C.qwen3_1p7b(seq_length=4096), gbs=256, lr=4e-4, **kw)
+
+
+@register
+def qwen3_4b(**kw) -> Recipe:
+    return _small("qwen3_4b", C.qwen3_4b(seq_length=4096), **kw)
+
+
+@register
+def qwen3_8b(**kw) -> Recipe:
+    return _small("qwen3_8b", C.qwen3_8b(attention_backend="flash"), **kw)
+
+
+@register
+def qwen3_14b(**kw) -> Recipe:
+    return _large("qwen3_14b", C.qwen3_14b(attention_backend="flash"), tp=2, gbs=256, **kw)
+
+
+@register
+def qwen3_32b(**kw) -> Recipe:
+    return _large("qwen3_32b", C.qwen3_32b(attention_backend="flash"), **kw)
+
+
+@register
+def qwen3_30b_a3b(**kw) -> Recipe:
+    return Recipe("qwen3_30b_a3b", C.qwen3_30b_a3b(),
+                  MeshConfig(fsdp=-1, ep=8).resolved_or_default(), 256, 1, **kw)
+
+
+@register
+def qwen3_235b_a22b(**kw) -> Recipe:
+    return Recipe("qwen3_235b_a22b", C.qwen3_235b_a22b(),
+                  MeshConfig(dp=1, fsdp=-1, tp=4, ep=16).resolved_or_default(), 512, 1,
+                  lr=1e-4, **kw)
+
+
+@register
+def gemma_2b(**kw) -> Recipe:
+    return _small("gemma_2b", C.gemma_2b(), gbs=256, **kw)
+
+
+@register
+def gemma2_9b(**kw) -> Recipe:
+    return _small("gemma2_9b", C.gemma2_9b(), **kw)
+
+
+@register
+def gemma2_27b(**kw) -> Recipe:
+    return _large("gemma2_27b", C.gemma2_27b(), **kw)
+
+
+@register
+def phi3_mini_4k(**kw) -> Recipe:
+    return _small("phi3_mini_4k", C.phi3_mini_4k(attention_backend="flash"), gbs=256, **kw)
+
+
+@register
+def starcoder2_3b(**kw) -> Recipe:
+    return _small("starcoder2_3b", C.starcoder2_3b(), gbs=256, **kw)
+
+
+@register
+def starcoder2_7b(**kw) -> Recipe:
+    return _small("starcoder2_7b", C.starcoder2_7b(), **kw)
+
+
+@register
+def starcoder2_15b(**kw) -> Recipe:
+    return _large("starcoder2_15b", C.starcoder2_15b(), tp=2, gbs=256, **kw)
+
+
+@register
+def nemotron3_8b(**kw) -> Recipe:
+    return _small("nemotron3_8b", C.nemotron3_8b(), **kw)
+
+
+@register
+def nemotron4_15b(**kw) -> Recipe:
+    return _large("nemotron4_15b", C.nemotron4_15b(), tp=2, gbs=256, **kw)
+
+
+@register
+def nemotron4_15b_16k(**kw) -> Recipe:
+    return Recipe("nemotron4_15b_16k", C.nemotron4_15b(seq_length=16384, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=2, cp=2).resolved_or_default(), 64, 1, **kw)
+
+
+@register
+def nemotron4_340b(**kw) -> Recipe:
+    return Recipe("nemotron4_340b", C.nemotron4_340b(attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=8, pp=6).resolved_or_default(), 2304, 1,
+                  lr=1e-4, **kw)
+
+
+@register
+def mixtral_8x22b(**kw) -> Recipe:
+    return Recipe("mixtral_8x22b", C.mixtral_8x22b(attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, tp=2, ep=8).resolved_or_default(), 256, 1,
+                  lr=1e-4, **kw)
+
+
+@register
+def mixtral_8x7b_16k(**kw) -> Recipe:
+    return Recipe("mixtral_8x7b_16k", C.mixtral_8x7b(seq_length=16384, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, cp=2, ep=8).resolved_or_default(), 64, 1, **kw)
+
+
+@register
+def deepseek_v2_lite(**kw) -> Recipe:
+    return Recipe("deepseek_v2_lite", C.deepseek_v2_lite(),
+                  MeshConfig(fsdp=-1, ep=8).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def deepseek_v3(**kw) -> Recipe:
+    """(reference recipes/deepseek_v3.py: large EP; TPU: fsdp×tp×ep)"""
+    return Recipe("deepseek_v3", C.deepseek_v3(),
+                  MeshConfig(dp=1, fsdp=-1, tp=4, ep=16).resolved_or_default(), 4096, 1,
+                  lr=7.3e-6, **kw)
+
+
 def _resolved_or_default(self: MeshConfig) -> MeshConfig:
     """Resolve against the actual device count, collapsing axes that don't
     fit (so recipes remain runnable on any mesh, incl. 1 chip)."""

@@ -233,6 +233,113 @@ def tiny_test(**kw) -> GPTConfig:
     return _cfg(**kw)
 
 
+
+
+def llama31_8b(**kw) -> GPTConfig:
+    """llama3.1: same arch as llama3_8b, 128k context window."""
+    return llama3_8b(seq_length=kw.pop("seq_length", 131072), **kw)
+
+
+def llama31_70b(**kw) -> GPTConfig:
+    return llama3_70b(seq_length=kw.pop("seq_length", 131072), **kw)
+
+
+def llama32_1b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=16, hidden_size=2048, ffn_hidden_size=8192, num_attention_heads=32, num_query_groups=8, vocab_size=128256, seq_length=131072, rotary_base=500000.0, rope_scaling='llama3', rope_scaling_factor=32.0, share_embeddings_and_output_weights=True), kw)
+
+
+def llama32_3b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=28, hidden_size=3072, ffn_hidden_size=8192, num_attention_heads=24, num_query_groups=8, vocab_size=128256, seq_length=131072, rotary_base=500000.0, rope_scaling='llama3', rope_scaling_factor=32.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen25_500m(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=24, hidden_size=896, ffn_hidden_size=4864, num_attention_heads=14, num_query_groups=2, vocab_size=151936, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen25_1p5b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=28, hidden_size=1536, ffn_hidden_size=8960, num_attention_heads=12, num_query_groups=2, vocab_size=151936, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen25_14b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=48, hidden_size=5120, ffn_hidden_size=13824, num_attention_heads=40, num_query_groups=8, vocab_size=152064, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0), kw)
+
+
+def qwen25_32b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=64, hidden_size=5120, ffn_hidden_size=27648, num_attention_heads=40, num_query_groups=8, vocab_size=152064, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0), kw)
+
+
+def qwen25_72b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=80, hidden_size=8192, ffn_hidden_size=29568, num_attention_heads=64, num_query_groups=8, vocab_size=152064, seq_length=32768, add_qkv_bias=True, rotary_base=1000000.0), kw)
+
+
+def qwen3_1p7b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=28, hidden_size=2048, ffn_hidden_size=6144, num_attention_heads=16, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen3_4b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=36, hidden_size=2560, ffn_hidden_size=9728, num_attention_heads=32, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen3_14b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=40, hidden_size=5120, ffn_hidden_size=17408, num_attention_heads=40, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0), kw)
+
+
+def qwen3_32b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=64, hidden_size=5120, ffn_hidden_size=25600, num_attention_heads=64, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0), kw)
+
+
+def qwen3_30b_a3b(**kw) -> GPTConfig:
+    """reference recipes/qwen3_30b_a3b: 128-expert top-8 MoE."""
+    return _preset(dict(num_layers=48, hidden_size=2048, ffn_hidden_size=6144, num_attention_heads=32, num_query_groups=4, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0, num_moe_experts=128, moe_router_topk=8, moe_ffn_hidden_size=768, moe_router_norm_topk_prob=True, moe_aux_loss_coeff=0.001), kw)
+
+
+def qwen3_235b_a22b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=94, hidden_size=4096, ffn_hidden_size=12288, num_attention_heads=64, num_query_groups=4, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0, num_moe_experts=128, moe_router_topk=8, moe_ffn_hidden_size=1536, moe_router_norm_topk_prob=True, moe_aux_loss_coeff=0.001), kw)
+
+
+def gemma_2b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=18, hidden_size=2048, ffn_hidden_size=16384, num_attention_heads=8, num_query_groups=1, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=2048**0.5), kw)
+
+
+def gemma2_9b(**kw) -> GPTConfig:
+    """reference gpt/model/gemma2.py: logit softcap + interleaved window."""
+    return _preset(dict(num_layers=42, hidden_size=3584, ffn_hidden_size=14336, num_attention_heads=16, num_query_groups=8, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3584**0.5, logit_softcapping=30.0), kw)
+
+
+def gemma2_27b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=46, hidden_size=4608, ffn_hidden_size=36864, num_attention_heads=32, num_query_groups=16, kv_channels=128, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=4608**0.5, logit_softcapping=30.0, attention_multiplier=(4608 // 32) ** -0.5), kw)
+
+
+def starcoder2_3b(**kw) -> GPTConfig:
+    return starcoder2_7b(num_layers=30, hidden_size=3072, ffn_hidden_size=12288, num_attention_heads=24, num_query_groups=2, **kw)
+
+
+def starcoder2_15b(**kw) -> GPTConfig:
+    return starcoder2_7b(num_layers=40, hidden_size=6144, ffn_hidden_size=24576, num_attention_heads=48, num_query_groups=4, **kw)
+
+
+def nemotron3_8b(**kw) -> GPTConfig:
+    return nemotron4_15b(num_layers=32, hidden_size=4096, ffn_hidden_size=16384, num_attention_heads=32, num_query_groups=None, rotary_percent=0.5, **kw)
+
+
+def mixtral_8x22b(**kw) -> GPTConfig:
+    return _preset(dict(num_layers=56, hidden_size=6144, ffn_hidden_size=16384, num_attention_heads=48, num_query_groups=8, vocab_size=32768, seq_length=65536, num_moe_experts=8, moe_router_topk=2, moe_aux_loss_coeff=0.02), kw)
+
+
+def deepseek_v2_lite(**kw) -> GPTConfig:
+    """reference gpt/model/deepseek.py DeepSeekV2LiteConfig (MLA without
+    q-lora, 64-expert top-6 softmax routing, 2 shared experts)."""
+    return _preset(dict(
+        num_layers=27, hidden_size=2048, ffn_hidden_size=10944,
+        num_attention_heads=16, vocab_size=102400, seq_length=4096,
+        kv_lora_rank=512, q_lora_rank=None, qk_head_dim=128,
+        qk_pos_emb_head_dim=64, v_head_dim=128,
+        num_moe_experts=64, moe_router_topk=6, moe_ffn_hidden_size=1408,
+        moe_shared_expert_intermediate_size=2816, moe_first_k_dense=1,
+        moe_aux_loss_coeff=0.003, scan_layers=False,
+    ), kw)
+
+
 PRESETS = {
     "llama2_7b": llama2_7b,
     "llama3_8b": llama3_8b,
@@ -251,5 +358,28 @@ PRESETS = {
     "deepseek_v3": deepseek_v3,
     "gpt3_175b": gpt3_175b,
     "gpt_2b": gpt_2b,
+    "llama31_8b": llama31_8b,
+    "llama31_70b": llama31_70b,
+    "llama32_1b": llama32_1b,
+    "llama32_3b": llama32_3b,
+    "qwen25_500m": qwen25_500m,
+    "qwen25_1p5b": qwen25_1p5b,
+    "qwen25_14b": qwen25_14b,
+    "qwen25_32b": qwen25_32b,
+    "qwen25_72b": qwen25_72b,
+    "qwen3_1p7b": qwen3_1p7b,
+    "qwen3_4b": qwen3_4b,
+    "qwen3_14b": qwen3_14b,
+    "qwen3_32b": qwen3_32b,
+    "qwen3_30b_a3b": qwen3_30b_a3b,
+    "qwen3_235b_a22b": qwen3_235b_a22b,
+    "gemma_2b": gemma_2b,
+    "gemma2_9b": gemma2_9b,
+    "gemma2_27b": gemma2_27b,
+    "starcoder2_3b": starcoder2_3b,
+    "starcoder2_15b": starcoder2_15b,
+    "nemotron3_8b": nemotron3_8b,
+    "mixtral_8x22b": mixtral_8x22b,
+    "deepseek_v2_lite": deepseek_v2_lite,
     "tiny_test": tiny_test,
 }
