@@ -231,3 +231,49 @@ class StragglerDetectionCallback(Callback):
                 metrics["straggler"] = 1.0
         self._times.append(dt)
         self._times = self._times[-self.window:]
+
+
+class NanGuardCallback(Callback):
+    """Sanitizer: halt (or warn) on non-finite loss/grad-norm.
+
+    Reference analog: the NaN/inf guards in megatron train steps and the
+    debugging sanitizers surveyed in SURVEY §5 (parity guards). On TPU a
+    NaN usually surfaces first in the loss/grad-norm scalars the step
+    already returns, so the guard is free — no extra device work.
+    """
+
+    def __init__(self, metrics=("loss", "grad_norm"), action: str = "raise",
+                 patience: int = 0):
+        self.metrics = metrics
+        self.action = action  # raise | stop | warn
+        self.patience = patience
+        self._bad = 0
+
+    def on_step_end(self, trainer, step, metrics):
+        import numpy as np
+
+        bad = []
+        for k in self.metrics:
+            v = metrics.get(k)
+            if v is None:
+                continue
+            try:
+                if not np.isfinite(float(v)):
+                    bad.append(k)
+            except TypeError:
+                continue
+        if not bad:
+            self._bad = 0
+            return
+        self._bad += 1
+        msg = f"non-finite {bad} at step {step} ({self._bad}/{self.patience + 1})"
+        if self._bad <= self.patience:
+            logging.warning(f"NanGuard: {msg} — tolerating")
+            return
+        if self.action == "raise":
+            raise FloatingPointError(f"NanGuard: {msg}")
+        if self.action == "stop":
+            logging.error(f"NanGuard: {msg} — stopping training")
+            trainer.should_stop = True
+        else:
+            logging.warning(f"NanGuard: {msg}")

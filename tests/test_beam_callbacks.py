@@ -86,3 +86,31 @@ def test_straggler_detection(caplog):
     m = {"step_time": 1.0}
     s.on_step_end(T(), 99, m)
     assert m.get("straggler") == 1.0
+
+
+def test_nan_guard_callback():
+    from nemo_tpu.core.callbacks import NanGuardCallback
+
+    class T:
+        should_stop = False
+
+    import pytest as _pytest
+
+    g = NanGuardCallback(action="raise")
+    g.on_step_end(T(), 0, {"loss": 1.0, "grad_norm": 2.0})  # fine
+    with _pytest.raises(FloatingPointError):
+        g.on_step_end(T(), 1, {"loss": float("nan")})
+
+    g2 = NanGuardCallback(action="stop", patience=1)
+    t = T()
+    g2.on_step_end(t, 0, {"loss": float("inf")})  # tolerated once
+    assert not t.should_stop
+    g2.on_step_end(t, 1, {"loss": float("nan")})
+    assert t.should_stop
+    # recovery resets the counter
+    g3 = NanGuardCallback(action="stop", patience=1)
+    t3 = T()
+    g3.on_step_end(t3, 0, {"loss": float("nan")})
+    g3.on_step_end(t3, 1, {"loss": 1.0})
+    g3.on_step_end(t3, 2, {"loss": float("nan")})
+    assert not t3.should_stop

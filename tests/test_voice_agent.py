@@ -1,6 +1,7 @@
 """Voice agent: turn-taking on pushed audio, full ASR->LLM->TTS cascade."""
 
 import numpy as np
+import pytest
 
 from nemo_tpu.agents import (
     CallableLLMService,
@@ -27,6 +28,7 @@ def _agent():
     return VoiceAgent(asr, llm, tts, TurnConfig(end_silence_secs=0.2))
 
 
+@pytest.mark.slow
 def test_converse_full_cascade():
     agent = _agent()
     rng = np.random.RandomState(0)
