@@ -134,3 +134,44 @@ def test_dit_train_and_sample():
                                 (2, 8, 8, 3), y[:2], steps=4)
     assert img.shape == (2, 8, 8, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_avlm_joint_loss_decreases():
+    from nemo_tpu.models.vlm.avlm import AVLMConfig, AVLMModel
+
+    cfg = AVLMConfig(llm=tiny_test(seq_length=96), vision=_tiny_vit(),
+                     audio_encoder=_tiny_enc(), mel_features=32,
+                     frame_stacking=2)
+    model = AVLMModel(cfg)
+    rng = np.random.RandomState(0)
+    B, S = 2, 12
+    images = jnp.asarray(rng.randn(B, 16, 16, 3), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, 32, 32), jnp.float32)
+    alen = jnp.asarray([32, 24], jnp.int32)
+    tokens = jnp.asarray(rng.randint(0, 100, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.float32)
+
+    v = model.init(jax.random.PRNGKey(0), images, feats, alen, tokens)
+    tx = optax.adam(2e-3)
+    opt = tx.init(v)
+
+    @jax.jit
+    def step(vars_, opt_state):
+        l, g = jax.value_and_grad(
+            lambda vv: model.apply(vv, images, feats, alen, tokens, mask,
+                                   train=False,  # eval-mode norms; params still train
+                                   method=AVLMModel.loss))(vars_)
+        up, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(vars_, up), opt_state, l
+
+    losses = []
+    for _ in range(5):
+        v, opt, l = step(v, opt)
+        losses.append(float(l))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # frozen vision: ViT params unchanged
+    v0 = model.init(jax.random.PRNGKey(0), images, feats, alen, tokens)
+    a = jax.tree.leaves(v0["params"]["vision"])
+    b = jax.tree.leaves(v["params"]["vision"])
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
