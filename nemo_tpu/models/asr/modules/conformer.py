@@ -49,6 +49,12 @@ class ConvSubsampling(nn.Module):
     conv_channels: int = -1
     causal: bool = False  # streaming: left-only time padding (reference
     #                       causal_downsampling, subsampling.py is_causal)
+    fused_kernel: bool = False  # experimental Pallas conv-relu-conv
+    #   (ops/subsampling_kernel.py): keeps conv1's output in VMEM. Measured
+    #   on v5e at [8, 3001, 80]/C=512: 16.3 ms vs 14.6 ms XLA pair — the 9
+    #   skinny conv1 GEMMs still stall the MXU, so OFF by default; the flag
+    #   keeps the kernel wired/testable end-to-end (requires F≈80-class
+    #   shapes; Mosaic rejects tiny F lane layouts).
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,6 +65,9 @@ class ConvSubsampling(nn.Module):
         n_layers = int(math.log2(self.subsampling_factor))
         ch = self.conv_channels if self.conv_channels > 0 else self.d_model
         h = x[..., None].astype(self.dtype)  # [B, T, F, 1]
+        if (self.fused_kernel and cache is None and not self.causal
+                and self.subsampling == "striding" and n_layers == 2):
+            return self._fused_x4(x, length, ch)
         tpad = (2, 0) if self.causal else (1, 1)
         new_cache = []
         for i in range(n_layers):
@@ -85,6 +94,30 @@ class ConvSubsampling(nn.Module):
         if cache is not None:
             return out, subsampled_length(length, n_layers), new_cache
         return out, subsampled_length(length, n_layers)
+
+    def _fused_x4(self, x, length, ch):
+        """Pallas conv-relu-conv path (same params/names as the XLA pair:
+        conv0/conv1/out — checkpoint compatible, parity tested)."""
+        from nemo_tpu.ops.subsampling_kernel import fused_subsampling_x4
+
+        F = x.shape[2]
+        conv0 = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv0")
+        _ = conv0(jnp.zeros((1, 4, F, 1), self.dtype))
+        F2 = (F - 1) // 2 + 1
+        conv1 = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv1")
+        _ = conv1(jnp.zeros((1, 4, F2, ch), self.dtype))
+        p0 = conv0.variables["params"]
+        p1 = conv1.variables["params"]
+        h = fused_subsampling_x4(
+            x.astype(self.dtype),
+            p0["kernel"].astype(self.dtype), p0["bias"].astype(self.dtype),
+            p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
+        )
+        T4 = (((x.shape[1] - 1) // 2 + 1) - 1) // 2 + 1
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(h[:, :T4])
+        return out, subsampled_length(length, 2)
 
 
 class RelPositionalEncoding(nn.Module):
@@ -447,6 +480,7 @@ class ConformerEncoder(nn.Module):
     att_impl: str = "decomposed"
     att_context_size: Any = (-1, -1)  # (left, right) frames; -1 = unlimited
     causal_downsampling: bool = False
+    fused_subsampling: bool = False  # Pallas conv-relu-conv (experimental)
     interctc_layers: Any = ()  # layer indices to capture (reference InterCTC,
     #                            conformer_encoder.py:725-736) — sown as
     #                            intermediates['interctc_<i>']
@@ -473,6 +507,7 @@ class ConformerEncoder(nn.Module):
             subsampling_factor=self.subsampling_factor,
             conv_channels=self.subsampling_conv_channels,
             causal=self.causal_downsampling,
+            fused_kernel=self.fused_subsampling,
             dtype=dtype,
             name="pre_encode",
         )

@@ -44,6 +44,7 @@ def test_rvq_residual_improves_with_levels():
     assert errs[2] < errs[1] < errs[0]
 
 
+@pytest.mark.slow
 def test_codec_training_reduces_recon_loss():
     m = AudioCodecModel(TINY)
     state = m.init_train(lr=1e-3)

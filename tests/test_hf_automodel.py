@@ -55,6 +55,7 @@ def test_hf_automodel_with_trainer():
     assert int(tr.state.step) == 3
 
 
+@pytest.mark.slow
 def test_hf_automodel_greedy_generate():
     mod = _tiny()
     state = mod.init_state()

@@ -115,6 +115,7 @@ def test_moe_forward():
     assert logits.shape == (2, 8, cfg.vocab_size)
 
 
+@pytest.mark.slow
 def test_fused_ce_matches_plain_loss():
     """fused_linear_cross_entropy == masked_token_loss through the model."""
     import dataclasses

@@ -2,6 +2,7 @@
 model integration, training step."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ def test_rnn_encoder_shapes():
     assert int(out_len[0]) == 8 and int(out_len[1]) == 4
 
 
+@pytest.mark.slow
 def test_squeezeformer_ctc_model_trains():
     cfg = ConfigDict(
         sample_rate=16000, labels=LABELS,

@@ -82,6 +82,7 @@ def test_mamba_causality():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_hybrid_pattern_trains():
     """nemotron-h-style hybrid (mamba + attention + MLP) one grad step."""
     import optax

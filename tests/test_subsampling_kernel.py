@@ -36,3 +36,51 @@ def test_fused_subsampling_matches_xla(T, F):
         o = fused_subsampling_x4(x, w1, b1, w2, b2, block_t=8)
     assert o.shape == r.shape
     np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=5e-3, rtol=1e-2)
+
+
+def test_fused_flag_in_conformer_encoder_matches_xla(monkeypatch):
+    """fused_subsampling=True must share params with the XLA pair and wire
+    them through correctly (x, w1, b1, w2, b2, slicing, lengths). The Pallas
+    kernel itself is parity-tested above (interpret mode) and on real TPU at
+    F=80/C=512 (2.7e-3 = TPU matmul precision); Mosaic does not compile the
+    tiny CPU shapes, so here the kernel entry point is swapped for an exact
+    XLA reference — proving the *wiring* end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    import nemo_tpu.ops.subsampling_kernel as sk
+    from nemo_tpu.models.asr.modules import conformer as conf_mod
+    from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
+
+    calls = []
+
+    def ref_fused(x, w1, b1, w2, b2, block_t=32):
+        calls.append(x.shape)
+        h = x[..., None]
+        dn = ("NHWC", "HWIO", "NHWC")
+        h = jax.lax.conv_general_dilated(h, w1, (2, 2), ((1, 1), (1, 1)),
+                                         dimension_numbers=dn) + b1
+        h = jax.nn.relu(h)
+        h = jax.lax.conv_general_dilated(h, w2, (2, 2), ((1, 1), (1, 1)),
+                                         dimension_numbers=dn) + b2
+        h = jax.nn.relu(h)
+        B, T, F, C = h.shape
+        return h.reshape(B, T, F * C)
+
+    monkeypatch.setattr(sk, "fused_subsampling_x4", ref_fused)
+
+    kw = dict(feat_in=24, n_layers=1, d_model=32, n_heads=4,
+              subsampling="striding", subsampling_factor=4,
+              conv_kernel_size=9, dropout=0.0, dropout_att=0.0)
+    enc_x = ConformerEncoder(**kw)
+    enc_f = ConformerEncoder(fused_subsampling=True, **kw)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 24, 39), jnp.float32)
+    lens = jnp.asarray([39, 30], jnp.int32)
+    v = enc_x.init(jax.random.PRNGKey(0), feats, lens)
+    out_x, len_x = enc_x.apply(v, feats, lens)
+    out_f, len_f = enc_f.apply(v, feats, lens)  # same variables!
+    assert calls, "fused path was not taken"
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)

@@ -2,6 +2,7 @@
 inference emits mel and stops via gate."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ def _model():
     return Tacotron2Model(ConfigDict(n_mels=16, d_model=64))
 
 
+@pytest.mark.slow
 def test_teacher_forced_shapes_and_training():
     m = _model()
     rng = np.random.RandomState(0)

@@ -43,6 +43,7 @@ def test_converse_full_cascade():
     assert len(agent.history) == 4
 
 
+@pytest.mark.slow
 def test_push_audio_turn_detection():
     agent = _agent()
     sr = 16000
