@@ -334,3 +334,48 @@ class EncDecCTCModel(Model):
 def _bucket(n: int, minimum: int = 16000) -> int:
     """Pad target: next power of two ≥ n (bounds the number of jit compiles)."""
     return max(minimum, 2 ** math.ceil(math.log2(max(n, 1))))
+
+
+def _transcribe_beam(self, audio, batch_size: int = 4, beam_size: int = 8,
+                     lm=None, lm_weight: float = 0.0) -> List[str]:
+    """Beam-search transcription (reference beam decoding path,
+    `ctc_beam_decoding.py` / batched GPU beam): forward on device, then the
+    fully on-device batched prefix beam (`parts/ctc_batched_beam.py`).
+    With `lm`, falls back to the host prefix beam with shallow fusion."""
+    from nemo_tpu.models.asr.parts.ctc_batched_beam import ctc_beam_search_batched
+    from nemo_tpu.models.asr.parts.ctc_beam import ctc_prefix_beam_search
+
+    results: List[str] = []
+    for start in range(0, len(audio), batch_size):
+        batch = audio[start:start + batch_size]
+        sigs = []
+        for a in batch:
+            if isinstance(a, str):
+                x, _ = read_wav(a, target_sr=self.sample_rate)
+            else:
+                x = np.asarray(a, np.float32)
+            sigs.append(x)
+        lens = np.array([len(s) for s in sigs], np.int32)
+        pad_len = _bucket(int(lens.max()))
+        padded = np.zeros((len(sigs), pad_len), np.float32)
+        for i, s in enumerate(sigs):
+            padded[i, : len(s)] = s
+        log_probs, enc_len = self.forward(
+            jnp.asarray(padded), jnp.asarray(lens))
+        if lm is not None:
+            for b in range(len(sigs)):
+                lp = np.asarray(log_probs[b][: int(enc_len[b])])
+                hyp = ctc_prefix_beam_search(
+                    lp, beam_size=beam_size, lm=lm, lm_weight=lm_weight)
+                results.append(self.decoding.ids_to_text(list(hyp[0][0])))
+        else:
+            toks, cnts, _ = ctc_beam_search_batched(
+                log_probs, enc_len, beam_size=beam_size,
+                blank=self.decoding.blank_id)
+            for b in range(len(sigs)):
+                ids = [int(t) for t in np.asarray(toks[b][: int(cnts[b])])]
+                results.append(self.decoding.ids_to_text(ids))
+    return results
+
+
+EncDecCTCModel.transcribe_beam = _transcribe_beam
