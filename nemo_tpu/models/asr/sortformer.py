@@ -202,3 +202,82 @@ class SortformerDiarizer(Model):
                                      "end_frame": f})
                     start = None
         return segs
+
+
+class StreamingSortformer:
+    """Online diarization over a Sortformer model.
+
+    Reference parity: `asr/models/online_diarizer.py` + the streaming
+    sortformer path: audio arrives in chunks; each update re-encodes a
+    bounded trailing window (the buffered-streaming pattern — recompute
+    rides one jit, cheap at TPU speeds) and emits finalized frame
+    activities older than the lookahead. Speaker-label consistency across
+    windows is restored by matching the new window's channels to the
+    previous output on their overlapping frames (arrival-order alone is
+    not stable once early speakers fall out of the window).
+    """
+
+    def __init__(self, model: SortformerDiarizer, window_secs: float = 8.0,
+                 hop_secs: float = 2.0, sample_rate: int = 16000):
+        self.model = model
+        self.sr = sample_rate
+        self.window = int(window_secs * sample_rate)
+        self.hop = int(hop_secs * sample_rate)
+        self.reset()
+
+    def reset(self):
+        self._audio = np.zeros(0, np.float32)
+        self._emitted = 0  # finalized frames
+        self._acts: List[np.ndarray] = []  # finalized [N] rows
+        self._frames_per_sample: Optional[float] = None
+        self._pending = 0
+
+    def _match_channels(self, prev: np.ndarray, new: np.ndarray) -> np.ndarray:
+        """Permute new's channels to best match prev on overlapping rows."""
+        import itertools
+
+        N = new.shape[1]
+        if prev.shape[0] == 0:
+            return np.arange(N)
+        best, best_score = np.arange(N), -1.0
+        for perm in itertools.permutations(range(N)):
+            score = float(np.sum(prev * new[:, list(perm)]))
+            if score > best_score:
+                best_score, best = score, np.array(perm)
+        return best
+
+    def push_audio(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed samples; returns newly-finalized activity rows [F_new, N]."""
+        self._audio = np.concatenate(
+            [self._audio, np.asarray(chunk, np.float32)])
+        self._pending += len(chunk)
+        if self._pending < self.hop:
+            return np.zeros((0, self.model.max_speakers), np.float32)
+        self._pending = 0
+
+        start = max(0, len(self._audio) - self.window)
+        win = self._audio[start:]
+        probs, F = self.model.forward_activities(win)
+        if self._frames_per_sample is None and len(win):
+            self._frames_per_sample = F / len(win)
+        fps = self._frames_per_sample or 0.0
+        start_frame = int(round(start * fps))
+        # overlap region with already-finalized output: frames
+        # [start_frame, emitted) exist in both the window and the history
+        if self._emitted > start_frame:
+            prev = np.stack(self._acts[start_frame:self._emitted])
+            perm = self._match_channels(prev, probs[:prev.shape[0]])
+        else:
+            perm = np.arange(self.model.max_speakers)
+        probs = probs[:, perm]
+        # finalize frames past the already-emitted point
+        new_rows = probs[self._emitted - start_frame:]
+        for r in new_rows:
+            self._acts.append(r)
+        self._emitted = start_frame + probs.shape[0]
+        return new_rows
+
+    @property
+    def activities(self) -> np.ndarray:
+        return (np.stack(self._acts) if self._acts
+                else np.zeros((0, self.model.max_speakers), np.float32))

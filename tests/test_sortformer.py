@@ -76,3 +76,42 @@ def test_diarize_produces_segments():
     for s in segs:
         assert s["end_frame"] > s["start_frame"]
         assert 0 <= s["speaker"] < 3
+
+
+def test_streaming_sortformer_matches_offline_when_window_covers_all():
+    from nemo_tpu.models.asr.sortformer import StreamingSortformer
+
+    m = _model()
+    rng = np.random.RandomState(2)
+    audio = (rng.randn(4 * 16000) * 0.1).astype(np.float32)
+    # one update over the whole session (hop = session) → frames are
+    # finalized with full context and must equal the offline forward.
+    # (With smaller hops early frames legitimately differ: the transformer
+    # is non-causal, so earlier windows saw less right-context — same
+    # bounded-context trade the reference online diarizer makes.)
+    s = StreamingSortformer(m, window_secs=10.0, hop_secs=4.0)
+    s.push_audio(audio)
+    offline, F = m.forward_activities(audio)
+    got = s.activities
+    assert got.shape[0] == F
+    np.testing.assert_allclose(got, offline, atol=1e-4)
+
+
+def test_streaming_sortformer_bounded_window_runs():
+    from nemo_tpu.models.asr.sortformer import StreamingSortformer
+
+    m = _model()
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(6 * 16000) * 0.1).astype(np.float32)
+    s = StreamingSortformer(m, window_secs=2.0, hop_secs=1.0)
+    emitted = []
+    for c in range(0, len(audio), 8000):
+        out = s.push_audio(audio[c:c + 8000])
+        emitted.append(out)
+    acts = s.activities
+    assert acts.shape[1] == m.max_speakers
+    assert acts.shape[0] > 0
+    assert np.isfinite(acts).all()
+    # emitted rows concatenate to the finalized activity history
+    total = np.concatenate([e for e in emitted if len(e)], axis=0)
+    np.testing.assert_allclose(total, acts, atol=1e-6)
