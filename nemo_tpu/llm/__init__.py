@@ -14,7 +14,8 @@ from nemo_tpu.llm.api import (  # noqa: F401
     validate_config,
 )
 from nemo_tpu.llm.evaluation import LMEvaluator, evaluate_multiple_choice  # noqa: F401
-from nemo_tpu.llm.peft import LoRA  # noqa: F401
+from nemo_tpu.llm.hf_automodel import HFAutoModelForCausalLM  # noqa: F401
+from nemo_tpu.llm.peft import CanonicalLoRA, LoRA  # noqa: F401
 from nemo_tpu.llm.recipes import RECIPES as recipes  # noqa: F401
 from nemo_tpu.models.llm.config import PRESETS, GPTConfig  # noqa: F401
 from nemo_tpu.models.llm.generate import SamplingParams  # noqa: F401
