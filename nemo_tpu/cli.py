@@ -92,11 +92,78 @@ def _serve(cfg: ConfigDict) -> int:
     return 0
 
 
+def _tts_synthesize(cfg: ConfigDict) -> int:
+    from nemo_tpu.data.audio_io import write_wav
+    from nemo_tpu.models.tts import FastPitchModel, HifiGanModel, VitsModel
+
+    text = str(cfg.get("text", "hello world"))
+    out = str(cfg.get("out", "out.wav"))
+    vits = cfg.get("vits")
+    if vits:
+        m = VitsModel.restore_from(str(vits))
+        wav = m.convert_text_to_waveform(m.parse(text))
+        write_wav(out, wav[0], m.sample_rate)
+    else:
+        spec_path = str(cfg.get("spec_model", ""))
+        voc_path = str(cfg.get("vocoder", ""))
+        if not spec_path or not voc_path:
+            logging.error("tts synthesize requires vits=<.ntpu> or "
+                          "spec_model=<.ntpu> vocoder=<.ntpu>")
+            return 2
+        spec = FastPitchModel.restore_from(spec_path)
+        voc = HifiGanModel.restore_from(voc_path)
+        mel = spec.generate_spectrogram(spec.parse(text))
+        import jax.numpy as jnp
+        import numpy as np
+
+        wav = np.asarray(voc.convert_spectrogram_to_audio(jnp.asarray(mel)))
+        write_wav(out, wav[0], spec.sample_rate)
+    logging.info(f"wrote {out}")
+    return 0
+
+
+def _asr_diarize(cfg: ConfigDict) -> int:
+    from nemo_tpu.data.audio_io import read_wav
+    from nemo_tpu.models.asr.sortformer import SortformerDiarizer
+    from nemo_tpu.tools.speech_simulator import segments_to_rttm
+
+    ckpt = str(cfg.get("model", ""))
+    m = (SortformerDiarizer.restore_from(ckpt) if ckpt
+         else SortformerDiarizer(ConfigDict()))
+    audio, sr = read_wav(str(cfg.get("audio")), target_sr=m.sample_rate)
+    segs = m.diarize(audio)
+    # frames → seconds via the model frame rate
+    _, F = m.forward_activities(audio)
+    spf = (len(audio) / m.sample_rate) / max(F, 1)
+    out = [{"speaker": s["speaker"], "start": s["start_frame"] * spf,
+            "end": s["end_frame"] * spf} for s in segs]
+    print(segments_to_rttm(out, uri=str(cfg.get("uri", "audio"))))
+    return 0
+
+
+def _asr_align(cfg: ConfigDict) -> int:
+    from nemo_tpu.interop.nemo_import import import_ctc_model
+    from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+    from nemo_tpu.tools.forced_align import align_transcript
+
+    ckpt = str(cfg.get("model", ""))
+    model = (import_ctc_model(ckpt) if ckpt.endswith(".nemo")
+             else EncDecCTCModel.restore_from(ckpt))
+    words = align_transcript(model, str(cfg.get("audio")),
+                             str(cfg.get("text", "")))
+    for w in words:
+        print(f"{w['start']:.2f}\t{w['end']:.2f}\t{w['word']}")
+    return 0
+
+
 _COMMANDS = {
     ("llm", "pretrain"): _llm_pretrain,
     ("llm", "generate"): _llm_generate,
     ("llm", "serve"): _serve,
     ("asr", "transcribe"): _asr_transcribe,
+    ("asr", "diarize"): _asr_diarize,
+    ("asr", "align"): _asr_align,
+    ("tts", "synthesize"): _tts_synthesize,
 }
 
 
