@@ -128,7 +128,9 @@ def rnnt_greedy_decode(
     enc_len: jnp.ndarray,  # [B]
     blank: int,
     max_symbols: int = 10,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    carry_in=None,  # streaming: (pred_out, state) carried across chunks
+    return_carry: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Batched greedy transducer decode as a jittable scan over frames.
 
     Reference parity: batched greedy / label-looping decoders
@@ -137,15 +139,24 @@ def rnnt_greedy_decode(
     decode is one compiled program (the reference needed CUDA graphs to get
     this, `cuda_graph_rnnt_greedy_decoding.py`).
 
-    Returns (tokens [B, T*max_symbols] int32 padded with -1, counts [B]).
+    With `carry_in`/`return_carry` the prediction-net context flows across
+    chunk boundaries — the streaming-transducer decode (reference
+    cache-aware streaming RNNT): chunked greedy == offline greedy exactly.
+
+    Returns (tokens [B, T*max_symbols] int32 padded with -1, counts [B]
+    [, carry_out]).
     """
     B, T, _ = enc.shape
     max_total = T * max_symbols
     buf0 = jnp.full((B, max_total), -1, jnp.int32)
     counts0 = jnp.zeros(B, jnp.int32)
 
-    # initial prediction output from SOS
-    pred_out0, state0 = pred_step_fn(jnp.full((B,), -1, jnp.int32), initial_state)
+    if carry_in is not None:
+        pred_out0, state0 = carry_in
+    else:
+        # initial prediction output from SOS
+        pred_out0, state0 = pred_step_fn(
+            jnp.full((B,), -1, jnp.int32), initial_state)
 
     def frame_step(carry, t):
         pred_out, state, counts, buf = carry
@@ -179,6 +190,8 @@ def rnnt_greedy_decode(
     (pred_out, state, counts, buf), _ = jax.lax.scan(
         frame_step, (pred_out0, state0, counts0, buf0), jnp.arange(T)
     )
+    if return_carry:
+        return buf, counts, (pred_out, state)
     return buf, counts
 
 

@@ -57,6 +57,12 @@ class _RNNTNet(nn.Module):
         enc, enc_len = self.encoder(feats, lengths, train=train)
         return jnp.transpose(enc, (0, 2, 1)), enc_len  # [B, T, H]
 
+    def encode_stream(self, feats, lengths, cache):
+        """Cache-aware streaming encode (conformer only)."""
+        enc, enc_len, new_cache = self.encoder(feats, lengths, train=False,
+                                               cache=cache)
+        return jnp.transpose(enc, (0, 2, 1)), enc_len, new_cache
+
     def predict(self, targets, train: bool = False):
         return self.prediction(targets, train=train)  # [B, U+1, H]
 

@@ -200,3 +200,87 @@ class CacheAwareStreamingCTC:
     @property
     def text(self) -> str:
         return self.model.decoding.ids_to_text(self._ids)
+
+
+class CacheAwareStreamingRNNT:
+    """Streaming transducer: cache-aware encoder + carried prediction-net
+    state (reference: cache-aware streaming RNNT/fastconformer-transducer;
+    the decode side of `asr_cache_aware_streaming`).
+
+    Each `stream_step(feats_chunk)` is one jitted program: O(chunk) encoder
+    work through recurrent KV/conv caches, then the compiled greedy decode
+    with the prediction-net context flowing across chunk boundaries —
+    streaming transcript == offline greedy EXACTLY for causal encoders.
+    """
+
+    def __init__(self, model, chunk_frames: int = 16):
+        import jax
+
+        from nemo_tpu.models.asr.ctc_models import build_encoder
+        from nemo_tpu.models.asr.modules.conformer import ConformerEncoder
+        from nemo_tpu.models.asr.modules.rnnt import rnnt_greedy_decode
+        from nemo_tpu.models.asr.rnnt_models import _RNNTNet
+
+        enc_cfg = model.cfg.encoder
+        sub = int(enc_cfg.get("subsampling_factor", 4))
+        if chunk_frames % sub:
+            raise ValueError(f"chunk_frames must be divisible by {sub}")
+        self.model = model
+        self.chunk = chunk_frames
+        self.encoder = build_encoder(enc_cfg, model.mel_cfg.features)
+        if not isinstance(self.encoder, ConformerEncoder):
+            raise ValueError("cache-aware streaming requires a conformer")
+
+        def step(variables, feats, enc_cache, dec_carry):
+            enc, enc_len, new_cache = model.net.apply(
+                variables, feats,
+                jnp.full((feats.shape[0],), feats.shape[2], jnp.int32),
+                method=_RNNTNet.encode_stream, cache=enc_cache)
+
+            def joint_fn(enc_t, pred_out):
+                return model.net.apply(variables, enc_t, pred_out,
+                                       method=_RNNTNet.joint_logits)
+
+            def pred_step_fn(token, state):
+                return model.net.apply(variables, token, state,
+                                       method=_RNNTNet.pred_step)
+
+            toks, counts, carry = rnnt_greedy_decode(
+                joint_fn, pred_step_fn, None, enc, enc_len,
+                model.blank_id, model.max_symbols,
+                carry_in=dec_carry, return_carry=True)
+            return toks, counts, new_cache, carry
+
+        self._jit_step = jax.jit(step)
+        self._rnnt_net_cls = _RNNTNet
+        self.reset()
+
+    def reset(self, batch: int = 1):
+        import jax
+
+        from nemo_tpu.models.asr.rnnt_models import _RNNTNet
+
+        self._enc_cache = self.encoder.init_stream_cache(batch)
+        zeros = jnp.zeros((batch, self.model.net.pred_hidden), jnp.float32)
+        state0 = tuple((zeros, zeros)
+                       for _ in range(self.model.net.pred_rnn_layers))
+        pred_out0, state0 = self.model.net.apply(
+            self.model.variables, jnp.full((batch,), -1, jnp.int32), state0,
+            method=_RNNTNet.pred_step)
+        self._dec_carry = (pred_out0, state0)
+        self._ids: List[int] = []
+
+    def stream_step(self, feats_chunk: np.ndarray) -> str:
+        """[1, D, chunk_frames] mel features → newly-emitted text."""
+        toks, counts, self._enc_cache, self._dec_carry = self._jit_step(
+            self.model.variables, jnp.asarray(feats_chunk),
+            self._enc_cache, self._dec_carry)
+        new = [int(t) for t in np.asarray(toks[0][: int(counts[0])])]
+        self._ids.extend(new)
+        return "".join(self.model.labels[t] for t in new
+                       if t < len(self.model.labels))
+
+    @property
+    def text(self) -> str:
+        return "".join(self.model.labels[t] for t in self._ids
+                       if t < len(self.model.labels))

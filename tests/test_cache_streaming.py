@@ -81,3 +81,52 @@ def test_stream_step_api_incremental_text():
     offline = model.decoding.ids_to_text(out)
     assert streamed == offline
     assert "".join(texts) == streamed
+
+
+def test_streaming_rnnt_equals_offline_greedy():
+    """Cache-aware streaming transducer: chunked greedy (carried pred-net
+    state + encoder caches) == offline greedy token-exactly."""
+    from nemo_tpu.models.asr.modules.rnnt import rnnt_greedy_decode
+    from nemo_tpu.models.asr.rnnt_models import EncDecRNNTModel, _RNNTNet
+    from nemo_tpu.models.asr.streaming import CacheAwareStreamingRNNT
+
+    labels = [str(i) for i in range(8)]
+    cfg = ConfigDict(
+        sample_rate=16000, labels=labels,
+        preprocessor={"features": 24, "dither": 0.0, "normalize": "none"},
+        encoder={"_target_": "x.ConformerEncoder", "feat_in": 24,
+                 "n_layers": 2, "d_model": 32, "n_heads": 4,
+                 "subsampling": "striding", "subsampling_factor": 4,
+                 "ff_expansion_factor": 2, "conv_kernel_size": 9,
+                 "dropout": 0.0, "dropout_att": 0.0,
+                 "att_context_size": (8, 0), "causal_downsampling": True},
+        decoder={"pred_hidden": 16, "pred_rnn_layers": 1,
+                 "vocabulary": labels},
+        joint={"joint_hidden": 16},
+    )
+    m = EncDecRNNTModel(cfg)
+    rng = np.random.RandomState(0)
+    T, chunk = 48, 16
+    feats = rng.randn(1, 24, T).astype(np.float32) * 2
+
+    # offline: encode full + greedy
+    enc, enc_len = m.net.apply(m.variables, jnp.asarray(feats),
+                               jnp.asarray([T]), method=_RNNTNet.encode)
+
+    def joint_fn(e, p):
+        return m.net.apply(m.variables, e, p, method=_RNNTNet.joint_logits)
+
+    def pred_fn(t, s):
+        return m.net.apply(m.variables, t, s, method=_RNNTNet.pred_step)
+
+    zeros = jnp.zeros((1, 16), jnp.float32)
+    state0 = ((zeros, zeros),)
+    off_toks, off_counts = rnnt_greedy_decode(
+        joint_fn, pred_fn, state0, enc, enc_len, m.blank_id, m.max_symbols)
+    offline = [int(t) for t in np.asarray(off_toks[0][: int(off_counts[0])])]
+
+    s = CacheAwareStreamingRNNT(m, chunk_frames=chunk)
+    texts = [s.stream_step(feats[:, :, c:c + chunk])
+             for c in range(0, T, chunk)]
+    assert s._ids == offline
+    assert "".join(texts) == s.text
