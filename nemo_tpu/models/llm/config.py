@@ -58,6 +58,11 @@ class GPTConfig:
     # normalized weights × scaling factor
     moe_router_score_function: str = "softmax"  # softmax | sigmoid
     moe_router_enable_expert_bias: bool = False
+    # aux-loss-free balancing (deepseek-v3): after each optimizer step the
+    # e-score correction bias moves by ±rate against the per-step expert
+    # load sign (underloaded experts gain bias). Applied by GPTTrainModule,
+    # not by the gradient path (the bias is behind stop_gradient).
+    moe_router_bias_update_rate: float = 1e-3
     moe_router_num_groups: Optional[int] = None
     moe_router_group_topk: Optional[int] = None
     moe_router_topk_scaling_factor: Optional[float] = None

@@ -518,13 +518,23 @@ class MoEMLP(nn.Module):
             top_l, top_i = jax.lax.top_k(router, K)
             top_w = jax.nn.softmax(top_l, axis=-1)
 
-        # aux load-balancing loss (Switch-style)
-        if cfg.moe_aux_loss_coeff and train:
+        # Load-balancing signals, collected by GPTTrainModule.loss_fn via
+        # `mutable=["losses"]` (reference: MCore router aux loss plumbed
+        # through every MoE recipe, gpt/model/base.py moe_aux_loss_coeff;
+        # deepseek aux-loss-free bias, gpt/model/deepseek.py).
+        if train:
             one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B,S,K,E]
-            me = jnp.mean(jnp.einsum("bske,bsk->bse", one_hot, top_w), axis=(0, 1))
-            ce = jnp.mean(jax.nn.softmax(router, axis=-1), axis=(0, 1))
-            aux = jnp.sum(me * ce) * E * cfg.moe_aux_loss_coeff
-            self.sow("losses", "moe_aux", aux)
+            # fraction of (token,k) assignments landing on each expert
+            load = jnp.mean(jnp.sum(one_hot, axis=2), axis=(0, 1))  # [E]
+            self.sow("losses", "expert_load", load)
+            if cfg.moe_aux_loss_coeff:
+                # Switch-style aux loss: E · Σ_e f_e · P_e where f_e is the
+                # dispatched fraction (weighted by routing prob) and P_e the
+                # mean router probability.
+                me = jnp.mean(jnp.einsum("bske,bsk->bse", one_hot, top_w), axis=(0, 1))
+                ce = jnp.mean(jax.nn.softmax(router, axis=-1), axis=(0, 1))
+                aux = jnp.sum(me * ce) * E * cfg.moe_aux_loss_coeff
+                self.sow("losses", "moe_aux", aux)
 
         mult = 2 if cfg.gated_linear_unit else 1
         w1 = self.param(
@@ -719,7 +729,7 @@ class GPTModel(nn.Module):
                 )
             ScanLayers = nn.scan(
                 layer,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,

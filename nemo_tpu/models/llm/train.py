@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
+from flax import struct, traverse_util
 from flax.core import unfreeze
 import flax.linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -36,6 +36,35 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+
+
+def _moe_aux_total(losses_col) -> jnp.ndarray:
+    """Sum every sown 'moe_aux' leaf (already coeff-weighted per layer)."""
+    total = jnp.zeros((), jnp.float32)
+    for path, leaf in traverse_util.flatten_dict(losses_col).items():
+        if path[-1] == "moe_aux":
+            for v in leaf if isinstance(leaf, (tuple, list)) else (leaf,):
+                total = total + jnp.sum(v)
+    return total
+
+
+def _update_expert_bias(params, losses_col, rate: float):
+    """DeepSeek-V3 aux-loss-free balancing (reference:
+    gpt/model/deepseek.py expert-bias fields): after each step move each
+    expert's e-score correction bias by ±rate against its load error —
+    underloaded experts (load < mean) gain bias, overloaded lose it. The
+    sown 'expert_load' collection mirrors the params tree, so the matching
+    'expert_bias' leaf lives at the sibling path."""
+    flat_p = traverse_util.flatten_dict(params)
+    for path, leaf in traverse_util.flatten_dict(losses_col).items():
+        if path[-1] != "expert_load":
+            continue
+        load = leaf[0] if isinstance(leaf, (tuple, list)) else leaf
+        bias_path = path[:-1] + ("expert_bias",)
+        if bias_path in flat_p:
+            err = jnp.mean(load, axis=-1, keepdims=True) - load
+            flat_p[bias_path] = flat_p[bias_path] + rate * jnp.sign(err)
+    return traverse_util.unflatten_dict(flat_p)
 
 
 @dataclasses.dataclass
@@ -127,6 +156,18 @@ class GPTTrainModule:
 
         cfg = self.cfg
 
+        moe = cfg.num_moe_experts > 0
+
+        def apply_model(params, *args, **kw):
+            """model.apply that collects the sown MoE 'losses' collection
+            (aux load-balancing loss + per-expert load) when the model has
+            experts — otherwise the sow would be silently dropped."""
+            if moe:
+                out, mut = model.apply(
+                    {"params": params}, *args, mutable=["losses"], **kw)
+                return out, mut.get("losses", {})
+            return model.apply({"params": params}, *args, **kw), {}
+
         def loss_fn(params, batch, rng):
             tokens, labels = batch["tokens"], batch["labels"]
             loss_mask = batch.get("loss_mask")
@@ -153,8 +194,8 @@ class GPTTrainModule:
                     )
             teacher_logits = batch.get("teacher_logits")
             if teacher_logits is not None:
-                logits = model.apply(
-                    {"params": params}, tokens, positions,
+                logits, losses_col = apply_model(
+                    params, tokens, positions,
                     segment_ids=batch.get("segment_ids"),
                     train=True, rngs={"dropout": rng},
                 )
@@ -168,10 +209,10 @@ class GPTTrainModule:
                 else:
                     kl = jnp.mean(kl)
                 a = self.kd_alpha
-                return (1 - a) * ce + a * (T * T) * kl, n
-            if cfg.fused_ce:
-                hidden = model.apply(
-                    {"params": params}, tokens,
+                loss = (1 - a) * ce + a * (T * T) * kl
+            elif cfg.fused_ce:
+                hidden, losses_col = apply_model(
+                    params, tokens,
                     positions,
                     segment_ids=batch.get("segment_ids"),
                     train=True, output_hidden=True, rngs={"dropout": rng},
@@ -186,35 +227,50 @@ class GPTTrainModule:
                     chunk=cfg.fused_ce_chunk,
                 )
             else:
-                logits = model.apply(
-                    {"params": params}, tokens,
+                logits, losses_col = apply_model(
+                    params, tokens,
                     positions,
                     segment_ids=batch.get("segment_ids"),
                     train=True, rngs={"dropout": rng},
                 )
                 loss, n = masked_token_loss(logits, labels, loss_mask)
-            return loss, n
+            if moe and cfg.moe_aux_loss_coeff:
+                loss = loss + _moe_aux_total(losses_col)
+            return loss, {"n": n, "losses": losses_col}
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
             if batch["tokens"].ndim == 3:  # [A, B, S] microbatch accumulation
                 def micro(carry, mb):
-                    acc_grads, acc_loss = carry
-                    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    acc_grads, acc_loss, acc_aux = carry
+                    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                         state.params, mb, rng
                     )
-                    return (jax.tree.map(jnp.add, acc_grads, grads), acc_loss + loss), None
+                    acc_aux = jax.tree.map(jnp.add, acc_aux, aux["losses"])
+                    return (jax.tree.map(jnp.add, acc_grads, grads),
+                            acc_loss + loss, acc_aux), None
 
                 zero = jax.tree.map(jnp.zeros_like, state.params)
-                (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+                zero_aux = jax.tree.map(
+                    jnp.zeros_like,
+                    jax.eval_shape(lambda: loss_fn(
+                        state.params, jax.tree.map(lambda x: x[0], batch), rng
+                    )[1]["losses"]))
+                (grads, loss_sum, losses_col), _ = jax.lax.scan(
+                    micro, (zero, 0.0, zero_aux), batch)
                 A = batch["tokens"].shape[0]
                 grads = jax.tree.map(lambda g: g / A, grads)
                 loss = loss_sum / A
             else:
-                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, batch, rng
                 )
+                losses_col = aux["losses"]
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if (moe and cfg.moe_router_enable_expert_bias
+                    and cfg.moe_router_bias_update_rate):
+                new_params = _update_expert_bias(
+                    new_params, losses_col, cfg.moe_router_bias_update_rate)
             gnorm = optax.global_norm(grads)
             metrics = {"loss": loss, "grad_norm": gnorm, "step": state.step}
             return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt), metrics

@@ -105,3 +105,169 @@ def test_moe_ep_sharded_train_step():
         losses.append(float(met["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # memorizing a fixed batch
+
+
+def test_aux_loss_enters_objective_and_router_grads():
+    """r2 VERDICT weak #1: the sown aux loss must reach the training loss.
+    Same init, same batch — the objective with coeff>0 must exceed coeff=0
+    and the aux term must contribute a router gradient component."""
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    from nemo_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+
+    def run(coeff):
+        cfg = tiny_test(
+            num_layers=1, seq_length=32, num_moe_experts=4, moe_router_topk=1,
+            moe_aux_loss_coeff=coeff, moe_dispatch="dense", scan_layers=False,
+            remat="none",
+        )
+        mod = GPTTrainModule(cfg, mesh=mesh)
+        state = mod.init_state(seed=0)
+        rng = np.random.RandomState(0)
+        batch = {
+            "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 32)), jnp.int32),
+            "labels": jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 32)), jnp.int32),
+            "loss_mask": jnp.ones((2, 32), jnp.float32),
+        }
+        new_state, met = mod.train_step(state, batch, jax.random.PRNGKey(0))
+        return float(met["loss"]), new_state
+
+    loss0, st0 = run(0.0)
+    loss1, st1 = run(1.0)
+    # aux loss for top-1 of E experts is >= coeff (E * sum(f_e * P_e) >= 1)
+    assert loss1 > loss0 + 0.5, (loss0, loss1)
+    # the aux term must move the router differently than pure CE
+    k0 = np.asarray(st0.params["layer0"]["moe"]["router"]["kernel"])
+    k1 = np.asarray(st1.params["layer0"]["moe"]["router"]["kernel"])
+    assert not np.allclose(k0, k1)
+
+
+def test_aux_loss_collected_under_scan_layers():
+    """The 'losses' collection must survive nn.scan layer stacking."""
+    cfg = tiny_test(
+        num_layers=2, seq_length=32, num_moe_experts=4, moe_router_topk=2,
+        moe_aux_loss_coeff=0.1, moe_dispatch="dense", scan_layers=True,
+        remat="none",
+    )
+    m = GPTModel(cfg)
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(0, 100, (2, 32)), jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), tokens)
+    _, mut = m.apply(variables, tokens, train=True, mutable=["losses"],
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    aux = mut["losses"]["layers"]["moe"]["moe_aux"][0]
+    load = mut["losses"]["layers"]["moe"]["expert_load"][0]
+    assert aux.shape == (2,) and np.all(np.asarray(aux) > 0)
+    assert load.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(load).sum(-1), 2.0, rtol=1e-5)
+
+
+def test_deepseek_expert_bias_update_rule():
+    """Aux-loss-free balancing: after one step the e-score correction bias
+    moves by exactly ±rate against the per-expert load sign (deepseek-v3;
+    reference gpt/model/deepseek.py bias fields)."""
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    from nemo_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    rate = 1e-3
+    cfg = tiny_test(
+        num_layers=1, seq_length=32, num_moe_experts=4, moe_router_topk=2,
+        moe_router_score_function="sigmoid", moe_router_enable_expert_bias=True,
+        moe_router_bias_update_rate=rate, moe_router_norm_topk_prob=True,
+        moe_dispatch="dense", scan_layers=False, remat="none",
+    )
+    mod = GPTTrainModule(cfg, mesh=mesh)
+    state = mod.init_state(seed=0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, cfg.vocab_size, (2, 32)), jnp.int32),
+        "loss_mask": jnp.ones((2, 32), jnp.float32),
+    }
+    # expected load from the same forward the step sees
+    _, mut = mod.model.apply(
+        {"params": state.params}, batch["tokens"], train=True,
+        mutable=["losses"], rngs={"dropout": jax.random.PRNGKey(0)})
+    load = np.asarray(mut["losses"]["layer0"]["moe"]["expert_load"][0])
+    new_state, _ = mod.train_step(state, batch, jax.random.PRNGKey(0))
+    bias = np.asarray(new_state.params["layer0"]["moe"]["expert_bias"])
+    expected = rate * np.sign(load.mean() - load)
+    np.testing.assert_allclose(bias, expected, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_balancing_prevents_and_recovers_collapse():
+    """r2 VERDICT 'done =' criterion. Two mechanisms, one scenario each:
+    (a) Switch aux loss keeps expert loads near-uniform through training;
+    (b) a router hard-collapsed via its e-score correction bias recovers
+    under the deepseek bias-update rule, while a control with the update
+    rate zeroed stays collapsed forever (scores live in [0,1] and cannot
+    overcome a +/-2 bias gap)."""
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    from nemo_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    E = 4
+
+    def load_entropy(mod, state, batch):
+        _, mut = mod.model.apply(
+            {"params": state.params}, batch["tokens"], train=True,
+            mutable=["losses"], rngs={"dropout": jax.random.PRNGKey(0)})
+        load = np.asarray(mut["losses"]["layer0"]["moe"]["expert_load"][0])
+        p = load / load.sum()
+        return float(-(p * np.log(np.maximum(p, 1e-12))).sum()), load
+
+    def make_batch(rng, cfg, b=4):
+        return {
+            "tokens": jnp.asarray(
+                rng.randint(0, cfg.vocab_size, (b, 32)), jnp.int32),
+            "labels": jnp.asarray(
+                rng.randint(0, cfg.vocab_size, (b, 32)), jnp.int32),
+            "loss_mask": jnp.ones((b, 32), jnp.float32),
+        }
+
+    # (a) aux loss holds balance under 80 steps of training
+    cfg = tiny_test(
+        num_layers=1, seq_length=32, num_moe_experts=E, moe_router_topk=2,
+        moe_aux_loss_coeff=0.5, moe_dispatch="dense", scan_layers=False,
+        remat="none",
+    )
+    mod = GPTTrainModule(cfg, mesh=mesh)
+    state = mod.init_state(seed=0)
+    rng = np.random.RandomState(0)
+    batch = None
+    for i in range(80):
+        batch = make_batch(rng, cfg)
+        state, _ = mod.train_step(state, batch, jax.random.PRNGKey(i))
+    ent, _ = load_entropy(mod, state, batch)
+    assert ent > 0.95 * np.log(E), ent
+
+    # (b) bias-update recovery from a hard collapse
+    def run_bias(rate, steps=140):
+        cfg = tiny_test(
+            num_layers=1, seq_length=32, num_moe_experts=E, moe_router_topk=2,
+            moe_router_score_function="sigmoid",
+            moe_router_enable_expert_bias=True,
+            moe_router_bias_update_rate=rate,
+            moe_router_norm_topk_prob=True,
+            moe_dispatch="dense", scan_layers=False, remat="none",
+        )
+        mod = GPTTrainModule(cfg, mesh=mesh)
+        state = mod.init_state(seed=0)
+        # collapse: bias pins selection to experts {0,1} (scores are in
+        # [0,1], so a 2.0 gap is insurmountable without bias updates)
+        state.params["layer0"]["moe"]["expert_bias"] = jnp.asarray(
+            [2.0, 2.0, -2.0, -2.0], jnp.float32)
+        rng = np.random.RandomState(1)
+        batch = None
+        for i in range(steps):
+            batch = make_batch(rng, cfg)
+            state, _ = mod.train_step(state, batch, jax.random.PRNGKey(i))
+        return load_entropy(mod, state, batch)
+
+    ent_rec, _ = run_bias(rate=0.02)
+    ent_ctl, load_ctl = run_bias(rate=0.0)
+    assert ent_ctl < np.log(2) + 1e-3, (ent_ctl, load_ctl)  # still collapsed
+    assert ent_rec > 0.9 * np.log(E), ent_rec  # recovered to near-uniform
