@@ -28,6 +28,21 @@ class LMEvaluator:
         self.max_len = max_len
         self._jit = {}
 
+    def _encode_pair(self, c_ids, x_ids):
+        """Window (context + continuation) to max_len, guaranteeing at least
+        one context token: with an empty/truncated-away context the pos-1
+        gather would wrap to the padded tail and score the first continuation
+        token against an unrelated row (ADVICE r2). lm-eval convention:
+        prepend EOT for unconditional loglikelihood."""
+        ids = (c_ids + x_ids)[-self.max_len:]
+        n_ctx = len(ids) - len(x_ids)
+        if n_ctx <= 0:
+            eot = getattr(self.tokenizer, "eos_id", 0) or 0
+            if len(ids) < self.max_len:
+                ids = [eot] + ids
+            n_ctx = 1  # first continuation token conditions on ids[0]
+        return ids, n_ctx
+
     def _logprobs(self, tokens: jnp.ndarray) -> jnp.ndarray:
         S = tokens.shape[1]
         if S not in self._jit:
@@ -45,8 +60,7 @@ class LMEvaluator:
         """(sum logprob of continuation | context, was it the greedy pick)."""
         c_ids = self.tokenizer.text_to_ids(context)
         x_ids = self.tokenizer.text_to_ids(continuation)
-        ids = (c_ids + x_ids)[-self.max_len:]
-        n_ctx = len(ids) - len(x_ids)
+        ids, n_ctx = self._encode_pair(c_ids, x_ids)
         S = 2 ** int(np.ceil(np.log2(max(len(ids), 8))))
         toks = np.zeros((1, S), np.int32)
         toks[0, : len(ids)] = ids
@@ -90,8 +104,7 @@ class LMEvaluator:
         for ctx, cont in pairs:
             c_ids = self.tokenizer.text_to_ids(ctx)
             x_ids = self.tokenizer.text_to_ids(cont)
-            ids = (c_ids + x_ids)[-self.max_len:]
-            enc.append((ids, len(ids) - len(x_ids)))
+            enc.append(self._encode_pair(c_ids, x_ids))
         longest = max(len(ids) for ids, _ in enc)
         S = 2 ** int(np.ceil(np.log2(max(longest, 8))))
         B = len(enc)

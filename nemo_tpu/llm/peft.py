@@ -102,6 +102,13 @@ class LoRATrainModule:
                 "lora_a": jnp.asarray(a, jnp.float32),
                 "lora_b": jnp.asarray(b, jnp.float32),
             }
+            if self.lora.dora:
+                # trainable per-output-channel magnitude, init ‖W‖ per column
+                # (DoRA defines m over output channels; reference peft/dora.py)
+                kf = np.asarray(kernel, np.float32).reshape(
+                    a.shape[:-2] + (a.shape[-2], -1))
+                adapters[key]["dora_m"] = jnp.asarray(
+                    np.linalg.norm(kf, axis=-2, keepdims=True), jnp.float32)
         return adapters
 
     def merge(self, base_params, adapters):
@@ -112,13 +119,17 @@ class LoRATrainModule:
             ad = adapters["/".join(path)]
             a, b = ad["lora_a"], ad["lora_b"]
             delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
-            new = kernel + delta.reshape(kernel.shape).astype(kernel.dtype)
             if self.lora.dora:
-                norm_base = jnp.linalg.norm(kernel.reshape(kernel.shape[0], -1) if kernel.ndim > 2 else kernel, axis=-1, keepdims=True)
-                norm_new = jnp.linalg.norm(new.reshape(new.shape[0], -1) if new.ndim > 2 else new, axis=-1, keepdims=True)
-                new = new * (norm_base / jnp.maximum(norm_new, 1e-6)).reshape(
-                    norm_base.shape + (1,) * (new.ndim - norm_base.ndim)
-                )
+                # DoRA: W' = m · (W + ΔW) / ‖W + ΔW‖_col with the norm taken
+                # per OUTPUT channel (over the input/contraction axis) and m
+                # a trainable magnitude vector (reference peft/dora.py)
+                kf = kernel.reshape(delta.shape).astype(jnp.float32)
+                new_f = kf + delta
+                col_norm = jnp.linalg.norm(new_f, axis=-2, keepdims=True)
+                new_f = ad["dora_m"] * new_f / jnp.maximum(col_norm, 1e-6)
+                new = new_f.reshape(kernel.shape).astype(kernel.dtype)
+            else:
+                new = kernel + delta.reshape(kernel.shape).astype(kernel.dtype)
             params = _set_in(params, path, new)
         return params
 

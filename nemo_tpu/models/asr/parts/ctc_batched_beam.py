@@ -150,7 +150,10 @@ def ctc_beam_search_batched(
                              sel_token)
         new_buf = gp(buf)
         new_cnt = jnp.take_along_axis(cnt, sel_parent, 1)
-        emit = ~sel_stay
+        # never emit from a NEG_INF filler candidate (top_k can surface one
+        # when fewer than N finite candidates exist, e.g. all real hyps at
+        # the token cap): it would overwrite the buffer's last real token
+        emit = (~sel_stay) & (sel_val > NEG_INF / 2) & (new_cnt < cap)
         pos = jnp.minimum(new_cnt, cap - 1)
         bi = jnp.arange(B)[:, None].repeat(N, 1)
         ni = jnp.arange(N)[None, :].repeat(B, 0)

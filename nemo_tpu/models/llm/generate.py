@@ -214,9 +214,11 @@ class ContinuousBatchingEngine:
         return int(tok)
 
     def decode_step(self, feed_tokens: np.ndarray, active: np.ndarray,
-                    temperature: float = 0.0, seed: int = 0) -> np.ndarray:
+                    temperature=0.0, seed: int = 0) -> np.ndarray:
         """feed_tokens [slots] (last sampled per slot; 0 for inactive).
-        Advances active slots one token; returns next tokens [slots]."""
+        Advances active slots one token; returns next tokens [slots].
+        `temperature` is a scalar or per-slot [slots] vector (each request's
+        own sampling params under continuous batching)."""
         if self._decode_jit is None:
             self._decode_jit = jax.jit(self._decode_fn)
         k, v, nxt = self._decode_jit(
@@ -233,11 +235,16 @@ class ContinuousBatchingEngine:
 
 def _temp_sample(logits: jnp.ndarray, rng, temperature) -> jnp.ndarray:
     """Greedy when temperature==0 else categorical — one program for both
-    (lax.cond keeps the decode jit cache at size 1)."""
+    (`where` keeps the decode jit cache at size 1). `temperature` may be a
+    scalar or a per-row [B] vector (continuous batching: each slot keeps its
+    own request's sampling params — a greedy request stays deterministic
+    even when co-scheduled with sampled ones)."""
+    t = jnp.asarray(temperature, jnp.float32)
+    t_rows = t if t.ndim == 0 else t[:, None]
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     sampled = jax.random.categorical(
-        rng, logits / jnp.maximum(temperature, 1e-6), axis=-1).astype(jnp.int32)
-    return jnp.where(temperature > 0, sampled, greedy)
+        rng, logits / jnp.maximum(t_rows, 1e-6), axis=-1).astype(jnp.int32)
+    return jnp.where(t > 0, sampled, greedy)
 
 
 def generate(

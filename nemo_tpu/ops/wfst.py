@@ -118,55 +118,75 @@ def ctc_wfst_decode(
     lp = log_probs.astype(np.float32) * acoustic_scale
 
     S, A = fst.n_states, fst.n_arcs
-    # score[s]: best path ending in FST state s; last[s]: last emitted token
-    # (for CTC repeat semantics); bp: backpointers (t, arc) per state
-    score = np.full(S, NEG_INF, np.float32)
-    score[0] = 0.0
-    last = np.full(S, -1, np.int32)
-    # traceback: for each (t, s) the arc taken (-1 = stay)
-    take = np.full((T, S), -1, np.int32)
-    prev_state = np.full((T, S), -1, np.int32)
+    ar = np.arange(S)
+    # CTC topology: duplicate the trellis into (state, after_blank) rows
+    # (standard CTC token-FST composition; reference k2 CTC topology).
+    # b=1 ⇔ the most recent frame was blank (or nothing emitted yet);
+    # an arc whose ilabel equals the state's last emitted token is only
+    # legal from a b=1 row — blank must separate repeated tokens.
+    # score[s, b]: best path; last[s, b]: last emitted token on it.
+    score = np.full((S, 2), NEG_INF, np.float32)
+    score[0, 1] = 0.0
+    last = np.full((S, 2), -1, np.int32)
+    # traceback per (t, s, b): arc taken (-1 = stay) + predecessor (s, b)
+    take = np.full((T, S, 2), -1, np.int32)
+    prev_state = np.full((T, S, 2), -1, np.int32)
+    prev_b = np.full((T, S, 2), 0, np.int32)
 
     for t in range(T):
-        stay = score + np.where(
-            last >= 0,
-            np.maximum(lp[t, blank], lp[t, np.maximum(last, 0)]),
-            lp[t, blank],
-        )
-        # arc transitions: from -> to emitting ilabel
-        cand = score[fst.arc_from] + lp[t, fst.arc_ilabel] + fst.arc_weight
-        new_score = stay.copy()
-        new_last = last.copy()
-        new_take = np.full(S, -1, np.int32)
-        new_prev = np.arange(S, dtype=np.int32)
-        # scatter-max per destination state
-        order = np.argsort(cand)  # ascending; later (larger) wins
-        dst = fst.arc_to[order]
-        c = cand[order]
-        better = c > new_score[dst]
-        # numpy scatter: last write wins = max since sorted ascending
-        upd_idx = dst[better]
-        new_score[upd_idx] = c[better]
-        new_last[upd_idx] = fst.arc_ilabel[order][better]
-        new_take[upd_idx] = order[better]
-        new_prev[upd_idx] = fst.arc_from[order][better]
+        new_score = np.full((S, 2), NEG_INF, np.float32)
+        new_last = np.full((S, 2), -1, np.int32)
+        new_take = np.full((S, 2), -1, np.int32)
+        new_prev = np.tile(ar[:, None], (1, 2)).astype(np.int32)
+        new_pb = np.zeros((S, 2), np.int32)
+        # stay emitting blank: (s, *) → (s, 1)
+        b_src = np.argmax(score, axis=1)
+        new_score[:, 1] = score[ar, b_src] + lp[t, blank]
+        new_last[:, 1] = last[ar, b_src]
+        new_pb[:, 1] = b_src
+        # stay repeating the current emission: (s, 0) → (s, 0) only —
+        # a repeat after blank would be a new (unmatched) token
+        rep_ok = last[:, 0] >= 0
+        new_score[:, 0] = np.where(
+            rep_ok, score[:, 0] + lp[t, np.maximum(last[:, 0], 0)], NEG_INF)
+        new_last[:, 0] = last[:, 0]
+        # arc transitions: from → to emitting ilabel, landing in b=0
+        for b in (1, 0):
+            src = score[fst.arc_from, b]
+            if b == 0:
+                # repeated token without intervening blank is illegal
+                src = np.where(
+                    fst.arc_ilabel != last[fst.arc_from, 0], src, NEG_INF)
+            cand = src + lp[t, fst.arc_ilabel] + fst.arc_weight
+            order = np.argsort(cand)  # ascending; later (larger) wins
+            dst = fst.arc_to[order]
+            c = cand[order]
+            better = c > new_score[dst, 0]
+            upd = dst[better]
+            new_score[upd, 0] = c[better]
+            new_last[upd, 0] = fst.arc_ilabel[order][better]
+            new_take[upd, 0] = order[better]
+            new_prev[upd, 0] = fst.arc_from[order][better]
+            new_pb[upd, 0] = b
         take[t] = new_take
-        prev_state[t] = np.where(new_take >= 0, new_prev, np.arange(S))
+        prev_state[t] = new_prev
+        prev_b[t] = new_pb
         score, last = new_score, new_last
 
-    total = score + fst.final_weight
-    best_s = int(np.argmax(total))
-    best_score = float(total[best_s])
+    total = score + fst.final_weight[:, None]
+    best_flat = int(np.argmax(total))
+    best_s, best_b = best_flat // 2, best_flat % 2
+    best_score = float(total[best_s, best_b])
     if best_score <= NEG_INF / 2:
         return [], NEG_INF
     # traceback
     toks: List[int] = []
-    s = best_s
+    s, b = best_s, best_b
     for t in range(T - 1, -1, -1):
-        a = take[t, s]
+        a = take[t, s, b]
         if a >= 0:
             toks.append(int(fst.arc_ilabel[a]))
-        s = int(prev_state[t, s])
+        s, b = int(prev_state[t, s, b]), int(prev_b[t, s, b])
     toks.reverse()
     return toks, best_score
 

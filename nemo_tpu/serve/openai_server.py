@@ -96,9 +96,12 @@ class LLMServer:
                 if not admitted:
                     time.sleep(0.002)
                 continue
-            # one batched decode step for every active slot
-            temp = max((r.temperature for r in slots if r), default=0.0)
-            nxt = self.engine.decode_step(feed, active, temp, seed=step)
+            # one batched decode step for every active slot, each sampled at
+            # its own request's temperature (per-slot vector; a greedy
+            # request stays greedy next to a temperature=1.0 neighbour)
+            temps = np.asarray(
+                [r.temperature if r else 0.0 for r in slots], np.float32)
+            nxt = self.engine.decode_step(feed, active, temps, seed=step)
             step += 1
             for s, req in enumerate(slots):
                 if req is None:
@@ -156,6 +159,8 @@ class LLMServer:
 
             self._score_jit = jax.jit(f)
         ids = self.tokenizer.text_to_ids(prompt)
+        if not ids:
+            return [], []
         S = max(8, int(2 ** np.ceil(np.log2(len(ids)))))
         toks = np.zeros((1, S), np.int32)
         toks[0, : len(ids)] = ids

@@ -128,3 +128,36 @@ def test_sse_streaming():
         assert all("delta" in d["choices"][0] for d in deltas)
     finally:
         srv.shutdown()
+
+
+def test_per_slot_temperature_isolation(setup):
+    """ADVICE r2: a greedy (temperature=0) request co-scheduled with a
+    temperature=1.0 request must still decode deterministically greedy."""
+    cfg, params = setup
+    rng = np.random.RandomState(3)
+    p_greedy = list(rng.randint(1, cfg.vocab_size, 6))
+    p_hot = list(rng.randint(1, cfg.vocab_size, 6))
+
+    def run(pair):
+        eng = ContinuousBatchingEngine(cfg, params, max_slots=4, max_len=64,
+                                       prefill_buckets=(8,))
+        feed = np.zeros(4, np.int32)
+        temps = np.zeros(4, np.float32)
+        out = []
+        tok = eng.prefill_slot(0, p_greedy, temperature=0.0, seed=0)
+        feed[0] = tok
+        out.append(tok)
+        active = np.asarray([True, False, False, False])
+        if pair:
+            temps[1] = 1.0
+            feed[1] = eng.prefill_slot(1, p_hot, temperature=1.0, seed=0)
+            active[1] = True
+        for step in range(8):
+            nxt = eng.decode_step(feed, active, temps, seed=step)
+            feed = np.where(active, nxt, feed).astype(np.int32)
+            out.append(int(nxt[0]))
+        return out
+
+    solo = run(pair=False)
+    paired = run(pair=True)
+    assert solo == paired, (solo, paired)

@@ -128,3 +128,33 @@ def test_canonical_lora_per_target_ranks_and_hf_export():
     qa = [k for k in sd if "q_proj.lora_A" in k]
     assert len(qa) == cfg.num_layers
     assert sd[qa[0]].shape[0] == 8  # rank rows (torch lora_A layout)
+
+
+def test_dora_identity_at_init_and_column_magnitudes():
+    """ADVICE r2: DoRA magnitude is per OUTPUT channel (norm over the
+    contraction axis) and trainable. At init (B=0, m=‖W‖_col) the merged
+    weights must equal the base weights exactly."""
+    import nemo_tpu.llm as llm
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.parallel.mesh import MeshConfig
+
+    cfg = tiny_test(num_layers=2, seq_length=16)
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    base_mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=8))
+    base = base_mod.init_state(seed=0).params
+    lora = llm.LoRA(dim=4, alpha=8, dora=True)
+    mod = lora.build_module(cfg, base, MeshConfig(dp=8))
+    adapters = mod.init_adapters(seed=0)
+    for key, ad in adapters.items():
+        assert "dora_m" in ad, key
+        # magnitude has one entry per flattened output channel
+        assert ad["dora_m"].shape[-2] == 1
+        assert ad["dora_m"].shape[-1] == ad["lora_b"].shape[-1]
+    merged = mod.merge(base, adapters)
+    for path in mod.targets:
+        node_m, node_b = merged, base
+        for k in path:
+            node_m, node_b = node_m[k], node_b[k]
+        np.testing.assert_allclose(
+            np.asarray(node_m, np.float32), np.asarray(node_b, np.float32),
+            atol=2e-6, err_msg="/".join(path))

@@ -72,3 +72,44 @@ def test_unreachable_graph_returns_empty():
     fst = linear_fst([2, 3, 4, 5, 1])  # needs 5 arcs in 4 frames
     toks, score = ctc_wfst_decode(lp, fst, blank=blank)
     assert toks == []
+
+
+def test_ctc_topology_requires_blank_between_repeats():
+    """ADVICE r2: an arc repeating the previous token must only be takeable
+    after a blank frame. Phrase [3, 3] over 2 frames (no room for a blank)
+    must be rejected; over 3 frames with a blank in the middle it must win."""
+    from nemo_tpu.ops.wfst import WFST, ctc_wfst_decode, linear_fst
+
+    V = 5  # tokens 0..3 + blank 4
+    fst = linear_fst([3, 3])
+
+    # two frames both favouring token 3 — a valid CTC labeling of [3,3]
+    # needs >= 3 frames (3, blank, 3); decoder must NOT claim [3,3]
+    lp = np.full((2, V), -10.0, np.float32)
+    lp[:, 3] = -0.1
+    toks, score = ctc_wfst_decode(lp, fst)
+    assert toks != [3, 3], (toks, score)
+
+    # three frames: 3, blank, 3 — now [3,3] is reachable
+    lp = np.full((3, V), -10.0, np.float32)
+    lp[0, 3] = -0.1
+    lp[1, 4] = -0.1
+    lp[2, 3] = -0.1
+    toks, score = ctc_wfst_decode(lp, fst)
+    assert toks == [3, 3], (toks, score)
+    # score must be the actual frame labeling score (3, blank, 3)
+    np.testing.assert_allclose(score, -0.3, atol=1e-5)
+
+
+def test_ctc_topology_distinct_tokens_need_no_blank():
+    """Adjacent distinct tokens may follow each other frame-to-frame."""
+    from nemo_tpu.ops.wfst import ctc_wfst_decode, linear_fst
+
+    V = 5
+    fst = linear_fst([1, 2])
+    lp = np.full((2, V), -10.0, np.float32)
+    lp[0, 1] = -0.2
+    lp[1, 2] = -0.3
+    toks, score = ctc_wfst_decode(lp, fst)
+    assert toks == [1, 2]
+    np.testing.assert_allclose(score, -0.5, atol=1e-5)
