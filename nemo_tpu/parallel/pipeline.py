@@ -1,4 +1,4 @@
-"""Pipeline parallelism: GPipe-schedule training over a 'pp' mesh axis.
+"""Pipeline parallelism: 1F1B and GPipe schedules over a 'pp' mesh axis.
 
 Reference parity: MegatronParallel's pipeline schedules
 (`nemo/lightning/megatron_parallel.py:1411-1436` — 1F1B / interleaved
@@ -7,18 +7,30 @@ forward-backward over PP process groups with p2p sends).
 TPU-native design (this is NOT a port of the NCCL p2p machinery):
 - the layer stack's leading 'layers' axis is sharded over 'pp', so each
   stage holds a contiguous slab of layers — no per-stage modules;
-- the schedule is ONE `lax.scan` over T = n_micro + pp − 1 ticks inside a
-  partial-manual `shard_map(axis_names={'pp'})`: every tick runs the
-  stage body on its current activation and hands it to the next stage
-  with `lax.ppermute` (the ICI p2p analog). Remaining mesh axes
-  (dp/fsdp/tp/cp) stay in GSPMD auto mode, so pipeline composes with
-  tensor/data sharding the usual way;
-- backward is `jax.grad` straight through the scan+ppermute (the
-  transpose of a permute is the reverse permute) with per-tick remat —
-  a GPipe schedule: same bubble fraction (pp−1)/T as 1F1B; 1F1B's
-  advantage is peak-memory, which remat of the stage body recovers;
-- embedding and the LM head/loss run OUTSIDE the pipeline in ordinary
-  GSPMD (they are batch/vocab-sharded, not stage-local).
+- the schedule is ONE `lax.scan` over ticks inside a partial-manual
+  `shard_map(axis_names={'pp'})`: every tick runs the stage body on its
+  current activation and hands it to the next stage with `lax.ppermute`
+  (the ICI p2p analog). Remaining mesh axes (dp/fsdp/tp/cp) stay in
+  GSPMD auto mode, so pipeline composes with tensor/data sharding;
+
+Two schedules:
+- **"1f1b" (default)**: a manual forward/backward interleave. Each tick
+  every stage runs one forward (microbatch t−s) AND one backward
+  (microbatch t−2(pp−1)+s, recompute-from-saved-input + `jax.vjp`),
+  so at most 2·pp microbatch inputs are in flight per stage — peak
+  activation memory is O(pp), independent of n_micro (the property that
+  makes pp × large-model fit; reference 1F1B schedule). Weight grads
+  accumulate across ticks; dropout rngs are threaded per
+  (microbatch, stage, layer) and replayed identically in the backward
+  recompute. The embedding table and LM head are **vocab-sharded over
+  the pp axis** (no stage holds the full vocab projection — the memory
+  the reference moves to stage boundaries): token embedding is a
+  local-shard gather + psum, and the loss is a vocab-parallel fused CE
+  computed collectively across stages (each stage does 1/pp of the head
+  FLOPs), with the CE/softmax backward written analytically.
+- **"gpipe"**: all forwards then `jax.grad` back through the scan
+  (per-tick remat). Simpler, same bubble, but saves one activation per
+  tick → O(n_micro) memory, and supports no dropout.
 """
 
 from __future__ import annotations
@@ -51,6 +63,7 @@ class PipelinedGPTModule:
     mesh_cfg: MeshConfig = dataclasses.field(default_factory=lambda: MeshConfig(pp=2))
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Mesh] = None
+    schedule: str = "1f1b"  # "1f1b" | "gpipe"
 
     def __post_init__(self):
         if self.mesh is None:
@@ -60,10 +73,26 @@ class PipelinedGPTModule:
             raise ValueError(f"num_layers {self.cfg.num_layers} % pp {self.pp} != 0")
         if not self.cfg.scan_layers:
             raise ValueError("pipeline needs scan_layers=True (stacked layer params)")
-        if self.cfg.hidden_dropout or self.cfg.attention_dropout:
-            raise ValueError("pipeline v0 supports dropout=0 only")
+        if self.schedule == "gpipe":
+            if self.cfg.hidden_dropout or self.cfg.attention_dropout:
+                raise ValueError(
+                    "gpipe schedule supports dropout=0 only; use schedule='1f1b'")
+            self.rules = default_axis_rules()
+        elif self.schedule == "1f1b":
+            if self.cfg.vocab_size % self.pp:
+                raise ValueError(
+                    f"1f1b vocab-parallel head needs vocab_size "
+                    f"{self.cfg.vocab_size} % pp {self.pp} == 0")
+            if self.cfg.position_embedding_type == "learned_absolute":
+                raise ValueError("1f1b supports rope/none position embeddings")
+            # vocab is sharded over pp (manually, at the stage boundaries) —
+            # drop the vocab→tp rule so the two don't compose on one dim
+            self.rules = tuple(
+                (name, None) if name == "vocab" else (name, ax)
+                for name, ax in default_axis_rules())
+        else:
+            raise ValueError(f"unknown schedule {self.schedule!r}")
         self.model = GPTModel(self.cfg)
-        self.rules = default_axis_rules()
         if self.optimizer is None:
             self.optimizer = optax.chain(
                 optax.clip_by_global_norm(1.0),
@@ -88,12 +117,25 @@ class PipelinedGPTModule:
         specs = nn.get_partition_spec(abstract)
         shardings = nn.logical_to_mesh_sharding(specs, self.mesh, self.rules)
 
-        # stamp 'pp' onto the leading layers axis of every stacked leaf
+        # stamp 'pp' onto the leading layers axis of every stacked leaf;
+        # under 1f1b also vocab-shard the embedding/LM-head over pp
+        stamp_vocab = self.schedule == "1f1b"
+
         def fix(path, sh):
             keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-            if "layers" in keys and isinstance(sh, NamedSharding):
+            if not isinstance(sh, NamedSharding):
+                return sh
+            if "layers" in keys:
                 spec = list(sh.spec) or [None]
                 spec[0] = "pp"
+                return NamedSharding(self.mesh, P(*spec))
+            if stamp_vocab and "embedding" in keys:
+                spec = list(sh.spec) or [None, None]
+                spec[0] = "pp"  # [V, D]: vocab rows over stages
+                return NamedSharding(self.mesh, P(*spec))
+            if stamp_vocab and "lm_head" in keys:
+                spec = list(sh.spec) or [None, None]
+                spec[1] = "pp"  # kernel [D, V]: vocab cols over stages
                 return NamedSharding(self.mesh, P(*spec))
             return sh
 
@@ -165,6 +207,221 @@ class PipelinedGPTModule:
             check_vma=False,
         )(layer_params, embeds, positions)
 
+    # -- 1F1B schedule --------------------------------------------------------
+    def _pipe_1f1b_fn(self):
+        """Returns pipe(params, tokens, labels, mask, rng) → (loss, grads):
+        the manual 1F1B forward/backward (see module docstring)."""
+        cfg, pp, mesh = self.cfg, self.pp, self.mesh
+        L_local = cfg.num_layers // pp
+        Vloc = cfg.vocab_size // pp
+        tied = cfg.share_embeddings_and_output_weights
+        moe = cfg.num_moe_experts > 0
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        mult = float(cfg.embedding_multiplier or 1.0)
+        layer = TransformerLayer(cfg, is_training=True)
+        from nemo_tpu.models.llm.train import _moe_aux_total
+
+        def stage_fwd(p_local, x, positions, key):
+            """One stage's layer slab; returns (y, moe_aux_sum)."""
+            def body(carry, xs):
+                p_layer, li = xs
+                k = jax.random.fold_in(key, li)
+                if moe:
+                    (y, _), mut = layer.apply(
+                        {"params": p_layer}, carry, positions,
+                        rngs={"dropout": k}, mutable=["losses"])
+                    aux = _moe_aux_total(mut.get("losses", {}))
+                else:
+                    y, _ = layer.apply({"params": p_layer}, carry, positions,
+                                       rngs={"dropout": k})
+                    aux = jnp.zeros((), jnp.float32)
+                return y, aux
+
+            y, auxs = jax.lax.scan(body, x, (p_local, jnp.arange(L_local)))
+            return y, jnp.sum(auxs)
+
+        def embed_partial(emb_local, tokens, stage):
+            """This stage's vocab-shard contribution to the token embedding
+            (psum over pp completes the lookup)."""
+            idx = tokens - stage * Vloc
+            ok = (idx >= 0) & (idx < Vloc)
+            part = jnp.take(emb_local, jnp.clip(idx, 0, Vloc - 1), axis=0)
+            return jnp.where(ok[..., None], part, 0.0) * mult
+
+        def head_fwd_bwd(w_local, norm_p, h, labels, mask, inv_n):
+            """Vocab-parallel (over pp) final-norm + LM head + masked CE,
+            forward AND analytic backward in one place. h [B,S,D] is
+            replicated across pp; w_local [Vloc, D] is this stage's vocab
+            shard. Returns (Σ nll, dL/dh, dL/dw_local, dL/dnorm) where the
+            d-seeds are pre-scaled by inv_n (grads of the MEAN loss)."""
+            hn = _apply_final_norm(cfg, norm_p, h)
+            hn32 = hn.astype(jnp.float32)
+            w32 = w_local.astype(jnp.float32)
+            logits = jnp.einsum("bsd,vd->bsv", hn32, w32)
+            if cfg.logit_softcapping:
+                cap = cfg.logit_softcapping
+                tl = jnp.tanh(logits / cap)
+                logits_c = cap * tl
+            else:
+                logits_c = logits
+            m = jax.lax.stop_gradient(
+                jax.lax.pmax(jnp.max(logits_c, -1), "pp"))
+            ex = jnp.exp(logits_c - m[..., None])
+            se = jax.lax.psum(jnp.sum(ex, -1), "pp")
+            lse = jnp.log(se) + m
+            stage = jax.lax.axis_index("pp")
+            li = labels - stage * Vloc
+            ok = (li >= 0) & (li < Vloc)
+            lic = jnp.clip(li, 0, Vloc - 1)
+            ll_loc = jnp.take_along_axis(logits_c, lic[..., None], -1)[..., 0]
+            ll = jax.lax.psum(jnp.where(ok, ll_loc, 0.0), "pp")
+            mask32 = mask.astype(jnp.float32)
+            loss_sum = jnp.sum((lse - ll) * mask32)
+            # ---- analytic backward (cotangent of mean loss = 1)
+            p = ex / se[..., None]
+            onehot = ok[..., None] & (jnp.arange(Vloc)[None, None, :] == lic[..., None])
+            d_logits = (p - onehot.astype(p.dtype)) * (mask32 * inv_n)[..., None]
+            if cfg.logit_softcapping:
+                d_logits = d_logits * (1.0 - tl * tl)
+            d_hn = jax.lax.psum(
+                jnp.einsum("bsv,vd->bsd", d_logits, w32), "pp")
+            d_w = jnp.einsum("bsv,bsd->vd", d_logits, hn32).astype(w_local.dtype)
+            _, norm_pb = jax.vjp(
+                lambda np_, hh: _apply_final_norm(cfg, np_, hh), norm_p, h)
+            d_norm, d_h = norm_pb(d_hn.astype(hn.dtype))
+            return loss_sum, d_h, d_w, d_norm
+
+        def pipe(p_local, emb_local, w_head_local, norm_p,
+                 tokens, labels, mask, positions, rng, inv_n):
+            stage = jax.lax.axis_index("pp")
+            n_micro, B, S = tokens.shape
+            D = emb_local.shape[1]
+            T = 2 * (pp - 1) + n_micro
+            buf = 2 * pp
+            fwd_perm = [(i, (i + 1) % pp) for i in range(pp)]
+            bwd_perm = [(i, (i - 1) % pp) for i in range(pp)]
+            idx_in = lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0, False)
+
+            zeros_act = jnp.zeros((B, S, D), cdtype)
+            carry0 = (
+                zeros_act,                                   # act_in
+                zeros_act,                                   # grad_in
+                jnp.zeros((buf, B, S, D), cdtype),           # xbuf
+                jax.tree.map(jnp.zeros_like, p_local),       # gacc
+                jnp.zeros_like(emb_local),                   # g_emb
+                jnp.zeros_like(w_head_local),                # g_head
+                jax.tree.map(jnp.zeros_like, norm_p),        # g_norm
+                jnp.zeros((), jnp.float32),                  # Σ nll
+                jnp.zeros((), jnp.float32),                  # Σ moe aux
+            )
+
+            def tick(c, t):
+                act_in, grad_in, xbuf, gacc, g_emb, g_head, g_norm, nll, aux = c
+                m_f = t - stage
+                do_f = (m_f >= 0) & (m_f < n_micro)
+                m_f_c = jnp.clip(m_f, 0, n_micro - 1)
+                # -- embedding feed for stage 0 (its mb index is t): a
+                # collective lookup over the pp-sharded vocab rows
+                m_e = jnp.clip(t, 0, n_micro - 1)
+                part = embed_partial(emb_local, idx_in(tokens, m_e), stage)
+                feed = jax.lax.psum(part.astype(jnp.float32), "pp").astype(cdtype)
+                x = jnp.where(stage == 0, feed, act_in)
+                # save the stage input for the backward recompute (gated:
+                # bubble ticks must not clobber a live slot)
+                slot_f = m_f_c % buf
+                cur = idx_in(xbuf, slot_f)
+                xbuf = jax.lax.dynamic_update_index_in_dim(
+                    xbuf, jnp.where(do_f, x, cur), slot_f, 0)
+                # -- forward
+                key_f = jax.random.fold_in(jax.random.fold_in(rng, m_f_c), stage)
+                y, aux_f = stage_fwd(p_local, x, positions, key_f)
+                aux = aux + jnp.where(do_f, aux_f, 0.0)
+                y_recv = jax.lax.ppermute(y, "pp", fwd_perm)
+                # -- head + CE for the mb retiring at the last stage
+                m_h = t - (pp - 1)
+                do_h = (m_h >= 0) & (m_h < n_micro)
+                m_h_c = jnp.clip(m_h, 0, n_micro - 1)
+                h = jax.lax.psum(
+                    jnp.where(stage == pp - 1, y, 0).astype(jnp.float32),
+                    "pp").astype(y.dtype)
+                loss_t, d_h, d_w, d_norm = head_fwd_bwd(
+                    w_head_local, norm_p, h, idx_in(labels, m_h_c),
+                    idx_in(mask, m_h_c), inv_n)
+                nll = nll + jnp.where(do_h, loss_t, 0.0)
+                gate_h = jnp.where(do_h, 1.0, 0.0)
+                g_head = g_head + d_w * gate_h
+                g_norm = jax.tree.map(
+                    lambda a, b: a + b * gate_h, g_norm, d_norm)
+                # -- backward: recompute from the saved input + vjp
+                m_b = t - 2 * (pp - 1) + stage
+                do_b = (m_b >= 0) & (m_b < n_micro)
+                m_b_c = jnp.clip(m_b, 0, n_micro - 1)
+                x_saved = idx_in(xbuf, m_b_c % buf)
+                key_b = jax.random.fold_in(jax.random.fold_in(rng, m_b_c), stage)
+                g_in = jnp.where(stage == pp - 1, d_h.astype(cdtype), grad_in)
+                _, pb = jax.vjp(
+                    lambda p, xx: stage_fwd(p, xx, positions, key_b),
+                    p_local, x_saved)
+                gp, gx = pb((g_in, jnp.asarray(1.0 / n_micro, jnp.float32)))
+                gate_b = jnp.where(do_b, 1.0, 0.0)
+                gacc = jax.tree.map(lambda a, b: a + b * gate_b, gacc, gp)
+                gx_recv = jax.lax.ppermute(gx * gate_b, "pp", bwd_perm)
+                # -- embedding backward: stage 0's input cotangent this tick
+                # is for mb t − 2(pp−1); scatter-add into the vocab shards
+                m_b0 = t - 2 * (pp - 1)
+                do_b0 = (m_b0 >= 0) & (m_b0 < n_micro)
+                m_b0_c = jnp.clip(m_b0, 0, n_micro - 1)
+                ct = jax.lax.psum(
+                    jnp.where(stage == 0, gx, 0).astype(jnp.float32), "pp")
+                tok_b = idx_in(tokens, m_b0_c)
+                ib = tok_b - stage * Vloc
+                okb = (ib >= 0) & (ib < Vloc) & do_b0
+                upd = jnp.where(okb[..., None], ct * mult, 0.0)
+                g_emb = g_emb.at[jnp.clip(ib, 0, Vloc - 1).reshape(-1)].add(
+                    upd.reshape(-1, D).astype(g_emb.dtype))
+                return (y_recv, gx_recv, xbuf, gacc, g_emb, g_head, g_norm,
+                        nll, aux), None
+
+            c, _ = jax.lax.scan(tick, carry0, jnp.arange(T))
+            _, _, _, gacc, g_emb, g_head, g_norm, nll, aux = c
+            aux_total = jax.lax.psum(aux, "pp") / n_micro
+            loss = nll * inv_n + aux_total
+            return loss, gacc, g_emb, g_head, g_norm
+
+        p_spec = P("pp")
+        pipe_sm = jax.shard_map(
+            pipe,
+            mesh=mesh,
+            in_specs=(p_spec, P("pp", None), P("pp", None), P(),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), p_spec, P("pp", None), P("pp", None), P()),
+            axis_names={"pp"},
+            check_vma=False,
+        )
+
+        def run(params, tokens, labels, mask, positions, rng):
+            if tied:
+                w_head = params["embedding"]
+            else:
+                w_head = params["lm_head"]["kernel"].T
+            mask32 = mask.astype(jnp.float32)
+            inv_n = 1.0 / jnp.maximum(jnp.sum(mask32), 1.0)
+            loss, g_layers, g_emb, g_head, g_norm = pipe_sm(
+                params["layers"], params["embedding"], w_head,
+                params["final_norm"], tokens, labels, mask32, positions,
+                rng, inv_n)
+            grads = jax.tree.map(jnp.zeros_like, params)
+            grads["layers"] = g_layers
+            grads["final_norm"] = g_norm
+            if tied:
+                grads["embedding"] = g_emb + g_head
+            else:
+                grads["embedding"] = g_emb
+                grads["lm_head"] = {"kernel": g_head.T}
+            return loss, grads
+
+        return run
+
     # -- train step --------------------------------------------------------------
     def _loss(self, params, batch):
         cfg = self.cfg
@@ -199,6 +456,35 @@ class PipelinedGPTModule:
             shardings = nn.meta.unbox(self.state_shardings())
             optimizer = self.optimizer
 
+            if self.schedule == "1f1b":
+                pipe_run = self._pipe_1f1b_fn()
+                cfg = self.cfg
+
+                def step(state, batch, rng):
+                    tokens = batch["tokens"]
+                    mask = batch.get("loss_mask")
+                    if mask is None:
+                        mask = jnp.ones(tokens.shape, jnp.float32)
+                    S = tokens.shape[-1]
+                    positions = jnp.arange(S)[None, :].repeat(tokens.shape[1], 0)
+                    loss, grads = pipe_run(
+                        state.params, tokens, batch["labels"], mask,
+                        positions, rng)
+                    updates, new_opt = optimizer.update(
+                        grads, state.opt_state, state.params)
+                    new_params = optax.apply_updates(state.params, updates)
+                    metrics = {"loss": loss,
+                               "grad_norm": optax.global_norm(grads)}
+                    return TrainState(step=state.step + 1, params=new_params,
+                                      opt_state=new_opt), metrics
+
+                with jax.set_mesh(self.mesh):
+                    rep = NamedSharding(self.mesh, P())
+                    self._jit_cache = jax.jit(
+                        step, in_shardings=(shardings, None, rep),
+                        out_shardings=(shardings, None), donate_argnums=(0,))
+                return self._jit_cache
+
             def step(state, batch):
                 (loss, _), grads = jax.value_and_grad(self._loss, has_aux=True)(
                     state.params, batch)
@@ -220,6 +506,10 @@ class PipelinedGPTModule:
             spec = P(None, ("dp", "fsdp"))
             batch = jax.device_put(batch, jax.tree.map(
                 lambda x: NamedSharding(self.mesh, spec), batch))
+            if self.schedule == "1f1b":
+                if rng is None:
+                    rng = jax.random.PRNGKey(0)
+                return step(state, batch, rng)
             return step(state, batch)
 
 

@@ -66,3 +66,69 @@ def test_pipeline_trains():
     assert np.isfinite(float(m1["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])
     assert int(state.step) == 2
+
+
+def test_1f1b_embedding_vocab_sharded_over_pp():
+    """weak r2 #3: no stage may hold the full vocab projection — the
+    embedding/LM-head rows are sharded over the pp axis."""
+    cfg = tiny_test(seq_length=32, num_layers=4)
+    pmod = PipelinedGPTModule(cfg, mesh_cfg=MeshConfig(pp=2, dp=4))
+    state = pmod.init_state()
+    assert "pp" in str(state.params["embedding"].sharding.spec)
+
+
+def test_1f1b_dropout_trains_and_is_deterministic():
+    """1F1B threads dropout rngs per (microbatch, stage, layer) and replays
+    them in the backward recompute (GPipe could not run dropout at all)."""
+    cfg = tiny_test(seq_length=32, num_layers=4,
+                    hidden_dropout=0.1, attention_dropout=0.1)
+    pmod = PipelinedGPTModule(cfg, mesh_cfg=MeshConfig(pp=2, dp=4))
+    state = pmod.init_state()
+    batch = _batch()
+    s1, m1 = pmod.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["loss"]))
+    # same rng → identical step (masks replayed exactly)
+    state_b = pmod.init_state()
+    _, m1b = pmod.train_step(state_b, batch, jax.random.PRNGKey(0))
+    assert float(m1["loss"]) == float(m1b["loss"])
+    # different rng → different dropout masks → different loss
+    state_c = pmod.init_state()
+    _, m1c = pmod.train_step(state_c, batch, jax.random.PRNGKey(7))
+    assert float(m1["loss"]) != float(m1c["loss"])
+    # and it trains
+    _, m2 = pmod.train_step(s1, batch, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_gpipe_schedule_matches_1f1b():
+    cfg = tiny_test(seq_length=32, num_layers=4, remat="none")
+    batch = _batch()
+    losses = {}
+    for sched in ("1f1b", "gpipe"):
+        mod = PipelinedGPTModule(cfg, mesh_cfg=MeshConfig(pp=2, dp=4),
+                                 schedule=sched)
+        st = mod.init_state(seed=0)
+        _, m = mod.train_step(st, batch, jax.random.PRNGKey(0))
+        losses[sched] = float(m["loss"])
+    assert losses["1f1b"] == pytest.approx(losses["gpipe"], rel=2e-4)
+
+
+def test_1f1b_moe_aux_loss_matches_unpipelined():
+    """MoE aux load-balancing loss must survive the pipeline schedule
+    (collected per stage slab, psum'd, grads seeded through the vjp)."""
+    cfg = tiny_test(seq_length=32, num_layers=4, num_moe_experts=4,
+                    moe_router_topk=2, moe_aux_loss_coeff=0.02,
+                    remat="none")
+    batch = _batch(B=8)  # microbatch size divisible by the dp=8 reference
+    pmod = PipelinedGPTModule(cfg, mesh_cfg=MeshConfig(pp=2, dp=4))
+    pstate = pmod.init_state(seed=0)
+    _, pm = pmod.train_step(pstate, batch, jax.random.PRNGKey(0))
+
+    ref = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=8))
+    rstate = ref.init_state(seed=0)
+    # feed the same [A, B, S] microbatched form (identical per-mb routing
+    # statistics / capacity groups as the pipeline's per-mb forwards)
+    _, rm = ref.train_step(rstate, batch, jax.random.PRNGKey(0))
+    assert float(pm["loss"]) == pytest.approx(float(rm["loss"]), rel=2e-4)
+    assert float(pm["grad_norm"]) == pytest.approx(
+        float(rm["grad_norm"]), rel=5e-3)
