@@ -176,9 +176,14 @@ def typecheck(fn=None):
             out = f(self, *args, **kwargs)
             out_types: Dict[str, NeuralType] = getattr(self, "output_types", None) or {}
             if out_types:
-                vals = out if isinstance(out, tuple) else (out,)
-                for (oname, otype), v in zip(out_types.items(), vals):
-                    otype.validate(v, oname)
+                if isinstance(out, dict):  # match dict outputs by key
+                    for oname, otype in out_types.items():
+                        if oname in out:
+                            otype.validate(out[oname], oname)
+                else:
+                    vals = out if isinstance(out, tuple) else (out,)
+                    for (oname, otype), v in zip(out_types.items(), vals):
+                        otype.validate(v, oname)
             return out
 
         return wrapper

@@ -23,6 +23,7 @@ import numpy as np
 
 from nemo_tpu.core.config import ConfigDict
 from nemo_tpu.core.model import Model
+from nemo_tpu.core.neural_types import typecheck as _typecheck
 from nemo_tpu.data.audio_io import read_wav
 from nemo_tpu.models.asr.modules.conv_asr import ConvASRDecoder, ConvASREncoder
 from nemo_tpu.models.asr.parts.ctc_decoding import CTCDecoding
@@ -161,6 +162,27 @@ class EncDecCTCModel(Model):
             variables, feats.astype(jnp.float32), feat_len, train=False)
         return jnp.argmax(log_probs, axis=-1).astype(jnp.int32), enc_len
 
+    # semantic ports (reference: EncDecCTCModel input_types/output_types,
+    # ctc_models.py:49 via nemo.core Typing)
+    @property
+    def input_types(self):
+        from nemo_tpu.core.neural_types import (
+            AudioSignal, LengthsType, NeuralType)
+        return {
+            "signal": NeuralType(("B", "T"), AudioSignal()),
+            "length": NeuralType(("B",), LengthsType()),
+        }
+
+    @property
+    def output_types(self):
+        from nemo_tpu.core.neural_types import (
+            LengthsType, LogprobsType, NeuralType)
+        return {
+            "logprobs": NeuralType(("B", "T", "D"), LogprobsType()),
+            "encoded_lengths": NeuralType(("B",), LengthsType()),
+        }
+
+    @_typecheck
     def forward(self, signal: jnp.ndarray, length: jnp.ndarray):
         """[B, T] float audio, [B] sample counts → (log_probs [B,F,V+1], frame lens)."""
         return self._jit_infer(self.variables, signal, length)

@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nemo_tpu.core.neural_types import (
+    EncodedRepresentation, LengthsType, NeuralType, SpectrogramType, typecheck,
+)
+
 
 def subsampled_length(length: jnp.ndarray, num_layers: int) -> jnp.ndarray:
     """Each conv layer: k=3, s=2, p=1 → L = floor((L-1)/2)+1."""
@@ -402,6 +406,8 @@ class ConformerLayer(nn.Module):
     att_context_size: Any = (-1, -1)
     causal_conv: bool = False
     dtype: Any = jnp.float32
+    adapter_dim: int = 0  # >0 → houlsby bottleneck adapter per layer
+    #                       (reference: adapter_mixins.py injection)
 
     @nn.compact
     def __call__(self, x, pos_emb, pad_mask, *, train: bool = False,
@@ -446,6 +452,17 @@ class ConformerLayer(nn.Module):
                                  dtype=self.dtype, name="ff2")(h, train=train)
         x = x + 0.5 * drop(h)
 
+        if self.adapter_dim > 0:
+            # houlsby residual bottleneck at the layer output (reference:
+            # AdapterModuleMixin.forward_enabled_adapters at the end of
+            # ConformerLayer; zero-init up-proj → identity at insertion)
+            a = nn.LayerNorm(dtype=jnp.float32, name="adapter_norm")(x).astype(self.dtype)
+            a = nn.Dense(self.adapter_dim, name="adapter_down")(a)
+            a = nn.silu(a)
+            a = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros,
+                         name="adapter_up")(a)
+            x = x + a
+
         out = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x).astype(self.dtype)
         if cache is not None:
             return out, new_cache
@@ -481,11 +498,31 @@ class ConformerEncoder(nn.Module):
     att_context_size: Any = (-1, -1)  # (left, right) frames; -1 = unlimited
     causal_downsampling: bool = False
     fused_subsampling: bool = False  # Pallas conv-relu-conv (experimental)
+    adapter_dim: int = 0  # houlsby adapters in every layer (PEFT; reference
+    #                       adapter_mixins.py add_adapter on ConformerLayer)
     interctc_layers: Any = ()  # layer indices to capture (reference InterCTC,
     #                            conformer_encoder.py:725-736) — sown as
     #                            intermediates['interctc_<i>']
     compute_dtype: str = "float32"
 
+    # semantic port declarations (reference: conformer_encoder.py
+    # input_types/output_types via nemo.core Typing, common.py:213);
+    # @typecheck validates at TRACE time — free under jit
+    @property
+    def input_types(self):
+        return {
+            "audio_signal": NeuralType(("B", "D", "T"), SpectrogramType()),
+            "length": NeuralType(("B",), LengthsType()),
+        }
+
+    @property
+    def output_types(self):
+        return {
+            "outputs": NeuralType(("B", "D", "T"), EncodedRepresentation()),
+            "encoded_lengths": NeuralType(("B",), LengthsType()),
+        }
+
+    @typecheck
     @nn.compact
     def __call__(
         self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False,
@@ -539,6 +576,7 @@ class ConformerEncoder(nn.Module):
                 att_context_size=tuple(self.att_context_size),
                 causal_conv=self.causal_downsampling or tuple(self.att_context_size)[1] == 0,
                 dtype=dtype,
+                adapter_dim=self.adapter_dim,
                 name=f"layer{i}",
             )
             if cache is not None:

@@ -24,6 +24,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from nemo_tpu.core.neural_types import (
+    EncodedRepresentation, LengthsType, LogprobsType, NeuralType,
+    SpectrogramType, typecheck,
+)
+
 
 def _activation(name: str):
     return {
@@ -209,6 +214,23 @@ class ConvASREncoder(nn.Module):
     activation: str = "relu"
     dtype: Any = jnp.float32
 
+    # semantic ports (reference: conv_asr.py ConvASREncoder input_types);
+    # validated at trace time by @typecheck
+    @property
+    def input_types(self):
+        return {
+            "audio_signal": NeuralType(("B", "D", "T"), SpectrogramType()),
+            "length": NeuralType(("B",), LengthsType()),
+        }
+
+    @property
+    def output_types(self):
+        return {
+            "outputs": NeuralType(("B", "D", "T"), EncodedRepresentation()),
+            "encoded_lengths": NeuralType(("B",), LengthsType()),
+        }
+
+    @typecheck
     @nn.compact
     def __call__(
         self, audio_signal: jnp.ndarray, length: jnp.ndarray, *, train: bool = False
@@ -256,6 +278,16 @@ class ConvASRDecoder(nn.Module):
     feat_in: int
     num_classes: int  # vocab size WITHOUT blank
 
+    @property
+    def input_types(self):
+        return {"encoder_output": NeuralType(("B", "D", "T"),
+                                             EncodedRepresentation())}
+
+    @property
+    def output_types(self):
+        return {"logprobs": NeuralType(("B", "T", "D"), LogprobsType())}
+
+    @typecheck
     @nn.compact
     def __call__(self, encoder_output: jnp.ndarray) -> jnp.ndarray:
         x = jnp.transpose(encoder_output, (0, 2, 1))  # [B, T, C]

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nemo_tpu.core.neural_types import (
+    LengthsType, MelSpectrogramType, NeuralType, TokenIndex, typecheck,
+)
+
 
 def sinusoidal_positions(max_len: int, dim: int) -> np.ndarray:
     pos = np.arange(max_len, dtype=np.float32)
@@ -147,6 +151,23 @@ class FastPitchModule(nn.Module):
     max_mel_len: int = 2048
     pitch_embedding_kernel: int = 3
 
+    # semantic ports (reference: modules/fastpitch.py FastPitchModule
+    # input_types/output_types); trace-time validation via @typecheck
+    @property
+    def input_types(self):
+        return {
+            "tokens": NeuralType(("B", "T"), TokenIndex()),
+            "token_len": NeuralType(("B",), LengthsType()),
+        }
+
+    @property
+    def output_types(self):
+        return {
+            "mel": NeuralType(("B", "D", "T"), MelSpectrogramType()),
+            "mel_len": NeuralType(("B",), LengthsType()),
+        }
+
+    @typecheck
     @nn.compact
     def __call__(
         self,

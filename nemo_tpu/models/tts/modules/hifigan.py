@@ -14,6 +14,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from nemo_tpu.core.neural_types import (
+    AudioSignal, MelSpectrogramType, NeuralType, typecheck,
+)
+
 LRELU_SLOPE = 0.1
 
 
@@ -53,6 +57,16 @@ class Generator(nn.Module):
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
 
+    # semantic ports (reference: hifigan_modules.py Generator input_types)
+    @property
+    def input_types(self):
+        return {"mel": NeuralType(("B", "D", "T"), MelSpectrogramType())}
+
+    @property
+    def output_types(self):
+        return {"audio": NeuralType(("B", "T"), AudioSignal())}
+
+    @typecheck
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         x = jnp.transpose(mel, (0, 2, 1))  # [B, T, n_mels]
