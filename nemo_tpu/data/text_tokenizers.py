@@ -113,3 +113,191 @@ class SentencePieceTokenizer(TokenizerSpec):
 
     def ids_to_text(self, ids: Sequence[int]) -> str:
         return self.tok.decode(list(ids))
+
+
+class WordTokenizer(TokenizerSpec):
+    """Whitespace word tokenizer (reference word_tokenizer.py)."""
+
+    def __init__(self, vocab: Sequence[str], unk: str = "<unk>"):
+        self.vocab = list(vocab)
+        if unk not in self.vocab:
+            self.vocab.append(unk)
+        self._stoi = {w: i for i, w in enumerate(self.vocab)}
+        self.unk = unk
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._stoi.get(w, self._stoi[self.unk]) for w in text.split()]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return " ".join(self.vocab[i] for i in ids)
+
+
+class RegexTokenizer(TokenizerSpec):
+    """Regex-split tokenizer (reference regex_tokenizer.py — SMILES/
+    chemistry-style vocabularies tokenized by a master pattern)."""
+
+    def __init__(self, vocab: Sequence[str], pattern: str,
+                 unk: str = "<unk>"):
+        import re
+
+        self.vocab = list(vocab)
+        if unk not in self.vocab:
+            self.vocab.append(unk)
+        self._stoi = {t: i for i, t in enumerate(self.vocab)}
+        self._re = re.compile(pattern)
+        self.unk = unk
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._stoi.get(t, self._stoi[self.unk])
+                for t in self._re.findall(text)]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return "".join(self.vocab[i] for i in ids)
+
+
+class AggregateTokenizer(TokenizerSpec):
+    """Multiple monolingual tokenizers fused into ONE id space by offset
+    arithmetic (reference: aggregate_tokenizer.py — tokenizer k's ids live
+    in [offset_k, offset_k + vocab_k); text routes to its language's
+    tokenizer, detokenization routes each id back by range).
+
+    `tokenizers` is an ORDERED dict {lang_id: tokenizer}; the first gets
+    the lowest id interval."""
+
+    def __init__(self, tokenizers):
+        self.tokenizers_dict = dict(tokenizers)
+        self.token_id_offset = {}
+        self._spans = []  # (lo, hi, lang, tok)
+        off = 0
+        for lang, tok in self.tokenizers_dict.items():
+            self.token_id_offset[lang] = off
+            self._spans.append((off, off + tok.vocab_size, lang, tok))
+            off += tok.vocab_size
+        self._vocab_size = off
+
+    @property
+    def vocab_size(self) -> int:
+        return self._vocab_size
+
+    @property
+    def langs(self) -> List[str]:
+        return list(self.tokenizers_dict)
+
+    def _span_of(self, idx: int):
+        for lo, hi, lang, tok in self._spans:
+            if lo <= idx < hi:
+                return lo, hi, lang, tok
+        raise KeyError(f"token id {idx} outside aggregate vocab")
+
+    def text_to_ids(self, text: str, lang_id: Optional[str] = None) -> List[int]:
+        lang_id = lang_id or next(iter(self.tokenizers_dict))
+        off = self.token_id_offset[lang_id]
+        return [off + i for i in
+                self.tokenizers_dict[lang_id].text_to_ids(text)]
+
+    def token_to_id(self, token: str, lang_id: str) -> int:
+        tok = self.tokenizers_dict[lang_id]
+        return self.token_id_offset[lang_id] + tok.text_to_ids(token)[0]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        """Route each contiguous same-language run to its tokenizer."""
+        out, run, run_tok, run_off = [], [], None, 0
+        for i in ids:
+            lo, _, _, tok = self._span_of(int(i))
+            if tok is not run_tok and run:
+                out.append(run_tok.ids_to_text(run))
+                run = []
+            run_tok, run_off = tok, lo
+            run.append(int(i) - lo)
+        if run:
+            out.append(run_tok.ids_to_text(run))
+        return " ".join(s for s in out if s).strip()
+
+    def ids_to_text_and_langs(self, ids: Sequence[int]):
+        """Per-id (text, lang) pairs (reference ids_to_text_and_langs)."""
+        res = []
+        for i in ids:
+            lo, _, lang, tok = self._span_of(int(i))
+            res.append((tok.ids_to_text([int(i) - lo]), lang))
+        return res
+
+    def ids_to_lang(self, ids: Sequence[int]) -> str:
+        """Majority language over the ids (reference ids_to_lang)."""
+        from collections import Counter
+
+        counts = Counter(self._span_of(int(i))[2] for i in ids)
+        return counts.most_common(1)[0][0] if counts else next(iter(self.tokenizers_dict))
+
+
+CANARY_SPECIAL = "spl_tokens"
+
+
+def canary_special_tokens(langs: Sequence[str],
+                          tasks: Sequence[str] = ("transcribe", "translate")):
+    """The canary special-token vocabulary (reference canary_tokenizer.py):
+    prompt schema <|startoftranscript|><|LANG|><|task|><|pnc|>."""
+    toks = ["<pad>", "<|endoftext|>", "<|startoftranscript|>", "<|nospeech|>",
+            "<|pnc|>", "<|nopnc|>"]
+    toks += [f"<|{t}|>" for t in tasks]
+    toks += [f"<|{l}|>" for l in langs]
+    return toks
+
+
+class CanaryTokenizer(AggregateTokenizer):
+    """Aggregate tokenizer whose first sub-tokenizer is the canary
+    special-token vocabulary; builds the multilingual prompt protocol
+    (reference: canary_tokenizer.py CanaryTokenizer)."""
+
+    def __init__(self, tokenizers, langs: Optional[Sequence[str]] = None,
+                 tasks: Sequence[str] = ("transcribe", "translate")):
+        tokenizers = dict(tokenizers)
+        if CANARY_SPECIAL not in tokenizers:
+            langs = list(langs or tokenizers.keys())
+            spl = WordTokenizer(canary_special_tokens(langs, tasks),
+                                unk="<pad>")
+            tokenizers = {CANARY_SPECIAL: spl, **tokenizers}
+        super().__init__(tokenizers)
+        self.special_tokens = {
+            t: self.token_to_id(t, CANARY_SPECIAL)
+            for t in self.tokenizers_dict[CANARY_SPECIAL].vocab
+            if (t.startswith("<|") and t.endswith("|>")) or t == "<pad>"
+        }
+
+    @property
+    def pad_id(self) -> int:
+        return self.special_tokens["<pad>"]
+
+    @property
+    def bos_id(self) -> int:
+        return self.special_tokens["<|startoftranscript|>"]
+
+    @property
+    def eos_id(self) -> int:
+        return self.special_tokens["<|endoftext|>"]
+
+    @property
+    def nospeech_id(self) -> int:
+        return self.special_tokens["<|nospeech|>"]
+
+    def spl_token_to_id(self, token: str) -> int:
+        return self.special_tokens[token]
+
+    def prompt_ids(self, source_lang: str, target_lang: Optional[str] = None,
+                   task: str = "transcribe", pnc: bool = True) -> List[int]:
+        """<|startoftranscript|><|source|><|task|>[<|target|>]<|pnc/nopnc|>
+        — translate prompts carry the target language after the task token
+        (reference canary prompt format)."""
+        ids = [self.bos_id, self.spl_token_to_id(f"<|{source_lang}|>"),
+               self.spl_token_to_id(f"<|{task}|>")]
+        if task == "translate":
+            ids.append(self.spl_token_to_id(f"<|{target_lang or source_lang}|>"))
+        ids.append(self.spl_token_to_id("<|pnc|>" if pnc else "<|nopnc|>"))
+        return ids

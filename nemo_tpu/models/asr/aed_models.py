@@ -25,6 +25,7 @@ import numpy as np
 
 from nemo_tpu.core.config import ConfigDict
 from nemo_tpu.core.model import Model
+from nemo_tpu.core.neural_types import typecheck as _typecheck
 from nemo_tpu.data.audio_io import read_wav
 from nemo_tpu.models.asr.ctc_models import _bucket, _mel_cfg_from, build_encoder
 from nemo_tpu.ops.audio import mel_spectrogram
@@ -155,6 +156,27 @@ class _AEDNet(nn.Module):
         x = self.final_norm(x)
         return self.embed.attend(x)  # tied output head
 
+    # semantic ports (reference: aed_multitask_models.py input_types)
+    @property
+    def input_types(self):
+        from nemo_tpu.core.neural_types import (
+            LabelsType, LengthsType, NeuralType, SpectrogramType)
+        return {
+            "feats": NeuralType(("B", "D", "T"), SpectrogramType()),
+            "lengths": NeuralType(("B",), LengthsType()),
+            "dec_in": NeuralType(("B", "T"), LabelsType()),
+        }
+
+    @property
+    def output_types(self):
+        from nemo_tpu.core.neural_types import (
+            LengthsType, LogitsType, NeuralType)
+        return {
+            "logits": NeuralType(("B", "T", "D"), LogitsType()),
+            "encoded_lengths": NeuralType(("B",), LengthsType()),
+        }
+
+    @_typecheck
     def __call__(self, feats, lengths, dec_in, train: bool = False):
         enc, enc_len = self.encode(feats, lengths, train=train)
         return self.decode_train(enc, enc_len, dec_in, train=train), enc_len
@@ -185,25 +207,53 @@ class EncDecMultiTaskModel(Model):
         cfg = self.cfg
         self.sample_rate = int(cfg.get("sample_rate", 16000))
         self.mel_cfg = _mel_cfg_from(cfg.get("preprocessor", {}))
-        self.labels = list(cfg.get("labels"))
         pf = cfg.get("prompt_format", {})
         self.langs = list(pf.get("langs", ["en"]))
         self.tasks = list(pf.get("tasks", ["transcribe", "translate"]))
-        specials = ["<pad>", "<bos>", "<eos>"]
-        specials += [f"<|{l}|>" for l in self.langs]
-        specials += [f"<|{t}|>" for t in self.tasks]
-        specials += ["<|pnc|>", "<|nopnc|>"]
-        self.specials = specials
-        self.vocab = specials + self.labels
-        self.pad_id, self.bos_id, self.eos_id = 0, 1, 2
-        self._tok2id = {t: i for i, t in enumerate(self.vocab)}
+        tok_cfg = cfg.get("tokenizer", {})
+        self.tokenizer = None
+        if tok_cfg and tok_cfg.get("type") == "canary":
+            # multilingual protocol: per-language sub-tokenizers fused into
+            # one id space + the canary special-token prompt schema
+            # (reference: canary_tokenizer.py / aggregate_tokenizer.py)
+            from nemo_tpu.data.text_tokenizers import (
+                CanaryTokenizer, CharTokenizer, SentencePieceTokenizer)
+
+            subs = {}
+            for lang, sub in dict(tok_cfg["langs"]).items():
+                sub = dict(sub)
+                if "vocab" in sub:
+                    subs[lang] = CharTokenizer(list(sub["vocab"]))
+                else:
+                    subs[lang] = SentencePieceTokenizer(sub["json"])
+            self.tokenizer = CanaryTokenizer(
+                subs, langs=list(subs), tasks=self.tasks)
+            self.langs = [l for l in self.tokenizer.langs
+                          if l != "spl_tokens"]
+            self.labels = None
+            self.vocab = None
+            self.pad_id = self.tokenizer.pad_id
+            self.bos_id = self.tokenizer.bos_id
+            self.eos_id = self.tokenizer.eos_id
+            vocab_size = self.tokenizer.vocab_size
+        else:
+            self.labels = list(cfg.get("labels"))
+            specials = ["<pad>", "<bos>", "<eos>"]
+            specials += [f"<|{l}|>" for l in self.langs]
+            specials += [f"<|{t}|>" for t in self.tasks]
+            specials += ["<|pnc|>", "<|nopnc|>"]
+            self.specials = specials
+            self.vocab = specials + self.labels
+            self.pad_id, self.bos_id, self.eos_id = 0, 1, 2
+            self._tok2id = {t: i for i, t in enumerate(self.vocab)}
+            vocab_size = len(self.vocab)
         dec = cfg.get("transf_decoder", ConfigDict())
         enc_cfg = cfg.encoder
         self.max_dec_len = int(cfg.get("max_dec_len", 512))
         self.net = _AEDNet(
             enc_cfg=enc_cfg.to_dict(),
             feat_in=int(enc_cfg.get("feat_in", self.mel_cfg.features)),
-            vocab_size=len(self.vocab),
+            vocab_size=vocab_size,
             d_model=int(dec.get("hidden_size", 512)),
             dec_layers=int(dec.get("num_layers", 4)),
             dec_heads=int(dec.get("num_attention_heads", 8)),
@@ -221,9 +271,13 @@ class EncDecMultiTaskModel(Model):
         self.variables = self.net.init(jax.random.PRNGKey(seed), feats, lens, dec_in)
 
     # -- prompt -------------------------------------------------------------
-    def prompt_ids(self, lang: str = None, task: str = "transcribe", pnc: bool = True) -> List[int]:
-        """[bos, <|lang|>, <|task|>, <|pnc|>] (reference canary prompt)."""
+    def prompt_ids(self, lang: str = None, task: str = "transcribe",
+                   pnc: bool = True, target_lang: str = None) -> List[int]:
+        """[bos, <|lang|>, <|task|>[, <|target|>], <|pnc|>] (reference
+        canary prompt; translate prompts carry the target language)."""
         lang = lang or self.langs[0]
+        if self.tokenizer is not None:
+            return self.tokenizer.prompt_ids(lang, target_lang, task, pnc)
         return [
             self.bos_id,
             self._tok2id[f"<|{lang}|>"],
@@ -231,28 +285,40 @@ class EncDecMultiTaskModel(Model):
             self._tok2id["<|pnc|>" if pnc else "<|nopnc|>"],
         ]
 
-    def text_to_ids(self, text: str) -> List[int]:
+    def text_to_ids(self, text: str, lang: str = None) -> List[int]:
+        if self.tokenizer is not None:
+            return self.tokenizer.text_to_ids(text, lang or self.langs[0])
         off = len(self.specials)
         lut = {c: off + i for i, c in enumerate(self.labels)}
         return [lut[c] for c in text if c in lut]
 
     def ids_to_text(self, ids: Sequence[int]) -> str:
+        if self.tokenizer is not None:
+            # drop the special-token span (the first aggregate interval)
+            from nemo_tpu.data.text_tokenizers import CANARY_SPECIAL
+            lo = self.tokenizer.token_id_offset[CANARY_SPECIAL]
+            hi = lo + self.tokenizer.tokenizers_dict[CANARY_SPECIAL].vocab_size
+            return self.tokenizer.ids_to_text(
+                [i for i in ids if not (lo <= int(i) < hi)])
         off = len(self.specials)
         return "".join(self.vocab[i] for i in ids if i >= off)
 
     # -- training -----------------------------------------------------------
     def make_batch(self, transcripts: Sequence[str], max_len: int,
-                   lang: str = None, task: str = "transcribe", pnc: bool = True):
+                   lang=None, task: str = "transcribe", pnc: bool = True):
         """→ (dec_in [B, U], labels [B, U], loss_mask [B, U]): input is
         prompt+text, labels shifted left with <eos>; loss only on text+eos
-        (prompt positions are conditioning, not targets)."""
+        (prompt positions are conditioning, not targets). `lang` may be a
+        single language or a per-sample list (multilingual batches route
+        each transcript through its language's sub-tokenizer)."""
         B = len(transcripts)
-        prompt = self.prompt_ids(lang, task, pnc)
+        langs = lang if isinstance(lang, (list, tuple)) else [lang] * B
         dec_in = np.full((B, max_len), self.pad_id, np.int32)
         labels = np.full((B, max_len), self.pad_id, np.int32)
         mask = np.zeros((B, max_len), np.float32)
         for b, text in enumerate(transcripts):
-            ids = prompt + self.text_to_ids(text)
+            prompt = self.prompt_ids(langs[b], task, pnc)
+            ids = prompt + self.text_to_ids(text, langs[b])
             tgt = ids[1:] + [self.eos_id]
             n = min(len(ids), max_len)
             dec_in[b, :n] = ids[:n]

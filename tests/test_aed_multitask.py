@@ -95,3 +95,80 @@ def test_aed_batched_matches_single():
     batched = m.transcribe([a1, a2], batch_size=2)
     singles = m.transcribe([a1], batch_size=1) + m.transcribe([a2], batch_size=1)
     assert batched == singles
+
+
+# ---------------------------------------------------------------------------
+# Canary tokenizer protocol (VERDICT r2 #6): aggregate per-language
+# sub-tokenizers with offset arithmetic + multilingual prompt schema
+# ---------------------------------------------------------------------------
+
+def test_aggregate_tokenizer_offsets_and_roundtrip():
+    from nemo_tpu.data.text_tokenizers import AggregateTokenizer, CharTokenizer
+
+    en = CharTokenizer(list("abc "))
+    de = CharTokenizer(list("xyzß "))
+    agg = AggregateTokenizer({"en": en, "de": de})
+    assert agg.vocab_size == en.vocab_size + de.vocab_size
+    ids_en = agg.text_to_ids("ab c", "en")
+    ids_de = agg.text_to_ids("xyß", "de")
+    # de ids live in the offset interval
+    assert min(ids_de) >= en.vocab_size
+    assert agg.ids_to_text(ids_en) == "ab c"
+    assert agg.ids_to_text(ids_de) == "xyß"
+    # mixed stream routes per id; runs join with a space
+    assert agg.ids_to_text(ids_en + ids_de) == "ab c xyß"
+    assert agg.ids_to_lang(ids_de) == "de"
+    pairs = agg.ids_to_text_and_langs(ids_en[:2])
+    assert pairs == [("a", "en"), ("b", "en")]
+
+
+def test_canary_tokenizer_prompt_schema():
+    from nemo_tpu.data.text_tokenizers import CanaryTokenizer, CharTokenizer
+
+    tok = CanaryTokenizer({"en": CharTokenizer(list("abc ")),
+                           "de": CharTokenizer(list("xyz "))})
+    p = tok.prompt_ids("en", task="transcribe", pnc=True)
+    assert p[0] == tok.bos_id
+    assert p == [tok.bos_id, tok.spl_token_to_id("<|en|>"),
+                 tok.spl_token_to_id("<|transcribe|>"),
+                 tok.spl_token_to_id("<|pnc|>")]
+    # translate prompts carry the target language
+    pt = tok.prompt_ids("en", target_lang="de", task="translate", pnc=False)
+    assert tok.spl_token_to_id("<|de|>") in pt
+    assert tok.spl_token_to_id("<|nopnc|>") in pt
+    # specials occupy the FIRST interval; text ids never collide
+    ids = tok.text_to_ids("abc", "en")
+    spl_size = tok.tokenizers_dict["spl_tokens"].vocab_size
+    assert min(ids) >= spl_size
+
+
+def _canary_cfg():
+    cfg = _tiny_cfg().to_dict()
+    cfg.pop("labels")
+    cfg["tokenizer"] = dict(
+        type="canary",
+        langs=dict(en=dict(vocab=list("ab ")), de=dict(vocab=list("xy "))),
+    )
+    return ConfigDict(cfg)
+
+
+def test_aed_multilingual_canary_roundtrip():
+    """A multilingual batch routes each transcript through its language's
+    sub-tokenizer; prompts and text round-trip through the model vocab."""
+    m = EncDecMultiTaskModel(_canary_cfg())
+    assert m.tokenizer is not None
+    texts = ["ab ab", "xy xy"]
+    dec_in, labels, mask = m.make_batch(
+        texts, max_len=24, lang=["en", "de"], task="transcribe")
+    # each row decodes back to its own language's text
+    for b, text in enumerate(texts):
+        row = [int(i) for i in np.asarray(dec_in[b]) if i != m.pad_id]
+        assert m.ids_to_text(row) == text
+    # the two rows use DIFFERENT language prompt tokens
+    assert int(dec_in[0, 1]) != int(dec_in[1, 1])
+    # loss runs on the multilingual batch
+    B, T = 2, 16000
+    sig = jnp.asarray(np.random.RandomState(0).randn(B, T) * 0.1, jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    loss = m.loss_fn(m.variables, sig, lens, dec_in, labels, mask)
+    assert np.isfinite(float(loss))
