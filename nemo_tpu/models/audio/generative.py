@@ -1,0 +1,300 @@
+"""Predictive + generative speech enhancement (TPU-native).
+
+Reference parity: `nemo/collections/audio/models/enhancement.py` —
+`PredictiveAudioToAudioModel` (regression encoder–decoder),
+`ScoreBasedGenerativeAudioToAudioModel` (NCSN++ score model + SDE
+predictor-corrector sampler, SGMSE+ recipe) and
+`FlowMatchingAudioToAudioModel` (conditional flow-matching vector field +
+ODE sampler). All three operate in the complex STFT domain conditioned on
+the noisy spectrogram.
+
+TPU-first design: one shared `SpectralUNet` (Conv2D over [freq, frames]
+with GroupNorm/SiLU, two ×2 down/up levels, skip connections, sinusoidal
+t-embedding FiLM conditioning) backs all three models; samplers are
+`lax.scan` loops with static step counts so the whole enhance path is one
+jit; complex spectra ride as 2 real channels (XLA-friendly, no complex
+convs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nemo_tpu.core.config import ConfigDict
+from nemo_tpu.core.model import Model
+from nemo_tpu.ops.stft import istft, si_snr, stft
+
+
+def _t_embed(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal time embedding [B] → [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(1e4) * jnp.arange(half) / max(half - 1, 1))
+    ang = t[:, None] * freqs[None, :] * 1e3
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class _Block(nn.Module):
+    ch: int
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = nn.GroupNorm(num_groups=math.gcd(8, x.shape[-1]), name="gn1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="c1")(h)
+        if temb is not None:
+            film = nn.Dense(2 * self.ch, name="film")(temb)
+            scale, shift = jnp.split(film, 2, axis=-1)
+            h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+        h = nn.GroupNorm(num_groups=math.gcd(8, self.ch), name="gn2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="c2")(h)
+        skip = x if x.shape[-1] == self.ch else nn.Conv(
+            self.ch, (1, 1), name="skip")(x)
+        return (h + skip) / math.sqrt(2.0)
+
+
+class SpectralUNet(nn.Module):
+    """[B, F, K, C_in] (+ optional t [B]) → [B, F, K, C_out].
+
+    NCSN++-style backbone at enhancement scale (reference: the score
+    estimator in audio/parts/submodules; two resolutions suffice for the
+    enhancement task and keep every conv MXU-shaped)."""
+
+    ch: int = 48
+    c_out: int = 2
+    t_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x, t: Optional[jnp.ndarray] = None):
+        temb = None
+        if t is not None:
+            temb = nn.Dense(self.t_dim, name="t2")(
+                nn.silu(nn.Dense(self.t_dim, name="t1")(_t_embed(t, self.t_dim))))
+        F_in, K_in = x.shape[1], x.shape[2]
+        pf = (-F_in) % 4
+        pk = (-K_in) % 4
+        x = jnp.pad(x, ((0, 0), (0, pf), (0, pk), (0, 0)))
+        h0 = _Block(self.ch, name="in0")(x, temb)
+        d1 = nn.Conv(self.ch * 2, (3, 3), strides=(2, 2), padding="SAME",
+                     name="down1")(h0)
+        h1 = _Block(self.ch * 2, name="b1")(d1, temb)
+        d2 = nn.Conv(self.ch * 4, (3, 3), strides=(2, 2), padding="SAME",
+                     name="down2")(h1)
+        h2 = _Block(self.ch * 4, name="mid1")(d2, temb)
+        h2 = _Block(self.ch * 4, name="mid2")(h2, temb)
+        u1 = nn.ConvTranspose(self.ch * 2, (4, 4), strides=(2, 2),
+                              padding="SAME", name="up1")(h2)
+        h3 = _Block(self.ch * 2, name="b2")(
+            jnp.concatenate([u1, h1], -1), temb)
+        u0 = nn.ConvTranspose(self.ch, (4, 4), strides=(2, 2),
+                              padding="SAME", name="up0")(h3)
+        h4 = _Block(self.ch, name="b3")(jnp.concatenate([u0, h0], -1), temb)
+        out = nn.Conv(self.c_out, (3, 3), padding="SAME",
+                      kernel_init=nn.initializers.zeros, name="out")(h4)
+        return out[:, :F_in, :K_in, :]
+
+
+def _spec(x, n_fft, hop):
+    re, im = stft(x, n_fft, hop)
+    return jnp.stack([re, im], axis=-1)  # [B, F, K, 2]
+
+
+def _wave(spec, n_fft, hop, length):
+    return istft(spec[..., 0], spec[..., 1], n_fft, hop, length=length)
+
+
+class _EnhBase(Model):
+    def __init__(self, cfg: Optional[ConfigDict] = None, init_params: bool = True,
+                 conditioned: bool = True):
+        cfg = ConfigDict(cfg or {})
+        super().__init__(cfg)
+        self.n_fft = int(cfg.get("n_fft", 512))
+        self.hop = int(cfg.get("hop", 128))
+        self.scale = float(cfg.get("spec_scale", 0.15))  # spec normalizer
+        c_in = 4 if conditioned else 2
+        self.net = SpectralUNet(ch=int(cfg.get("channels", 48)), c_out=2)
+        self._cond = conditioned
+        if init_params:
+            F = self.n_fft // 2 + 1
+            x = jnp.zeros((1, F, 8, c_in), jnp.float32)
+            self.variables = self.net.init(
+                jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.float32))
+
+
+class PredictiveEnhancementModel(_EnhBase):
+    """Regression enhancement: noisy complex spec → clean complex spec
+    (reference: PredictiveAudioToAudioModel)."""
+
+    def __init__(self, cfg=None, init_params: bool = True):
+        super().__init__(cfg, init_params=False, conditioned=False)
+        if init_params:
+            F = self.n_fft // 2 + 1
+            self.variables = self.net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, F, 8, 2), jnp.float32))
+        self._jit_enhance = jax.jit(self._enhance)
+
+    def _enhance(self, params, noisy):
+        s = _spec(noisy, self.n_fft, self.hop) / self.scale
+        est = self.net.apply(params, s)
+        return _wave((s + est) * self.scale, self.n_fft, self.hop,
+                     noisy.shape[1])
+
+    def enhance(self, noisy: jnp.ndarray) -> jnp.ndarray:
+        return self._jit_enhance(self.variables, noisy)
+
+    def make_train_step(self, lr: float = 1e-3):
+        tx = optax.adamw(lr)
+        net, n_fft, hop, sc = self.net, self.n_fft, self.hop, self.scale
+
+        @jax.jit
+        def train_step(params, opt_state, noisy, clean):
+            def loss_fn(p):
+                s = _spec(noisy, n_fft, hop) / sc
+                tgt = _spec(clean, n_fft, hop) / sc
+                est = s + net.apply(p, s)  # residual prediction
+                l_spec = jnp.mean(jnp.abs(est - tgt))
+                wav = _wave(est * sc, n_fft, hop, noisy.shape[1])
+                l_sisdr = -jnp.mean(si_snr(wav, clean)) * 0.01
+                return l_spec + l_sisdr
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return tx, train_step
+
+
+class ScoreBasedEnhancementModel(_EnhBase):
+    """Score-based (diffusion) generative enhancement, SGMSE+-style
+    (reference: ScoreBasedGenerativeAudioToAudioModel, NCSN++ + OUVE SDE).
+
+    VE-style forward process around the clean spec, conditioned on the
+    noisy spec y: x_t = x0 + σ(t)·z with σ(t) = σ_min (σ_max/σ_min)^t.
+    The net learns the standardized score ẑ(x_t, y, t); the sampler is
+    reverse annealed Langevin/Euler-Maruyama over N static steps."""
+
+    sigma_min: float = 0.01
+    sigma_max: float = 1.0
+
+    def __init__(self, cfg=None, init_params: bool = True):
+        cfg = ConfigDict(cfg or {})
+        self.sigma_min = float(cfg.get("sigma_min", 0.01))
+        self.sigma_max = float(cfg.get("sigma_max", 1.0))
+        self.n_steps = int(cfg.get("sample_steps", 16))
+        super().__init__(cfg, init_params=init_params, conditioned=True)
+        self._jit_enhance = jax.jit(self._enhance)
+
+    def _sigma(self, t):
+        return self.sigma_min * (self.sigma_max / self.sigma_min) ** t
+
+    def make_train_step(self, lr: float = 1e-3):
+        tx = optax.adamw(lr)
+        net, n_fft, hop, sc = self.net, self.n_fft, self.hop, self.scale
+        sig = self._sigma
+
+        @jax.jit
+        def train_step(params, opt_state, noisy, clean, rng):
+            def loss_fn(p):
+                y = _spec(noisy, n_fft, hop) / sc
+                x0 = _spec(clean, n_fft, hop) / sc
+                r1, r2 = jax.random.split(rng)
+                t = jax.random.uniform(r1, (x0.shape[0],), minval=0.02)
+                z = jax.random.normal(r2, x0.shape)
+                s_t = sig(t)[:, None, None, None]
+                x_t = x0 + s_t * z
+                pred = net.apply(p, jnp.concatenate([x_t, y], -1), t)
+                return jnp.mean((pred - z) ** 2)  # denoising score matching
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return tx, train_step
+
+    def _enhance(self, params, noisy, rng):
+        net, sc = self.net, self.scale
+        y = _spec(noisy, self.n_fft, self.hop) / sc
+        N = self.n_steps
+        ts = jnp.linspace(1.0, 0.02, N + 1)
+        x = y + self._sigma(1.0) * jax.random.normal(rng, y.shape)
+
+        def step(x, i):
+            t0, t1 = ts[i], ts[i + 1]
+            s0, s1 = self._sigma(t0), self._sigma(t1)
+            zhat = net.apply(
+                params, jnp.concatenate([x, y], -1),
+                jnp.full((x.shape[0],), t0))
+            x0_hat = x - s0 * zhat
+            # deterministic (DDIM-style) jump down the σ schedule
+            return x0_hat + s1 * zhat, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(N))
+        return _wave(x * sc, self.n_fft, self.hop, noisy.shape[1])
+
+    def enhance(self, noisy: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+        return self._jit_enhance(self.variables, noisy,
+                                 jax.random.PRNGKey(seed))
+
+
+class FlowMatchingEnhancementModel(_EnhBase):
+    """Conditional flow matching enhancement (reference:
+    FlowMatchingAudioToAudioModel): straight path x_t = (1−t)·x_noisy+σz
+    → t·x_clean, net regresses the vector field v = x1 − x0; inference
+    integrates the ODE with N static Euler steps from the noisy spec."""
+
+    def __init__(self, cfg=None, init_params: bool = True):
+        cfg = ConfigDict(cfg or {})
+        self.n_steps = int(cfg.get("sample_steps", 8))
+        self.sigma0 = float(cfg.get("sigma0", 0.05))
+        super().__init__(cfg, init_params=init_params, conditioned=True)
+        self._jit_enhance = jax.jit(self._enhance)
+
+    def make_train_step(self, lr: float = 1e-3):
+        tx = optax.adamw(lr)
+        net, n_fft, hop, sc, sig0 = self.net, self.n_fft, self.hop, self.scale, self.sigma0
+
+        @jax.jit
+        def train_step(params, opt_state, noisy, clean, rng):
+            def loss_fn(p):
+                y = _spec(noisy, n_fft, hop) / sc
+                x1 = _spec(clean, n_fft, hop) / sc
+                r1, r2 = jax.random.split(rng)
+                t = jax.random.uniform(r1, (x1.shape[0],))
+                z = jax.random.normal(r2, x1.shape)
+                x0 = y + sig0 * z
+                tt = t[:, None, None, None]
+                x_t = (1 - tt) * x0 + tt * x1
+                v = net.apply(p, jnp.concatenate([x_t, y], -1), t)
+                return jnp.mean((v - (x1 - x0)) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return tx, train_step
+
+    def _enhance(self, params, noisy, rng):
+        net, sc = self.net, self.scale
+        y = _spec(noisy, self.n_fft, self.hop) / sc
+        x = y + self.sigma0 * jax.random.normal(rng, y.shape)
+        N = self.n_steps
+        dt = 1.0 / N
+
+        def step(x, i):
+            t = jnp.full((x.shape[0],), i * dt)
+            v = net.apply(params, jnp.concatenate([x, y], -1), t)
+            return x + dt * v, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(N))
+        return _wave(x * sc, self.n_fft, self.hop, noisy.shape[1])
+
+    def enhance(self, noisy: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+        return self._jit_enhance(self.variables, noisy,
+                                 jax.random.PRNGKey(seed))
