@@ -79,6 +79,17 @@ class _RNNTNet(nn.Module):
         logits = self.joint(enc[:, :, None, :], pred[:, None, :, :], train=train)
         return logits, enc_len
 
+    def fused_blank_label(self, feats, lengths, targets, train: bool = False,
+                          chunk: int = 32):
+        """Memory-chunked training path: (lp_blank, lp_label) [B,T,U+1]
+        without the [B,T,U+1,V+1] joint (the DEFAULT loss producer —
+        Conformer-Transducer-L at realistic T/U does not fit the full
+        joint; reference memory-chunked RNNTJoint rnnt.py:1280)."""
+        enc, enc_len = self.encode(feats, lengths, train=train)
+        pred = self.predict(targets, train=train)
+        lp_b, lp_l = self.joint.fused_log_probs(enc, pred, targets, chunk)
+        return lp_b, lp_l, enc_len
+
 
 class EncDecRNNTModel(Model):
     """Config contract mirrors the reference RNNT YAMLs:
@@ -158,6 +169,44 @@ class EncDecRNNTModel(Model):
     def _logits_fn(self, variables, signal, length, targets):
         feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
         return self.net.apply(variables, feats, feat_len, targets, train=False)
+
+    def loss_fused(self, variables, signal, length, targets, target_len,
+                   chunk: int = 32):
+        """DEFAULT training loss: memory-chunked joint → assoc-scan DP.
+        Peak memory is one [B, chunk, U+1, V+1] tile instead of the full
+        [B, T, U+1, V+1] joint (plain RNNT only; TDT/multiblank gather
+        more than two planes and keep the full-joint path)."""
+        from nemo_tpu.ops.rnnt import rnnt_loss_from_log_probs
+
+        if self.big_blank_durations or self.durations:
+            logits, enc_len = self._logits_fn(variables, signal, length, targets)
+            return self.loss(logits, targets, enc_len, target_len)
+        feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg,
+                                          training=False)
+        lp_b, lp_l, enc_len = self.net.apply(
+            variables, feats, feat_len, targets, chunk=chunk,
+            method=_RNNTNet.fused_blank_label)
+        nll = rnnt_loss_from_log_probs(lp_b, lp_l, enc_len, target_len + 1)
+        return jnp.mean(nll)
+
+    def make_train_step(self, lr: float = 1e-3, chunk: int = 32):
+        """Jitted transducer train step over the memory-chunked loss."""
+        import optax
+
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(lr))
+        loss_fused = self.loss_fused
+
+        @jax.jit
+        def train_step(variables, opt_state, signal, length, targets, target_len):
+            def f(v):
+                return loss_fused(v, signal, length, targets, target_len,
+                                  chunk=chunk)
+
+            loss, grads = jax.value_and_grad(f)(variables)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            return optax.apply_updates(variables, updates), opt_state, loss
+
+        return tx, train_step
 
     def loss(self, logits, targets, enc_len, target_len):
         if self.big_blank_durations:
