@@ -247,6 +247,212 @@ def _temp_sample(logits: jnp.ndarray, rng, temperature) -> jnp.ndarray:
     return jnp.where(t > 0, sampled, greedy)
 
 
+class SpeculativeEngine:
+    """Draft-model speculative decoding (greedy): a small draft proposes k
+    tokens per round, the target verifies all k in ONE chunked forward and
+    emits the longest agreeing prefix + its own correction token — wall
+    time ≈ rounds × (k draft steps + 1 target step) instead of max_new
+    target steps, with TOKEN-EXACT greedy output.
+
+    Reference parity: modelopt speculative decoding conversion
+    (`nemo/collections/llm/modelopt/speculative/`) and deepseek's MTP
+    draft head (gpt/model/base.py:225 mtp_block_spec) — any GPT (a
+    distilled small preset, or an MTP-style head exported as a 1-layer
+    GPT over the target's embeddings) serves as the draft.
+
+    TPU-native shape: KV caches are APPEND-ONLY WITH HOLES — every round
+    writes its k+1 chunk slots for all rows; rejected candidates simply
+    stay masked out via `kv_valid` forever (slot-order causality makes
+    this sound), so rows with different acceptance counts share one
+    static-shape jit program. RoPE positions come from per-row emitted
+    counters, independent of slot index.
+
+    Exactness note: greedy output equals vanilla greedy decoding whenever
+    the chunked verification forward and the single-token decode produce
+    the same argmax. On TPU the MXU's bf16-internal accumulation can
+    round differently across matmul shapes and flip NEAR-TIED logits
+    (chip-verified: exact under `jax.default_matmul_precision('float32')`;
+    with default precision an untrained near-uniform model flips rare
+    ties — trained models have real logit margins)."""
+
+    def __init__(self, cfg: GPTConfig, params, draft_cfg: GPTConfig,
+                 draft_params, k: int = 4, cache_dtype=jnp.bfloat16):
+        assert cfg.vocab_size == draft_cfg.vocab_size, "draft must share vocab"
+        self.cfg, self.params = cfg, params
+        self.draft_cfg, self.draft_params = draft_cfg, draft_params
+        self.k = int(k)
+        self.model = GPTModel(cfg)
+        self.draft = GPTModel(draft_cfg)
+        self.cache_dtype = cache_dtype
+        self._jit = {}
+
+    def _build(self, B: int, S: int, rounds: int, eos: int):
+        cfg, dcfg, k = self.cfg, self.draft_cfg, self.k
+        model, draft = self.model, self.draft
+        C = k + 1
+        total_t = S + rounds * C
+        total_d = S + rounds * C + rounds * max(k - 1, 0)
+
+        def run(params, dparams, tokens, plen):
+            pad = S - plen
+            slots = jnp.arange(S)[None, :]
+            positions0 = jnp.maximum(slots - pad[:, None], 0)
+            pvalid = slots >= pad[:, None]
+            valid_t = jnp.zeros((B, total_t), bool).at[:, :S].set(pvalid)
+            valid_d = jnp.zeros((B, total_d), bool).at[:, :S].set(pvalid)
+
+            tc = init_kv_caches(cfg, B, total_t, self.cache_dtype)
+            logits, tc = model.apply(
+                {"params": params}, tokens, positions0, kv_caches=tc,
+                decode_index=0, kv_valid=valid_t)
+            t0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            dc = init_kv_caches(dcfg, B, total_d, self.cache_dtype)
+            _, dc = draft.apply(
+                {"params": dparams}, tokens, positions0, kv_caches=dc,
+                decode_index=0, kv_valid=valid_d)
+
+            out0 = jnp.full((B, rounds * C), -1, jnp.int32)
+
+            def round_fn(carry, r):
+                (tc, dc, valid_t, valid_d, chunk_toks, chunk_val, n_em,
+                 done, out, acc) = carry
+                # chunk_toks [B, C]: LAST round's emitted run [e_0..e_a']
+                # (e_a' = the correction token c_prev); chunk_val marks real
+                base_t = S + r * C
+                base_d = S + r * C
+                tmp_d = S + rounds * C + r * max(k - 1, 0)
+                n_chunk = jnp.sum(chunk_val, -1)  # [B] real tokens in chunk
+                emit_idx = jnp.arange(C)[None, :]
+
+                # -- draft ingests last round's emissions (writes their KV;
+                # these slots stay valid as chunk_val forever)
+                valid_d = jax.lax.dynamic_update_slice_in_dim(
+                    valid_d, chunk_val, base_d, axis=1)
+                pos_c = plen[:, None] + (n_em - n_chunk)[:, None] + emit_idx
+                dlogits, dc = draft.apply(
+                    {"params": dparams}, chunk_toks, jnp.maximum(pos_c, 0),
+                    kv_caches=dc, decode_index=base_d, kv_valid=valid_d)
+                # logits at the LAST REAL chunk position → proposal d1
+                last_real = jnp.maximum(n_chunk - 1, 0)
+                dlast = jnp.take_along_axis(
+                    dlogits, last_real[:, None, None].repeat(dlogits.shape[-1], 2),
+                    axis=1)[:, 0]
+                d1 = jnp.argmax(dlast, -1).astype(jnp.int32)
+
+                # -- draft proposes d2..dk (temp slots, invalidated after)
+                def prop(c, j):
+                    dc, valid_d, tok, props = c
+                    slot = tmp_d + j
+                    valid_d = valid_d.at[:, slot].set(True)
+                    # input d_{j+1} sits at position plen + n_em + j
+                    pos = (plen + n_em + j)[:, None]
+                    lg, dc = draft.apply(
+                        {"params": dparams}, tok[:, None], pos, kv_caches=dc,
+                        decode_index=slot, kv_valid=valid_d)
+                    nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+                    props = props.at[:, j + 1].set(nxt)
+                    return (dc, valid_d, nxt, props), None
+
+                props0 = jnp.zeros((B, k), jnp.int32).at[:, 0].set(d1)
+                (dc, valid_d, _, props), _ = jax.lax.scan(
+                    prop, (dc, valid_d, d1, props0), jnp.arange(max(k - 1, 0)))
+                # temp proposal slots must not leak into later rounds
+                if k > 1:
+                    valid_d = jax.lax.dynamic_update_slice_in_dim(
+                        valid_d, jnp.zeros((B, k - 1), bool), tmp_d, axis=1)
+
+                # -- target verifies [c_prev, d1..dk] in ONE chunked pass
+                c_prev = jnp.take_along_axis(
+                    chunk_toks, last_real[:, None], axis=1)[:, 0]
+                ver_toks = jnp.concatenate([c_prev[:, None], props], axis=1)
+                pos_v = plen[:, None] + (n_em - 1)[:, None] + emit_idx
+                valid_t = jax.lax.dynamic_update_slice_in_dim(
+                    valid_t, jnp.ones((B, C), bool), base_t, axis=1)
+                tlogits, tc = model.apply(
+                    {"params": params}, ver_toks, jnp.maximum(pos_v, 0),
+                    kv_caches=tc, decode_index=base_t, kv_valid=valid_t)
+                g = jnp.argmax(tlogits, -1).astype(jnp.int32)  # [B, C]
+
+                # -- longest agreeing prefix + correction token g_a
+                agree = props == g[:, :k]  # d_{i+1} == g_i
+                a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), -1), -1)
+                n_new = jnp.where(done, 0, a + 1)
+                props_pad = jnp.concatenate(
+                    [props, jnp.zeros((B, 1), jnp.int32)], axis=1)  # [B, C]
+                emitted = jnp.where(
+                    emit_idx < a[:, None], props_pad,
+                    jnp.where(emit_idx == a[:, None],
+                              jnp.take_along_axis(g, a[:, None], 1), -1))
+                emitted = jnp.where(done[:, None], -1, emitted)
+                # scatter into out at per-row pointers
+                dst = n_em[:, None] + emit_idx
+                ok = (emitted >= 0) & (dst < out.shape[1])
+                bi = jnp.arange(B)[:, None].repeat(C, 1)
+                dstc = jnp.clip(dst, 0, out.shape[1] - 1)
+                out = out.at[bi, dstc].set(
+                    jnp.where(ok, emitted, out[bi, dstc]))
+                # target ver-chunk validity going forward: slot 0 is c_prev
+                # (first KV write for it — keep), d_i keep iff i <= a;
+                # the correction g_a gets its KV next round as c_prev
+                keep_t = (emit_idx <= a[:, None]) & ~done[:, None]
+                valid_t = jax.lax.dynamic_update_slice_in_dim(
+                    valid_t, keep_t, base_t, axis=1)
+
+                # next round's chunk = this round's emitted run
+                chunk_toks_n = jnp.where(done[:, None], chunk_toks,
+                                         jnp.maximum(emitted, 0))
+                chunk_val_n = jnp.where(done[:, None], chunk_val,
+                                        emitted >= 0)
+
+                eos_hit = (jnp.any(emitted == eos, axis=-1)
+                           if eos >= 0 else jnp.zeros(B, bool))
+                done_n = done | eos_hit | (n_em + n_new >= out.shape[1])
+                acc = acc + jnp.sum(jnp.where(done, 0, a))
+                return (tc, dc, valid_t, valid_d, chunk_toks_n, chunk_val_n,
+                        n_em + n_new, done_n, out, acc), None
+
+            chunk0 = jnp.zeros((B, C), jnp.int32).at[:, 0].set(t0)
+            cval0 = jnp.zeros((B, C), bool).at[:, 0].set(True)
+            out = out0.at[:, 0].set(t0)
+            done0 = (t0 == eos) if eos >= 0 else jnp.zeros(B, bool)
+            carry0 = (tc, dc, valid_t, valid_d, chunk0, cval0,
+                      jnp.ones(B, jnp.int32), done0, out,
+                      jnp.zeros((), jnp.int32))
+            carry, _ = jax.lax.scan(round_fn, carry0, jnp.arange(rounds))
+            return carry[8], carry[9]
+
+        return jax.jit(run)
+
+    def generate_tokens(self, prompt_ids: Sequence[Sequence[int]],
+                        max_new_tokens: int = 32, eos_id: int = -1,
+                        seed: int = 0):
+        """Greedy speculative decode → (token lists, acceptance_rate).
+        Output is token-exact vs vanilla greedy decoding of the target."""
+        B = len(prompt_ids)
+        S = max(8, int(2 ** np.ceil(np.log2(max(len(p) for p in prompt_ids)))))
+        # worst case 1 token/round; typical k/2+1 — size rounds to cover
+        rounds = max_new_tokens  # guaranteed completion (masked after done)
+        key = (B, S, rounds, int(eos_id))
+        if key not in self._jit:
+            self._jit[key] = self._build(B, S, rounds, int(eos_id))
+        tokens = np.zeros((B, S), np.int32)
+        plen = np.zeros(B, np.int32)
+        for b, p in enumerate(prompt_ids):
+            tokens[b, S - len(p):] = p
+            plen[b] = len(p)
+        out, acc = self._jit[key](self.params, self.draft_params,
+                                  jnp.asarray(tokens), jnp.asarray(plen))
+        out = np.asarray(out)
+        results = []
+        for b in range(B):
+            ids = [int(t) for t in out[b] if t >= 0][:max_new_tokens]
+            if eos_id >= 0 and eos_id in ids:
+                ids = ids[: ids.index(eos_id)]
+            results.append(ids)
+        rate = float(acc) / max(rounds * self.k, 1)
+        return results, rate
+
+
 def generate(
     cfg: GPTConfig,
     params,
