@@ -25,6 +25,24 @@ import time
 import numpy as np
 
 
+def _speechlike(B, T, fs, rng):
+    """Pitch-modulated harmonics + AM envelope + pauses: produces realistic
+    greedy-CTC token density (VERDICT r2 weak #5 — noise decodes to
+    near-empty token streams, flattering the decode/text-assembly cost)."""
+    t = np.arange(T) / fs
+    out = np.zeros((B, T), np.float32)
+    for b in range(B):
+        f0 = 90 + 60 * rng.rand() + 25 * np.sin(2 * np.pi * (2 + rng.rand()) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / fs
+        x = sum((0.55 ** k) * np.sin((k + 1) * phase) for k in range(5))
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * (2.5 + rng.rand()) * t + rng.rand() * 6)
+        # word-ish pauses
+        gate = (np.sin(2 * np.pi * 0.7 * t + rng.rand() * 6) > -0.6).astype(np.float32)
+        out[b] = (x * env * gate + 0.01 * rng.randn(T)).astype(np.float32)
+    peak = np.abs(out).max(axis=1, keepdims=True) + 1e-6
+    return out / peak
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -39,11 +57,11 @@ def main():
     T = int(16000 * secs)
     rng = np.random.RandomState(0)
     iters = 5
-    # distinct audio per batch (identical inputs can be served from relay
-    # caches and undercount the work)
+    # distinct speech-like audio per batch (identical inputs can be served
+    # from relay caches and undercount the work)
     host_batches = []
     for i in range(iters + 1):
-        sig = (np.clip(rng.randn(B, T) * 0.05, -1, 1) * 32767).astype(np.int16)
+        sig = (np.clip(_speechlike(B, T, 16000, rng), -1, 1) * 32767).astype(np.int16)
         host_batches.append(sig)
     lens = jnp.full((B,), T, jnp.int32)
 
@@ -70,12 +88,76 @@ def main():
     print(f"secondary: wan_included_rtfx={rtfx_wan:.1f} "
           f"(tunnel ~49MB/s; not the production topology)", file=sys.stderr)
 
+    n_tok = sum(len(s.split()) + len(s) for s in out) / max(len(out), 1)
+    print(f"secondary: decoded token density ≈ {n_tok:.1f} chars/utt "
+          f"(speech-like audio, non-trivial decode)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "conformer_large_ctc_transcribe_rtfx",
         "value": round(rtfx, 1),
         "unit": "x realtime per chip (full transcribe incl. decode; PCM staged on TPU host)",
         "vs_baseline": round(rtfx / baseline, 3),
     }))
+
+    # ---- secondary BASELINE.json metrics (TTS + LLM), one JSON line each
+    try:
+        tts_line = bench_tts()
+        print(json.dumps(tts_line))
+    except Exception as e:  # secondary metrics must not sink the primary
+        print(f"tts bench failed: {e}", file=sys.stderr)
+    try:
+        llm_line = bench_llm()
+        print(json.dumps(llm_line))
+    except Exception as e:
+        print(f"llm bench failed: {e}", file=sys.stderr)
+
+
+def bench_tts():
+    """FastPitch mel-frames/sec per chip (BASELINE.json metric 2)."""
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.tts.fastpitch_model import FastPitchModel
+
+    m = FastPitchModel({"max_mel_len": 1024})
+    text = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet green fields toward the river")
+    toks = np.asarray(m.parse(text))
+    B = 8
+    tokens = jnp.asarray(np.repeat(toks, B, 0))
+    mel = m.generate_spectrogram(tokens)  # compile
+    iters = 10
+    t0 = time.perf_counter()
+    frames = 0
+    for i in range(iters):
+        # vary pace so the relay cannot serve cached results
+        mel = m.generate_spectrogram(tokens, pace=1.0 + 0.01 * (i % 3))
+        frames += mel.shape[0] * mel.shape[2]
+    t1 = time.perf_counter()
+    fps = frames / (t1 - t0)
+    # 86.13 mel frames per audio second (22.05 kHz, hop 256) → ×realtime;
+    # bar: 100× realtime synthesis per chip
+    xrt = fps / 86.13
+    return {
+        "metric": "fastpitch_mel_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": f"mel frames/sec per chip ({xrt:.0f}x realtime; bar 100x)",
+        "vs_baseline": round(xrt / 100.0, 3),
+    }
+
+
+def bench_llm():
+    """GPT training tokens/sec/chip on the 551M config (BASELINE metric 3)."""
+    import scripts.train_mfu as mfu
+
+    r = mfu.run(None, steps=40, B=16, S=2048, chunk=40)
+    # vs_baseline: utilization vs the reference's own headline MFU
+    # (LLAMA2-7B fp8 H100 = 768/1979 ≈ 39%)
+    return {
+        "metric": "gpt551m_train_tokens_per_sec_chip",
+        "value": r["tokens_per_sec"],
+        "unit": f"tokens/sec/chip bf16 ({r['mfu_vs_bf16_peak']*100:.0f}% MFU; ref headline 39%)",
+        "vs_baseline": round(r["mfu_vs_bf16_peak"] / 0.39, 3),
+    }
 
 
 if __name__ == "__main__":
