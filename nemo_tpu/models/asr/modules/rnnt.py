@@ -485,3 +485,126 @@ def rnnt_beam_decode(
     n = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
     best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
     return tokens, n, best_score
+
+
+def rnnt_beam_decode_maes(
+    joint_logits_fn,
+    pred_step_fn,
+    initial_state,
+    enc: jnp.ndarray,  # [B, T, H_e]
+    enc_len: jnp.ndarray,  # [B]
+    blank: int,
+    beam_size: int = 4,
+    maes_num_steps: int = 2,
+    maes_expansion_beta: int = 2,
+    maes_expansion_gamma: float = 2.3,
+    max_tokens: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched mAES beam search, fully on-device (reference: the
+    production batched beam, `rnnt_maes_batched_computer.py` — modified
+    Adaptive Expansion Search, frame-synchronized).
+
+    Per frame: up to `maes_num_steps` expansion rounds. Each round scores
+    every live hypothesis' joint at the CURRENT frame; non-blank
+    candidates survive only within `maes_expansion_gamma` of that
+    hypothesis' best option AND inside its top-(beta+1) (the adaptive
+    pruning that gives mAES its speed); a blank candidate parks the
+    hypothesis for this frame with the blank's log-prob added. After the
+    rounds every still-expanding hypothesis is force-parked with its
+    blank. All hypotheses share the frame pointer (frame-synchronous —
+    unlike the alignment-synchronous `rnnt_beam_decode`), so the whole
+    search is one `lax.scan` over T with a fixed expansion unroll.
+
+    Returns (tokens [B, cap] padded with −1, counts [B], score [B])."""
+    B, T, H = enc.shape
+    N = beam_size
+    cap = max_tokens or T * maes_num_steps
+    K = maes_expansion_beta + 1
+
+    def rep(x):
+        return jnp.repeat(x, N, axis=0)
+
+    state0 = jax.tree.map(rep, initial_state)
+    pred_out0, state0 = pred_step_fn(jnp.full((B * N,), -1, jnp.int32), state0)
+    scores0 = jnp.full((B, N), -1e30, jnp.float32).at[:, 0].set(0.0)
+    buf0 = jnp.full((B, N, cap), -1, jnp.int32)
+    counts0 = jnp.zeros((B, N), jnp.int32)
+    bidx = jnp.arange(B)[:, None].repeat(N, 1)
+    nidx = jnp.arange(N)[None, :].repeat(B, 0)
+
+    def frame(carry, t):
+        scores, buf, counts, pred_out, state = carry
+        active = (t < enc_len)[:, None]  # [B, 1] frame is real for this row
+        parked = ~jnp.broadcast_to(active, (B, N))  # parked = done this frame
+        enc_t = enc[jnp.arange(B * N) // N, jnp.minimum(t, T - 1)]  # [B*N, H]
+
+        def expansion(scores, parked, buf, counts, pred_out, state):
+            logits = joint_logits_fn(enc_t, pred_out)
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32), -1).reshape(B, N, -1)
+            V1 = logp.shape[-1]
+            blank_lp = logp[..., blank]
+            # adaptive pruning: per-hyp gamma window AND top-K candidates
+            kth = jax.lax.top_k(logp, min(K, V1))[0][..., -1]
+            best = jnp.max(logp, -1)
+            allow = (logp >= (best - maes_expansion_gamma)[..., None]) & (
+                logp >= kth[..., None])
+            is_blank_slot = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, N, V1), 2) == blank)
+            # expanding hyps: allowed non-blanks spawn; blank parks (+lp)
+            cand = jnp.where(allow & ~is_blank_slot,
+                             scores[..., None] + logp, -1e30)
+            cand = jnp.where(is_blank_slot,
+                             scores[..., None] + blank_lp[..., None], cand)
+            # parked hyps: only their blank slot, score UNCHANGED
+            cand = jnp.where(parked[..., None],
+                             jnp.where(is_blank_slot, scores[..., None], -1e30),
+                             cand)
+            flat = cand.reshape(B, N * V1)
+            top_s, top_idx = jax.lax.top_k(flat, N)
+            parent = top_idx // V1
+            token = (top_idx % V1).astype(jnp.int32)
+
+            def g(x):
+                return jnp.take_along_axis(
+                    x, parent.reshape(B, N, *([1] * (x.ndim - 2))), axis=1)
+
+            new_parked = g(parked[..., None])[..., 0] | (token == blank)
+            new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
+            new_counts = g(counts[..., None])[..., 0]
+            emit = (token != blank)
+            pos = jnp.minimum(new_counts, cap - 1)
+            cur = new_buf[bidx, nidx, pos]
+            new_buf = new_buf.at[bidx, nidx, pos].set(
+                jnp.where(emit, token, cur))
+            new_counts = new_counts + emit.astype(jnp.int32)
+            flat_parent = (bidx * N + parent).reshape(B * N)
+            pred_out_g = pred_out[flat_parent]
+            state_g = jax.tree.map(lambda x: x[flat_parent], state)
+            stepped_out, stepped_state = pred_step_fn(
+                jnp.where(emit.reshape(B * N), token.reshape(B * N), 0),
+                state_g)
+            emit_f = emit.reshape(B * N)[:, None]
+            new_pred_out = jnp.where(emit_f, stepped_out, pred_out_g)
+            new_state = jax.tree.map(
+                lambda s, gt: jnp.where(emit_f, s, gt), stepped_state, state_g)
+            return top_s, new_parked, new_buf, new_counts, new_pred_out, new_state
+
+        for _ in range(maes_num_steps):
+            scores, parked, buf, counts, pred_out, state = expansion(
+                scores, parked, buf, counts, pred_out, state)
+        # force-park any hypothesis still expanding: charge its blank
+        logits = joint_logits_fn(enc_t, pred_out)
+        blank_lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1).reshape(B, N, -1)[..., blank]
+        scores = jnp.where(jnp.broadcast_to(active, (B, N)) & ~parked,
+                           scores + blank_lp, scores)
+        return (scores, buf, counts, pred_out, state), None
+
+    (scores, buf, counts, *_), _ = jax.lax.scan(
+        frame, (scores0, buf0, counts0, pred_out0, state0), jnp.arange(T))
+    best = jnp.argmax(scores, axis=1)
+    tokens = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
+    n = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, n, best_score

@@ -260,6 +260,13 @@ class EncDecRNNTModel(Model):
                 beam_size=self.beam_size, max_symbols=self.max_symbols,
                 lm=self.ngram_lm, lm_weight=self.ngram_lm_weight,
             )
+        elif self.decoding_strategy == "maes":
+            from nemo_tpu.models.asr.modules.rnnt import rnnt_beam_decode_maes
+
+            tokens, counts, _ = rnnt_beam_decode_maes(
+                joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+                beam_size=self.beam_size,
+            )
         elif self.decoding_strategy == "greedy":
             tokens, counts = rnnt_greedy_decode(
                 joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,

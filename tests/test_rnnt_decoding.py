@@ -144,3 +144,44 @@ def test_rnnt_model_beam_strategy():
     audio = np.random.RandomState(0).randn(8000).astype(np.float32) * 0.1
     out = m.transcribe([audio], batch_size=1)
     assert isinstance(out[0], str)
+
+
+def test_maes_beam_matches_greedy_at_beam1():
+    """mAES with beam 1 and a permissive expansion budget reduces to
+    greedy decoding (each expansion keeps exactly the argmax)."""
+    from nemo_tpu.models.asr.modules.rnnt import rnnt_beam_decode_maes
+
+    joint_fn, pred_step_fn, init_state, V = _random_transducer(seed=4)
+    rng = np.random.RandomState(5)
+    B, T, He = 3, 12, 8
+    enc = jnp.asarray(rng.randn(B, T, He), jnp.float32)
+    enc_len = jnp.asarray([12, 7, 10], jnp.int32)
+    g_tok, g_n = rnnt_greedy_decode(
+        joint_fn, pred_step_fn, init_state(B), enc, enc_len, blank=V,
+        max_symbols=4)
+    m_tok, m_n, m_score = rnnt_beam_decode_maes(
+        joint_fn, pred_step_fn, init_state(B), enc, enc_len, blank=V,
+        beam_size=1, maes_num_steps=4, maes_expansion_beta=1,
+        maes_expansion_gamma=1e9)
+    for b in range(B):
+        gt = [int(x) for x in np.asarray(g_tok[b])[: int(g_n[b])]]
+        mt = [int(x) for x in np.asarray(m_tok[b])[: int(m_n[b])]]
+        assert gt == mt, (b, gt, mt)
+    assert np.isfinite(np.asarray(m_score)).all()
+
+
+def test_maes_beam_score_not_worse_than_beam1():
+    from nemo_tpu.models.asr.modules.rnnt import rnnt_beam_decode_maes
+
+    joint_fn, pred_step_fn, init_state, V = _random_transducer(seed=6)
+    rng = np.random.RandomState(7)
+    B, T, He = 2, 10, 8
+    enc = jnp.asarray(rng.randn(B, T, He), jnp.float32)
+    enc_len = jnp.asarray([10, 6], jnp.int32)
+    _, _, s1 = rnnt_beam_decode_maes(
+        joint_fn, pred_step_fn, init_state(B), enc, enc_len, blank=V,
+        beam_size=1, maes_num_steps=2)
+    _, _, s4 = rnnt_beam_decode_maes(
+        joint_fn, pred_step_fn, init_state(B), enc, enc_len, blank=V,
+        beam_size=4, maes_num_steps=2)
+    assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all(), (s1, s4)
