@@ -33,6 +33,8 @@ class NevaConfig:
     projector_type: str = "mlp2x_gelu"  # reference default
     freeze_vision: bool = True
     drop_cls_token: bool = True  # LLaVA uses patch tokens only
+    image_token_id: int = -1  # ≥0 → dynamic placeholder splicing (features
+    #                           land wherever this id appears in tokens)
 
 
 class NevaModel(nn.Module):
@@ -60,22 +62,84 @@ class NevaModel(nn.Module):
             x = self.proj2(nn.gelu(x, approximate=True))
         return x  # [B, P, H_llm]
 
-    def __call__(self, images, tokens, *, train=False):
-        """[image tokens | text tokens] → logits [B, P+S, V]."""
-        img = self.encode_images(images, train=train)
-        txt = self.llm.embed_tokens(tokens)
-        x = jnp.concatenate([img.astype(txt.dtype), txt], axis=1)
+    def encode_images_tiled(self, tiles, *, train=False):
+        """llava_next (AnyRes) multi-tile encoding: tiles [B, T, H, W, C] →
+        [B, T·P, H_llm] — each tile through the shared vision tower, features
+        concatenated in tile order (reference: vlm/llava_next multi-tile
+        feature packing). Host collators pick the grid via
+        `anyres_grid_shape`."""
+        B, T = tiles.shape[:2]
+        flat = tiles.reshape((B * T,) + tiles.shape[2:])
+        feats = self.encode_images(flat, train=train)  # [B*T, P, H]
+        P, H = feats.shape[1], feats.shape[2]
+        return feats.reshape(B, T * P, H)
+
+    def splice(self, tokens, img, *, train=False):
+        """Dynamic placeholder splicing: IMAGE placeholder ids may sit at
+        ARBITRARY positions in `tokens` (and multiple images per row) —
+        the i-th placeholder position in a row receives the i-th image
+        feature (reference: neva/model/base.py scatters media features
+        into input_ids == media_token positions). Static shapes: the
+        collator must emit exactly img.shape[1] placeholders per row."""
+        is_img = tokens == self.cfg.image_token_id
+        txt = self.llm.embed_tokens(jnp.where(is_img, 0, tokens))
+        # i-th placeholder → i-th image feature (per row)
+        idx = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+        gathered = jnp.take_along_axis(
+            img.astype(txt.dtype), jnp.clip(idx, 0, img.shape[1] - 1)[..., None],
+            axis=1)
+        return jnp.where(is_img[..., None], gathered, txt)
+
+    def __call__(self, images, tokens, *, train=False, tiles=None):
+        """Two input conventions:
+        - prefix mode (images [B,H,W,C], no placeholders in tokens):
+          [image tokens | text tokens] → logits [B, P+S, V];
+        - placeholder mode (tokens contain image_token_id): features are
+          spliced at the placeholder positions → logits [B, S, V].
+        `tiles` [B,T,H,W,C] switches the vision tower to AnyRes tiling."""
+        if tiles is not None:
+            img = self.encode_images_tiled(tiles, train=train)
+        else:
+            img = self.encode_images(images, train=train)
+        has_placeholder = self.cfg.image_token_id >= 0
+        if has_placeholder:
+            x = self.splice(tokens, img, train=train)
+        else:
+            txt = self.llm.embed_tokens(tokens)
+            x = jnp.concatenate([img.astype(txt.dtype), txt], axis=1)
         return self.llm(tokens=None, inputs_embeds=x, train=train)
 
-    def loss(self, images, tokens, loss_mask, *, train=True):
-        logits = self(images, tokens, train=train)
+    def loss(self, images, tokens, loss_mask, *, train=True, tiles=None):
+        logits = self(images, tokens, train=train, tiles=tiles)
         S = tokens.shape[1]
         text_logits = logits[:, -S:-1]
         labels = tokens[:, 1:]
         mask = loss_mask[:, 1:]
+        if self.cfg.image_token_id >= 0:
+            mask = mask * (labels != self.cfg.image_token_id)
         lp = jax.nn.log_softmax(text_logits.astype(jnp.float32))
         nll = -jnp.take_along_axis(lp, labels[..., None], -1)[..., 0]
         return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def anyres_grid_shape(height: int, width: int, tile: int = 336,
+                      max_tiles: int = 4):
+    """Pick the AnyRes tile grid (rows, cols) that best matches the image
+    aspect ratio within the tile budget (reference llava_next
+    select_best_resolution)."""
+    best, best_eff, best_waste = (1, 1), -1.0, float("inf")
+    for r in range(1, max_tiles + 1):
+        for c in range(1, max_tiles + 1):
+            if r * c > max_tiles:
+                continue
+            scale = min(r * tile / height, c * tile / width, 1.0)
+            eff = scale * height * scale * width
+            waste = r * c * tile * tile - eff
+            # maximize effective resolution, then minimize padding waste
+            if eff > best_eff + 1e-6 or (abs(eff - best_eff) <= 1e-6
+                                         and waste < best_waste):
+                best, best_eff, best_waste = (r, c), eff, waste
+    return best
 
 
 def neva_8b(**kw) -> NevaConfig:
