@@ -83,3 +83,120 @@ class PhonemeTokenizer:
 
     def ids_to_text(self, ids: Sequence[int]) -> str:
         return " ".join(self.vocab[i] for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# Heteronym classification (reference:
+# nemo/collections/tts/g2p/models/heteronym_classification.py — a token
+# classifier picks the pronunciation of context-dependent words like
+# "read"/"live"/"bass" before dictionary lookup)
+# ---------------------------------------------------------------------------
+
+# seed heteronym inventory: word → list of ARPABET pronunciations
+HETERONYMS: Dict[str, List[str]] = {
+    "read": ["R IY1 D", "R EH1 D"],        # present / past
+    "live": ["L IH1 V", "L AY1 V"],        # verb / adjective
+    "bass": ["B AE1 S", "B EY1 S"],        # fish / music
+    "lead": ["L IY1 D", "L EH1 D"],        # verb / metal
+    "wind": ["W IH1 N D", "W AY1 N D"],    # air / to turn
+}
+
+
+class HeteronymClassifier:
+    """Char-context classifier over the joint (word, pronunciation) label
+    space: a window of characters around the heteronym runs through a
+    small conv encoder; logits are masked to the word's own pronunciation
+    options. Pure flax; trains from (sentence, word, label) triples."""
+
+    def __init__(self, heteronyms: Optional[Dict[str, List[str]]] = None,
+                 window: int = 32, seed: int = 0):
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        self.het = dict(heteronyms or HETERONYMS)
+        self.window = window
+        self.labels = [(w, i) for w in sorted(self.het)
+                       for i in range(len(self.het[w]))]
+        self._lab2id = {wl: i for i, wl in enumerate(self.labels)}
+        self.n_labels = len(self.labels)
+        n_labels = self.n_labels
+
+        class _Net(nn.Module):
+            @nn.compact
+            def __call__(self, chars):  # [B, W] int32 (char codes mod 128)
+                x = nn.Embed(128, 48, name="emb")(chars)
+                for i, d in enumerate((1, 2, 4)):
+                    h = nn.Conv(64, (5,), kernel_dilation=(d,),
+                                padding="SAME", name=f"c{i}")(x if i else x)
+                    x = nn.silu(nn.LayerNorm(name=f"ln{i}")(h)) + (
+                        x if x.shape[-1] == 64 else 0.0)
+                pooled = jnp.max(x, axis=1)
+                return nn.Dense(n_labels, name="out")(pooled)
+
+        self.net = _Net()
+        self._jax = (jax, jnp)
+        chars = jnp.zeros((1, window), jnp.int32)
+        self.variables = self.net.init(jax.random.PRNGKey(seed), chars)
+        self._jit_logits = jax.jit(self.net.apply)
+
+    # -- data --------------------------------------------------------------
+    def _window(self, sentence: str, word: str) -> "np.ndarray":
+        import numpy as np
+
+        s = sentence.lower()
+        i = s.find(word)
+        half = self.window // 2
+        lo = max(0, i + len(word) // 2 - half)
+        chunk = s[lo: lo + self.window].ljust(self.window)
+        return np.asarray([ord(c) % 128 for c in chunk], np.int32)
+
+    def _mask(self, word: str):
+        import numpy as np
+
+        m = np.full(self.n_labels, -1e30, np.float32)
+        for i in range(len(self.het[word])):
+            m[self._lab2id[(word, i)]] = 0.0
+        return m
+
+    # -- train / predict ----------------------------------------------------
+    def make_train_step(self, lr: float = 2e-3):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        tx = optax.adamw(lr)
+        net = self.net
+
+        @jax.jit
+        def step(v, opt, chars, mask, label):
+            def f(v):
+                logits = net.apply(v, chars) + mask
+                return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                    logits, label))
+
+            loss, g = jax.value_and_grad(f)(v)
+            up, opt = tx.update(g, opt, v)
+            return optax.apply_updates(v, up), opt, loss
+
+        return tx, step
+
+    def encode_batch(self, examples):
+        """[(sentence, word, pron_index)] → (chars, mask, label) arrays."""
+        import numpy as np
+
+        chars = np.stack([self._window(s, w) for s, w, _ in examples])
+        mask = np.stack([self._mask(w) for _, w, _ in examples])
+        label = np.asarray([self._lab2id[(w, i)] for _, w, i in examples],
+                           np.int32)
+        return chars, mask, label
+
+    def predict(self, sentence: str, word: str) -> str:
+        """→ the chosen ARPABET pronunciation for `word` in `sentence`."""
+        import numpy as np
+
+        chars = self._window(sentence, word)[None]
+        logits = np.asarray(self._jit_logits(self.variables, chars))[0]
+        logits = logits + self._mask(word)
+        w, i = self.labels[int(np.argmax(logits))]
+        return self.het[w][i]

@@ -1,0 +1,110 @@
+"""TTS extras (VERDICT r2 missing #12): spectrogram enhancer, SSL voice
+conversion, heteronym classification."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _mels(B=4, D=32, T=48, seed=0, smooth=False):
+    rng = np.random.RandomState(seed)
+    t = np.arange(T)
+    mel = np.stack([
+        np.stack([np.sin(2 * np.pi * (f + 1) * t / T + rng.rand() * 6)
+                  for f in range(D)])
+        for _ in range(B)]).astype(np.float32)
+    if smooth:  # synthesized mels are over-smoothed: low-pass along time
+        k = np.ones(5) / 5
+        mel = np.stack([[np.convolve(row, k, mode="same") for row in m]
+                        for m in mel]).astype(np.float32)
+    return jnp.asarray(mel)
+
+
+def test_spectrogram_enhancer_gan_trains():
+    from nemo_tpu.models.tts.enhancer_model import SpectrogramEnhancer
+
+    m = SpectrogramEnhancer({"n_mels": 32, "channels": 24})
+    real = _mels(smooth=False)
+    degraded = _mels(smooth=True)
+    gtx, dtx, gen_step, disc_step = m.make_train_steps(lr=2e-4)
+    g_opt, d_opt = gtx.init(m.gen_vars), dtx.init(m.disc_vars)
+    gl = dl = None
+    for i in range(30):
+        rng = jax.random.PRNGKey(i)
+        m.disc_vars, d_opt, dl = disc_step(
+            m.disc_vars, d_opt, m.gen_vars, degraded, real, rng)
+        m.gen_vars, g_opt, gl = gen_step(
+            m.gen_vars, g_opt, m.disc_vars, degraded, real, rng)
+    assert np.isfinite(float(gl)) and np.isfinite(float(dl))
+    out = m.enhance(degraded)
+    assert out.shape == degraded.shape
+    # enhancement recovers high-frequency energy the smoothing removed
+    def hf(x):
+        d = np.diff(np.asarray(x), axis=-1)
+        return float(np.mean(d * d))
+    assert hf(out) > hf(degraded)
+
+
+def test_ssl_voice_conversion_trains_and_converts():
+    from nemo_tpu.models.tts.enhancer_model import SSLVoiceConverter
+
+    m = SSLVoiceConverter({"n_mels": 32})
+    # two "speakers" = two fixed spectral tilts over shared content
+    rng = np.random.RandomState(0)
+    content = _mels(B=8, D=32, T=48, seed=1)
+    tilt_a = jnp.asarray(np.linspace(1.5, 0.5, 32, dtype=np.float32))[None, :, None]
+    tilt_b = jnp.asarray(np.linspace(0.5, 1.5, 32, dtype=np.float32))[None, :, None]
+    mels = jnp.concatenate([content[:4] * tilt_a, content[4:] * tilt_b])
+
+    tx, step = m.make_train_step(lr=2e-3)
+    params = (m.c_vars, m.s_vars, m.d_vars)
+    opt = tx.init(params)
+    first = None
+    for _ in range(120):
+        params, opt, loss = step(params, opt, mels)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.5, (first, float(loss))
+    m.c_vars, m.s_vars, m.d_vars = params
+    # convert speaker-A content into speaker B's voice: output should be
+    # closer to B's tilt than to A's
+    out = m.convert(mels[:1], mels[4:5])
+    prof = np.asarray(out).mean(axis=(0, 2))
+    a_prof = np.asarray(mels[:4]).mean(axis=(0, 2))
+    b_prof = np.asarray(mels[4:]).mean(axis=(0, 2))
+    da = np.linalg.norm(prof - a_prof)
+    db = np.linalg.norm(prof - b_prof)
+    assert db < da, (da, db)
+
+
+def test_heteronym_classifier_learns_context():
+    from nemo_tpu.models.tts.g2p import HETERONYMS, HeteronymClassifier
+
+    clf = HeteronymClassifier(window=32, seed=0)
+    train = [
+        ("i will read the book tomorrow", "read", 0),
+        ("she will read it to you", "read", 0),
+        ("they read the letter yesterday", "read", 1),
+        ("he read it last week", "read", 1),
+        ("i live in the city", "live", 0),
+        ("we live near the park", "live", 0),
+        ("the live concert was loud", "live", 1),
+        ("a live wire is dangerous", "live", 1),
+    ] * 8
+    chars, mask, label = clf.encode_batch(train)
+    tx, step = clf.make_train_step(lr=2e-3)
+    opt = tx.init(clf.variables)
+    for _ in range(120):
+        clf.variables, opt, loss = step(clf.variables, opt, chars, mask, label)
+    assert float(loss) < 0.2
+    assert clf.predict("tomorrow i will read a story", "read") == \
+        HETERONYMS["read"][0]
+    assert clf.predict("she read the news yesterday", "read") == \
+        HETERONYMS["read"][1]
+    assert clf.predict("the live broadcast starts now", "live") == \
+        HETERONYMS["live"][1]
+    # masking confines predictions to the word's own pronunciations
+    assert clf.predict("totally unseen context here", "bass") in \
+        HETERONYMS["bass"]
