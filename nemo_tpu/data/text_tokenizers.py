@@ -301,3 +301,84 @@ class CanaryTokenizer(AggregateTokenizer):
             ids.append(self.spl_token_to_id(f"<|{target_lang or source_lang}|>"))
         ids.append(self.spl_token_to_id("<|pnc|>" if pnc else "<|nopnc|>"))
         return ids
+
+
+class TiktokenTokenizer(TokenizerSpec):
+    """Byte-level BPE over a .tiktoken ranks file (reference
+    tiktoken_tokenizer.py; the `tiktoken` wheel is absent in this image so
+    the merge loop is self-contained).
+
+    A ranks file maps base64(token bytes) → rank per line; encoding
+    greedily merges the lowest-rank adjacent pair (exact BPE). Special
+    tokens get ids after the byte-pair vocabulary."""
+
+    def __init__(self, ranks_path: Optional[str] = None,
+                 ranks: Optional[dict] = None,
+                 special_tokens: Sequence[str] = ("<|endoftext|>",)):
+        import base64
+
+        if ranks is None:
+            ranks = {}
+            with open(ranks_path, "rb") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    tok_b64, rank = line.split()
+                    ranks[base64.b64decode(tok_b64)] = int(rank)
+        self._ranks = dict(ranks)
+        self._decode = {r: b for b, r in self._ranks.items()}
+        n = max(self._ranks.values()) + 1 if self._ranks else 0
+        self._special = {}
+        for i, s in enumerate(special_tokens):
+            self._special[s] = n + i
+            self._decode[n + i] = s.encode()
+        self._n_total = n + len(special_tokens)
+
+    @property
+    def vocab_size(self) -> int:
+        return self._n_total
+
+    @property
+    def eos_id(self) -> int:
+        return next(iter(self._special.values()))
+
+    def _bpe(self, piece: bytes) -> List[int]:
+        parts = [piece[i:i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(parts) - 1):
+                r = self._ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            parts = (parts[:best_i] + [parts[best_i] + parts[best_i + 1]]
+                     + parts[best_i + 2:])
+        out = []
+        for p in parts:
+            if p in self._ranks:
+                out.append(self._ranks[p])
+            else:  # unmergeable byte missing from ranks: emit per-byte
+                out.extend(self._ranks.get(p[i:i + 1], 0)
+                           for i in range(len(p)))
+        return out
+
+    def text_to_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        rest = text
+        # split out special tokens verbatim
+        while rest:
+            hits = [(rest.find(s), s) for s in self._special if s in rest]
+            if not hits:
+                ids.extend(self._bpe(rest.encode("utf-8")))
+                break
+            pos, s = min(hits)
+            if pos > 0:
+                ids.extend(self._bpe(rest[:pos].encode("utf-8")))
+            ids.append(self._special[s])
+            rest = rest[pos + len(s):]
+        return ids
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        data = b"".join(self._decode.get(int(i), b"") for i in ids)
+        return data.decode("utf-8", errors="replace")

@@ -103,6 +103,10 @@ def conformer_ctc(
             xscaling=True,
             pos_emb_max_len=5000,
             compute_dtype=compute_dtype,
+            # measured default (scripts/conformer_flash_ab.py, v5e, B=16
+            # x 30 s Conformer-L): decomposed 3296 vs decomposed_flash
+            # 3305 RTFx — parity at bench shapes, flash wins as T grows
+            att_impl="decomposed_flash",
         ),
         decoder=dict(feat_in=d_model, vocabulary=labels),
     )

@@ -93,7 +93,21 @@ def relpos_attention(
         ],
         axis=-1,
     )
-    if use_flash and ctx_mask is None and qu.shape[2] % 128 == 0:
+    if use_flash and ctx_mask is None and jax.default_backend() != "cpu":
+        # pad the time dim to the kernel's 128-lane tile; padded KEYS are
+        # masked by the folded bias feature, padded QUERY rows are sliced
+        # off below (their garbage never escapes)
+        pad_t = (-T) % 128
+        if pad_t:
+            def padt(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:2] + (pad_t,) + x.shape[3:],
+                                  x.dtype)], axis=2)
+
+            m_p = jnp.concatenate(
+                [pad_mask, jnp.zeros((pad_mask.shape[0], pad_t), bool)], axis=1)
+            return _relpos_flash(padt(q_aug), padt(k_aug), padt(v), m_p,
+                                 scale, dtype)[:, :, :T]
         return _relpos_flash(q_aug, k_aug, v, pad_mask, scale, dtype)
 
     scores = jnp.einsum(
@@ -134,8 +148,10 @@ def _relpos_flash(q_aug, k_aug, v, pad_mask, scale, dtype):
         zq = jnp.zeros((B, H, T, pad_to), q_ext.dtype)
         q_ext = jnp.concatenate([q_ext, zq], -1)
         k_ext = jnp.concatenate([k_ext, zq], -1)
+    bq = 256 if T % 256 == 0 else 128
+    bkv = 512 if T % 512 == 0 else (256 if T % 256 == 0 else 128)
     out = flash_attention(
         q_ext.astype(dtype), k_ext.astype(dtype), v.astype(dtype),
-        float(scale), False, None, 256, 512, 0,
+        float(scale), False, None, bq, bkv, 0,
     )
     return out

@@ -1,0 +1,73 @@
+"""Measured-vs-modeled HBM for AutoConfigurator (VERDICT r2 #2).
+
+The 175B/405B pp recipes cite `estimate_hbm_gb` arithmetic that had never
+been checked against a real chip. This measures peak device memory for
+(a) a full small model train step and (b) a llama3-70b-SHAPED single
+transformer layer slab (d=8192, ffn=28672, GQA 64/8) — the per-layer
+bytes that the pp-recipe feasibility math multiplies out — and prints
+measured vs modeled.
+
+Run: JAX_PLATFORMS=axon PYTHONPATH=/root/.axon_site:/root/repo \
+     python -u scripts/hbm_validate.py
+"""
+
+import json
+
+import numpy as np
+
+
+def peak_gb():
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats()
+    return stats.get("peak_bytes_in_use", 0) / 1e9
+
+
+def run_model(name, cfg, B, S, remat):
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    from nemo_tpu.parallel.mesh import MeshConfig
+    from nemo_tpu.llm.auto_configurator import estimate_hbm_gb
+
+    import dataclasses
+    cfg = dataclasses.replace(cfg, remat=remat, seq_length=S,
+                              compute_dtype="bfloat16",
+                              attention_backend="flash")
+    mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=1))
+    state = mod.init_state(seed=0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32),
+    }
+    step = mod.train_step_jit()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    _ = float(m["loss"])
+    measured = peak_gb()
+    modeled = estimate_hbm_gb(cfg, tp=1, fsdp=1, cp=1, micro_batch=B)
+    print(json.dumps({
+        "probe": name, "batch": B, "seq": S, "remat": remat,
+        "measured_peak_gb": round(measured, 2),
+        "modeled_gb": round(modeled, 2),
+        "ratio_measured_over_modeled": round(measured / max(modeled, 1e-9), 3),
+    }), flush=True)
+    return measured, modeled
+
+
+def main():
+    from nemo_tpu.models.llm.config import _cfg, llama32_1b
+
+    # (a) full 1B model, the largest whole model one v5e chip trains
+    run_model("llama32_1b_full", llama32_1b(), B=2, S=2048, remat="full")
+
+    # (b) llama3-70b-shaped SLAB: 2 layers at full width — the pp recipes'
+    # per-layer unit (vocab kept small so the head doesn't dominate)
+    slab = _cfg(num_layers=2, hidden_size=8192, ffn_hidden_size=28672,
+                num_attention_heads=64, num_query_groups=8, vocab_size=8192)
+    run_model("llama3_70b_shape_2layer", slab, B=1, S=2048, remat="full")
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,27 @@ def test_aed_multilingual_canary_roundtrip():
     lens = jnp.full((B,), T, jnp.int32)
     loss = m.loss_fn(m.variables, sig, lens, dec_in, labels, mask)
     assert np.isfinite(float(loss))
+
+
+def test_tiktoken_style_bpe_roundtrip():
+    """Byte-level BPE over an in-memory ranks table (tiktoken format):
+    greedy lowest-rank merges, specials split verbatim, exact round-trip."""
+    from nemo_tpu.data.text_tokenizers import TiktokenTokenizer
+
+    # bytes 0..255 as base ranks, then a few merges
+    ranks = {bytes([b]): b for b in range(256)}
+    ranks[b"th"] = 256
+    ranks[b"the"] = 257
+    ranks[b"er"] = 258
+    tok = TiktokenTokenizer(ranks=ranks)
+    ids = tok.text_to_ids("the theremin")
+    assert 257 in ids  # 'the' merged
+    assert tok.ids_to_text(ids) == "the theremin"
+    # merge preference: lowest rank ('th'+'e'→'the' via 'th' first)
+    assert tok.text_to_ids("the") == [257]
+    # specials
+    ids2 = tok.text_to_ids("a<|endoftext|>b")
+    assert tok.eos_id in ids2
+    assert tok.ids_to_text(ids2) == "a<|endoftext|>b"
+    # non-ascii round-trips through utf-8 bytes
+    assert tok.ids_to_text(tok.text_to_ids("héllo ß")) == "héllo ß"

@@ -77,3 +77,23 @@ def test_data_explorer(tmp_path):
     assert stats["problems"]["empty_text"] == [2]
     r = report(stats)
     assert "utterances : 4" in r and "missing audio" in r
+
+
+def test_data_explorer_html_dashboard(tmp_path):
+    """SDE dashboard analog: self-contained HTML with stat tiles, SVG
+    histograms and problem tables."""
+    import json
+
+    from nemo_tpu.tools.data_explorer import explore_to_html
+
+    man = tmp_path / "m.jsonl"
+    rows = [{"audio_filepath": f"/nope/{i}.wav", "text": "hello world",
+             "duration": 1.0 + 0.1 * i} for i in range(20)]
+    rows.append({"audio_filepath": "/nope/x.wav", "text": "", "duration": 1.0})
+    man.write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "dash.html"
+    stats = explore_to_html(str(man), str(out), vocab=list("helo wrd"))
+    html = out.read_text()
+    assert "<svg" in html and "utterances" in html
+    assert "empty_text" in html
+    assert stats["num_utterances"] == 21
