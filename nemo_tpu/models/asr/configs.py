@@ -104,9 +104,14 @@ def conformer_ctc(
             pos_emb_max_len=5000,
             compute_dtype=compute_dtype,
             # measured default (scripts/conformer_flash_ab.py, v5e, B=16
-            # x 30 s Conformer-L): decomposed 3296 vs decomposed_flash
-            # 3305 RTFx — parity at bench shapes, flash wins as T grows
-            att_impl="decomposed_flash",
+            # x 30 s Conformer-L, full transcribe): decomposed 3254 vs
+            # decomposed_flash 3140 RTFx — XLA's fused einsum WINS at the
+            # bench shape (T'≈752 after x4 subsampling; the augmented
+            # rel-pos features pad the flash head_dim to 256, and at this
+            # T the O(T²) memory the kernel saves is not the bottleneck).
+            # decomposed_flash is the right choice for long-audio T';
+            # select it via encoder.att_impl.
+            att_impl="decomposed",
         ),
         decoder=dict(feat_in=d_model, vocabulary=labels),
     )

@@ -46,6 +46,12 @@ class GPTConfig:
     logit_softcapping: Optional[float] = None  # gemma2
     window_size: Optional[int] = None  # sliding-window attention (mistral)
 
+    # multi-token prediction (deepseek-V3 MTP, reference gpt/model/base.py
+    # mtp_block_spec): an extra transformer block predicts token t+2 from
+    # [norm(h_t); norm(emb(x_{t+1}))]; trained with coeff-weighted CE
+    mtp_num_layers: int = 0
+    mtp_loss_coeff: float = 0.1
+
     # MoE (0 experts = dense)
     num_moe_experts: int = 0
     moe_router_topk: int = 2
@@ -213,6 +219,7 @@ def deepseek_v3(**kw) -> GPTConfig:
         moe_router_score_function='sigmoid', moe_router_enable_expert_bias=True,
         moe_router_num_groups=8, moe_router_group_topk=4,
         moe_router_topk_scaling_factor=2.5, moe_router_norm_topk_prob=True,
+        mtp_num_layers=1,
         scan_layers=False,  # first_k_dense layers are heterogeneous
     ), kw)
 

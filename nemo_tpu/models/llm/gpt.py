@@ -662,7 +662,7 @@ class GPTModel(nn.Module):
     @nn.compact
     def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None,
                  kv_valid=None, segment_ids=None, train=False, output_hidden=False,
-                 inputs_embeds=None):
+                 inputs_embeds=None, mtp_targets=None):
         """output_hidden=True → return the final-norm hidden states [B,S,D]
         instead of logits (the fused-CE training path computes the LM head
         inside the loss to avoid materializing [B,S,V]).
@@ -764,7 +764,28 @@ class GPTModel(nn.Module):
                 new_caches = None
 
         x = make_norm(cfg, "final_norm")(x)
+        mtp_hidden = None
+        if cfg.mtp_num_layers > 0 and mtp_targets is not None:
+            # deepseek-V3 MTP block (reference gpt/model/base.py:225):
+            # predict token t+2 from the trunk's h_t fused with the
+            # embedding of the ALREADY-KNOWN next token x_{t+1}
+            nxt = jnp.take(embed, mtp_targets, axis=0).astype(dtype)
+            h_n = make_norm(cfg, "mtp_h_norm")(x).astype(dtype)
+            e_n = make_norm(cfg, "mtp_e_norm")(nxt).astype(dtype)
+            m = nn.DenseGeneral(
+                features=cfg.hidden_size, use_bias=False, dtype=dtype,
+                param_dtype=_dtype(cfg.params_dtype),
+                kernel_init=_init(cfg.init_method_std, (None, "embed")),
+                name="mtp_proj",
+            )(jnp.concatenate([h_n, e_n], axis=-1))
+            for i in range(cfg.mtp_num_layers):
+                m, _ = TransformerLayer(
+                    cfg, is_training=train, name=f"mtp_layer{i}")(
+                    m, positions)
+            mtp_hidden = make_norm(cfg, "mtp_final_norm")(m)
         if output_hidden:
+            if mtp_hidden is not None:
+                return x, mtp_hidden
             return x
 
         if cfg.share_embeddings_and_output_weights:

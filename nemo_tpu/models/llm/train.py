@@ -111,11 +111,18 @@ class GPTTrainModule:
         b = self.mesh.shape.get("dp", 1) * self.mesh.shape.get("fsdp", 1)
         return jnp.zeros((max(1, b), self.cfg.seq_length), jnp.int32)
 
+    def _init_kwargs(self):
+        # MTP params only materialize when the block runs (flax compact):
+        # init with output_hidden + mtp_targets so they exist in the tree
+        if self.cfg.mtp_num_layers > 0:
+            return dict(mtp_targets=self._init_tokens())
+        return {}
+
     def _abstract_state(self):
         tokens = self._init_tokens()
 
         def init_fn(rng):
-            variables = self.model.init(rng, tokens)
+            variables = self.model.init(rng, tokens, **self._init_kwargs())
             params = variables["params"]  # boxed with logical-axis metadata
             opt_state = self.optimizer.init(nn.meta.unbox(params))
             return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
@@ -139,7 +146,7 @@ class GPTTrainModule:
         tokens = self._init_tokens()
 
         def init_fn(rng):
-            variables = self.model.init(rng, tokens)
+            variables = self.model.init(rng, tokens, **self._init_kwargs())
             params = nn.meta.unbox(variables["params"])
             opt_state = self.optimizer.init(params)
             return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
@@ -211,12 +218,22 @@ class GPTTrainModule:
                 a = self.kd_alpha
                 loss = (1 - a) * ce + a * (T * T) * kl
             elif cfg.fused_ce:
-                hidden, losses_col = apply_model(
+                mtp_kw = {}
+                if cfg.mtp_num_layers > 0:
+                    # the MTP block consumes the KNOWN next token x_{t+1}
+                    # (= the main label at t) and predicts x_{t+2}
+                    mtp_kw = dict(mtp_targets=labels)
+                out = apply_model(
                     params, tokens,
                     positions,
                     segment_ids=batch.get("segment_ids"),
                     train=True, output_hidden=True, rngs={"dropout": rng},
+                    **mtp_kw,
                 )
+                hidden, losses_col = out
+                mtp_hidden = None
+                if cfg.mtp_num_layers > 0:
+                    hidden, mtp_hidden = hidden
                 if cfg.share_embeddings_and_output_weights:
                     w_vd = params["embedding"]
                 else:
@@ -226,6 +243,21 @@ class GPTTrainModule:
                     logit_softcapping=cfg.logit_softcapping,
                     chunk=cfg.fused_ce_chunk,
                 )
+                if mtp_hidden is not None:
+                    # MTP labels: x_{t+2} = labels shifted left; last
+                    # position has no target
+                    mtp_labels = jnp.concatenate(
+                        [labels[:, 1:], jnp.zeros_like(labels[:, :1])], 1)
+                    mm = (loss_mask if loss_mask is not None
+                          else jnp.ones_like(labels, jnp.float32))
+                    mtp_mask = jnp.concatenate(
+                        [mm[:, 1:], jnp.zeros_like(mm[:, :1])], 1)
+                    mtp_loss, _ = fused_linear_cross_entropy(
+                        mtp_hidden, w_vd, mtp_labels, mtp_mask,
+                        logit_softcapping=cfg.logit_softcapping,
+                        chunk=cfg.fused_ce_chunk,
+                    )
+                    loss = loss + cfg.mtp_loss_coeff * mtp_loss
             else:
                 logits, losses_col = apply_model(
                     params, tokens,

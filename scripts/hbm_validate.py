@@ -36,22 +36,40 @@ def run_model(name, cfg, B, S, remat):
                               compute_dtype="bfloat16",
                               attention_backend="flash")
     mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=1))
-    state = mod.init_state(seed=0)
+    modeled = estimate_hbm_gb(cfg, tp=1, fsdp=1, cp=1, micro_batch=B)
     rng = np.random.RandomState(0)
     batch = {
         "tokens": jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32),
     }
-    step = mod.train_step_jit()
-    state, m = step(state, batch, jax.random.PRNGKey(0))
-    _ = float(m["loss"])
-    measured = peak_gb()
-    modeled = estimate_hbm_gb(cfg, tp=1, fsdp=1, cp=1, micro_batch=B)
+    oom = None
+    try:
+        state = mod.init_state(seed=0)
+        step = mod.train_step_jit()
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        _ = float(m["loss"])
+        stats = jax.local_devices()[0].memory_stats()
+        # the axon relay does not forward memory_stats; fall back to
+        # "fits under the 15.75 GB ceiling" as the measurement bound
+        measured = (stats.get("peak_bytes_in_use", 0) / 1e9
+                    if stats else float("nan"))
+    except Exception as e:
+        # the compiler's OOM report IS a measurement: "Used X of Y hbm"
+        import re
+
+        mobj = re.search(r"Used ([0-9.]+)G of", str(e))
+        if not mobj:
+            raise
+        measured = float(mobj.group(1))
+        oom = True
     print(json.dumps({
         "probe": name, "batch": B, "seq": S, "remat": remat,
-        "measured_peak_gb": round(measured, 2),
+        "measured_peak_gb": (round(measured, 2)
+                             if measured == measured else None),
+        "fits_15.75gb": not oom,
         "modeled_gb": round(modeled, 2),
         "ratio_measured_over_modeled": round(measured / max(modeled, 1e-9), 3),
+        "oom": bool(oom),
     }), flush=True)
     return measured, modeled
 
@@ -59,8 +77,19 @@ def run_model(name, cfg, B, S, remat):
 def main():
     from nemo_tpu.models.llm.config import _cfg, llama32_1b
 
-    # (a) full 1B model, the largest whole model one v5e chip trains
-    run_model("llama32_1b_full", llama32_1b(), B=2, S=2048, remat="full")
+    # (a) whole-model probes: a 551M config that FITS and the 1B config
+    # that exceeds one chip (the compiler's OOM report is the measurement)
+    m551 = _cfg(num_layers=16, hidden_size=1536, ffn_hidden_size=6144,
+                num_attention_heads=16, num_query_groups=16,
+                vocab_size=32768)
+    # fitting probe: compiles+runs under the 15.75 GB ceiling (relay does
+    # not forward memory_stats, so the bound is the measurement) and an
+    # intentionally-oversized probe whose compiler OOM report measures
+    # the exact requirement
+    run_model("gpt551m_B8", m551, B=8, S=2048, remat="full")
+    run_model("gpt551m_B64_oom_probe", m551, B=64, S=2048, remat="full")
+    run_model("llama32_1b_B2_oom_probe", llama32_1b(), B=2, S=2048,
+              remat="full")
 
     # (b) llama3-70b-shaped SLAB: 2 layers at full width — the pp recipes'
     # per-layer unit (vocab kept small so the head doesn't dominate)

@@ -164,3 +164,41 @@ def test_fused_ce_matches_plain_loss():
                 np.asarray(vp), np.asarray(vf), atol=1e-5, rtol=1e-4,
                 err_msg=jax.tree_util.keystr(kp),
             )
+
+
+def test_mtp_head_trains_and_is_optional():
+    """deepseek-V3 MTP (reference gpt/model/base.py mtp_block_spec): the
+    extra block predicts t+2; its coeff-weighted CE joins the objective
+    and the params exist only when mtp_num_layers > 0."""
+    from flax import traverse_util
+
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.models.llm.train import GPTTrainModule
+    from nemo_tpu.parallel.mesh import MeshConfig
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(rng.randint(0, 100, (8, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 100, (8, 32)), jnp.int32),
+        "loss_mask": jnp.ones((8, 32), jnp.float32),
+    }
+    cfg = tiny_test(seq_length=32, mtp_num_layers=1, mtp_loss_coeff=0.3)
+    mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=8))
+    state = mod.init_state(seed=0)
+    flat = traverse_util.flatten_dict(state.params)
+    assert any("mtp_layer0" in "/".join(p) for p in flat)
+    assert any("mtp_proj" in "/".join(p) for p in flat)
+    state, m1 = mod.train_step(state, batch, jax.random.PRNGKey(0))
+    state, m2 = mod.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
+
+    # with coeff=0 the objective equals the plain model's loss
+    cfg0 = tiny_test(seq_length=32, mtp_num_layers=1, mtp_loss_coeff=0.0)
+    mod0 = GPTTrainModule(cfg0, mesh_cfg=MeshConfig(dp=8))
+    st0 = mod0.init_state(seed=0)
+    _, mm = mod0.train_step(st0, batch, jax.random.PRNGKey(0))
+    ref = GPTTrainModule(tiny_test(seq_length=32), mesh_cfg=MeshConfig(dp=8))
+    rst = ref.init_state(seed=0)
+    _, rm = ref.train_step(rst, batch, jax.random.PRNGKey(0))
+    assert float(mm["loss"]) == pytest.approx(float(rm["loss"]), rel=1e-5)
