@@ -31,6 +31,22 @@ Two schedules:
 - **"gpipe"**: all forwards then `jax.grad` back through the scan
   (per-tick remat). Simpler, same bubble, but saves one activation per
   tick → O(n_micro) memory, and supports no dropout.
+- **"interleaved"** (VPP, `vpp>1`): each device holds `vpp`
+  non-contiguous layer chunks (device r holds virtual stages r, r+pp,
+  r+2·pp, … — reference `virtual_pipeline_model_parallel_size`,
+  `megatron_strategy.py:244`). Microbatches are grouped by pp
+  (`microbatch_group_size_per_vp_stage` default): the forward of
+  (chunk k, microbatch m=g·pp+j) runs on device r at tick
+  t = r + k·pp + g·pp·vpp + j, so every activation hand-off is ONE
+  forward ring hop per tick and the warm-up bubble shrinks from
+  (pp−1) stage-times to (pp−1) CHUNK-times — the vpp× bubble
+  reduction that defines VPP. Backward mirrors it (one chunk-vjp per
+  device per tick, cotangents ride the reverse ring), the vocab-
+  parallel head/CE runs inside the backward tick of the last virtual
+  chunk, and dropout rngs are keyed by (microbatch, virtual stage,
+  layer). Layer params are stored DEVICE-MAJOR (device r's vpp chunks
+  contiguous) so the pp shard of the stacked [L, ...] axis needs no
+  gather; `interleaved_storage_perm()` maps execution→storage order.
 """
 
 from __future__ import annotations
@@ -63,7 +79,8 @@ class PipelinedGPTModule:
     mesh_cfg: MeshConfig = dataclasses.field(default_factory=lambda: MeshConfig(pp=2))
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Mesh] = None
-    schedule: str = "1f1b"  # "1f1b" | "gpipe"
+    schedule: str = "1f1b"  # "1f1b" | "gpipe" | "interleaved"
+    vpp: int = 1  # virtual pipeline chunks per device (schedule="interleaved")
 
     def __post_init__(self):
         if self.mesh is None:
@@ -78,6 +95,22 @@ class PipelinedGPTModule:
                 raise ValueError(
                     "gpipe schedule supports dropout=0 only; use schedule='1f1b'")
             self.rules = default_axis_rules()
+        elif self.schedule == "interleaved":
+            if self.vpp < 1:
+                raise ValueError("interleaved needs vpp >= 1")
+            if self.cfg.num_layers % (self.pp * self.vpp):
+                raise ValueError(
+                    f"num_layers {self.cfg.num_layers} % (pp·vpp "
+                    f"{self.pp}·{self.vpp}) != 0")
+            if self.cfg.vocab_size % self.pp:
+                raise ValueError(
+                    f"interleaved vocab-parallel head needs vocab_size "
+                    f"{self.cfg.vocab_size} % pp {self.pp} == 0")
+            if self.cfg.position_embedding_type == "learned_absolute":
+                raise ValueError("interleaved supports rope/none position embeddings")
+            self.rules = tuple(
+                (name, None) if name == "vocab" else (name, ax)
+                for name, ax in default_axis_rules())
         elif self.schedule == "1f1b":
             if self.cfg.vocab_size % self.pp:
                 raise ValueError(
@@ -119,7 +152,7 @@ class PipelinedGPTModule:
 
         # stamp 'pp' onto the leading layers axis of every stacked leaf;
         # under 1f1b also vocab-shard the embedding/LM-head over pp
-        stamp_vocab = self.schedule == "1f1b"
+        stamp_vocab = self.schedule in ("1f1b", "interleaved")
 
         def fix(path, sh):
             keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
@@ -141,12 +174,33 @@ class PipelinedGPTModule:
 
         return jax.tree_util.tree_map_with_path(fix, shardings)
 
+    def interleaved_storage_perm(self) -> np.ndarray:
+        """perm such that layers_storage = layers_execution[perm]: device-
+        major order (device r's vpp chunks contiguous) so the pp shard of
+        the stacked layers axis is a contiguous block. Inverse (for
+        checkpoint export / parity tests): argsort(perm)."""
+        P, V = self.pp, self.vpp
+        Lc = self.cfg.num_layers // (P * V)
+        perm = np.empty(self.cfg.num_layers, np.int32)
+        s = 0
+        for r in range(P):
+            for k in range(V):
+                for l in range(Lc):
+                    perm[s] = k * P * Lc + r * Lc + l
+                    s += 1
+        return perm
+
     def init_state(self, seed: int = 0) -> TrainState:
         shardings = self.state_shardings()
         tokens = jnp.zeros((1, self.cfg.seq_length), jnp.int32)
+        perm = (jnp.asarray(self.interleaved_storage_perm())
+                if self.schedule == "interleaved" else None)
 
         def init_fn(rng):
             params = nn.meta.unbox(self.model.init(rng, tokens)["params"])
+            if perm is not None:
+                params["layers"] = jax.tree.map(
+                    lambda a: jnp.take(a, perm, axis=0), params["layers"])
             return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                               opt_state=self.optimizer.init(params))
 
@@ -240,56 +294,8 @@ class PipelinedGPTModule:
             y, auxs = jax.lax.scan(body, x, (p_local, jnp.arange(L_local)))
             return y, jnp.sum(auxs)
 
-        def embed_partial(emb_local, tokens, stage):
-            """This stage's vocab-shard contribution to the token embedding
-            (psum over pp completes the lookup)."""
-            idx = tokens - stage * Vloc
-            ok = (idx >= 0) & (idx < Vloc)
-            part = jnp.take(emb_local, jnp.clip(idx, 0, Vloc - 1), axis=0)
-            return jnp.where(ok[..., None], part, 0.0) * mult
-
-        def head_fwd_bwd(w_local, norm_p, h, labels, mask, inv_n):
-            """Vocab-parallel (over pp) final-norm + LM head + masked CE,
-            forward AND analytic backward in one place. h [B,S,D] is
-            replicated across pp; w_local [Vloc, D] is this stage's vocab
-            shard. Returns (Σ nll, dL/dh, dL/dw_local, dL/dnorm) where the
-            d-seeds are pre-scaled by inv_n (grads of the MEAN loss)."""
-            hn = _apply_final_norm(cfg, norm_p, h)
-            hn32 = hn.astype(jnp.float32)
-            w32 = w_local.astype(jnp.float32)
-            logits = jnp.einsum("bsd,vd->bsv", hn32, w32)
-            if cfg.logit_softcapping:
-                cap = cfg.logit_softcapping
-                tl = jnp.tanh(logits / cap)
-                logits_c = cap * tl
-            else:
-                logits_c = logits
-            m = jax.lax.stop_gradient(
-                jax.lax.pmax(jnp.max(logits_c, -1), "pp"))
-            ex = jnp.exp(logits_c - m[..., None])
-            se = jax.lax.psum(jnp.sum(ex, -1), "pp")
-            lse = jnp.log(se) + m
-            stage = jax.lax.axis_index("pp")
-            li = labels - stage * Vloc
-            ok = (li >= 0) & (li < Vloc)
-            lic = jnp.clip(li, 0, Vloc - 1)
-            ll_loc = jnp.take_along_axis(logits_c, lic[..., None], -1)[..., 0]
-            ll = jax.lax.psum(jnp.where(ok, ll_loc, 0.0), "pp")
-            mask32 = mask.astype(jnp.float32)
-            loss_sum = jnp.sum((lse - ll) * mask32)
-            # ---- analytic backward (cotangent of mean loss = 1)
-            p = ex / se[..., None]
-            onehot = ok[..., None] & (jnp.arange(Vloc)[None, None, :] == lic[..., None])
-            d_logits = (p - onehot.astype(p.dtype)) * (mask32 * inv_n)[..., None]
-            if cfg.logit_softcapping:
-                d_logits = d_logits * (1.0 - tl * tl)
-            d_hn = jax.lax.psum(
-                jnp.einsum("bsv,vd->bsd", d_logits, w32), "pp")
-            d_w = jnp.einsum("bsv,bsd->vd", d_logits, hn32).astype(w_local.dtype)
-            _, norm_pb = jax.vjp(
-                lambda np_, hh: _apply_final_norm(cfg, np_, hh), norm_p, h)
-            d_norm, d_h = norm_pb(d_hn.astype(hn.dtype))
-            return loss_sum, d_h, d_w, d_norm
+        embed_partial = _make_embed_partial(Vloc, mult)
+        head_fwd_bwd = _make_head_fwd_bwd(cfg, Vloc)
 
         def pipe(p_local, emb_local, w_head_local, norm_p,
                  tokens, labels, mask, positions, rng, inv_n):
@@ -422,6 +428,218 @@ class PipelinedGPTModule:
 
         return run
 
+    # -- interleaved (VPP) schedule -------------------------------------------
+    def _pipe_interleaved_fn(self):
+        """Returns pipe(params, tokens, labels, mask, positions, rng) →
+        (loss, grads): the interleaved virtual-pipeline 1F1B (see module
+        docstring). Index algebra, with P=pp, V=vpp, C=P·V, device r:
+        forward of (chunk k, mb m=g·P+j) at tick t = r + k·P + g·C + j;
+        backward at t = C + (P−1−r) + (V−1−k)·P + g·C + j. Both flows are
+        one ring hop per tick; the head/CE runs inside the backward tick
+        of the last virtual chunk on its recomputed output."""
+        cfg, pp, V, mesh = self.cfg, self.pp, self.vpp, self.mesh
+        C = pp * V
+        Lc = cfg.num_layers // C
+        Vloc = cfg.vocab_size // pp
+        BUF = 3 * pp  # ≥ live (chunk, mb) span (< 3·pp microbatches)
+        tied = cfg.share_embeddings_and_output_weights
+        moe = cfg.num_moe_experts > 0
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        mult = float(cfg.embedding_multiplier or 1.0)
+        layer = TransformerLayer(cfg, is_training=True)
+        from nemo_tpu.models.llm.train import _moe_aux_total
+
+        embed_partial = _make_embed_partial(Vloc, mult)
+        head_fwd_bwd = _make_head_fwd_bwd(cfg, Vloc)
+
+        def chunk_fwd(p_chunk, x, positions, key):
+            """One virtual chunk's [Lc] layer slab → (y, moe_aux_sum)."""
+            def body(carry, xs):
+                p_layer, li = xs
+                k = jax.random.fold_in(key, li)
+                if moe:
+                    (y, _), mut = layer.apply(
+                        {"params": p_layer}, carry, positions,
+                        rngs={"dropout": k}, mutable=["losses"])
+                    aux = _moe_aux_total(mut.get("losses", {}))
+                else:
+                    y, _ = layer.apply({"params": p_layer}, carry, positions,
+                                       rngs={"dropout": k})
+                    aux = jnp.zeros((), jnp.float32)
+                return y, aux
+
+            y, auxs = jax.lax.scan(body, x, (p_chunk, jnp.arange(Lc)))
+            return y, jnp.sum(auxs)
+
+        chunk_fwd = jax.checkpoint(chunk_fwd, prevent_cse=False,
+                                   static_argnums=())
+
+        def pipe(p_local, emb_local, w_head_local, norm_p,
+                 tokens, labels, mask, positions, rng, inv_n):
+            stage = jax.lax.axis_index("pp")
+            n_micro, B, S = tokens.shape
+            D = emb_local.shape[1]
+            # last event: backward of (device 0, chunk 0, m=n_micro−1)
+            T = (C + (pp - 1) + (V - 1) * pp
+                 + ((n_micro - 1) // pp) * C + (n_micro - 1) % pp + 1)
+            fwd_perm = [(i, (i + 1) % pp) for i in range(pp)]
+            bwd_perm = [(i, (i - 1) % pp) for i in range(pp)]
+            idx_in = lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0, False)
+
+            # per-device params: storage order is device-major → local
+            # [V·Lc, ...]; reshape to [V, Lc, ...] chunk slabs
+            p_ch = jax.tree.map(
+                lambda a: a.reshape((V, Lc) + a.shape[1:]), p_local)
+
+            zeros_act = jnp.zeros((B, S, D), cdtype)
+            carry0 = (
+                zeros_act,                                   # act_in
+                zeros_act,                                   # grad_in
+                jnp.zeros((V, BUF, B, S, D), cdtype),        # xbuf
+                jax.tree.map(jnp.zeros_like, p_ch),          # gacc
+                jnp.zeros_like(emb_local),                   # g_emb
+                jnp.zeros_like(w_head_local),                # g_head
+                jax.tree.map(jnp.zeros_like, norm_p),        # g_norm
+                jnp.zeros((), jnp.float32),                  # Σ nll
+                jnp.zeros((), jnp.float32),                  # Σ moe aux
+            )
+
+            def decomp_fwd(tau):
+                g = tau // C
+                rem = tau % C
+                k = rem // pp
+                m = g * pp + rem % pp
+                return k, m
+
+            def decomp_bwd(sigma):
+                g = sigma // C
+                rem = sigma % C
+                k = V - 1 - rem // pp
+                m = g * pp + rem % pp
+                return k, m
+
+            def tick(c, t):
+                act_in, grad_in, xbuf, gacc, g_emb, g_head, g_norm, nll, aux = c
+                # ---- forward unit of this device
+                tau = t - stage
+                k_f, m_f = decomp_fwd(tau)
+                do_f = (tau >= 0) & (m_f >= 0) & (m_f < n_micro)
+                k_f_c = jnp.clip(k_f, 0, V - 1)
+                m_f_c = jnp.clip(m_f, 0, n_micro - 1)
+                # embedding feed: device 0's forward unit uses τ = t
+                k0_f, m0_f = decomp_fwd(t)
+                m0_f_c = jnp.clip(m0_f, 0, n_micro - 1)
+                part = embed_partial(emb_local, idx_in(tokens, m0_f_c), stage)
+                feed = jax.lax.psum(part.astype(jnp.float32), "pp").astype(cdtype)
+                x = jnp.where((stage == 0) & (k_f_c == 0), feed, act_in)
+                # save the chunk input for the backward recompute
+                slot_f = m_f_c % BUF
+                cur = xbuf[k_f_c, slot_f]
+                xbuf = xbuf.at[k_f_c, slot_f].set(jnp.where(do_f, x, cur))
+                pf = jax.tree.map(lambda a: idx_in(a, k_f_c), p_ch)
+                v_f = k_f_c * pp + stage  # global virtual stage
+                key_f = jax.random.fold_in(jax.random.fold_in(rng, m_f_c), v_f)
+                y, aux_f = chunk_fwd(pf, x, positions, key_f)
+                aux = aux + jnp.where(do_f, aux_f, 0.0)
+                y_send = jax.lax.ppermute(y, "pp", fwd_perm)
+                # ---- backward unit of this device
+                sigma = t - C - (pp - 1 - stage)
+                k_b, m_b = decomp_bwd(sigma)
+                do_b = (sigma >= 0) & (m_b >= 0) & (m_b < n_micro)
+                k_b_c = jnp.clip(k_b, 0, V - 1)
+                m_b_c = jnp.clip(m_b, 0, n_micro - 1)
+                x_saved = xbuf[k_b_c, m_b_c % BUF]
+                pb_params = jax.tree.map(lambda a: idx_in(a, k_b_c), p_ch)
+                v_b = k_b_c * pp + stage
+                key_b = jax.random.fold_in(jax.random.fold_in(rng, m_b_c), v_b)
+                (y_b, _), pb = jax.vjp(
+                    lambda p, xx: chunk_fwd(p, xx, positions, key_b),
+                    pb_params, x_saved)
+                # head + CE inside the backward tick of the LAST virtual
+                # chunk (device pp−1, k=V−1); its indices from τ = t − C
+                sigL = t - C
+                kL, mL = decomp_bwd(sigL)
+                do_h = (sigL >= 0) & (kL == V - 1) & (mL >= 0) & (mL < n_micro)
+                mL_c = jnp.clip(mL, 0, n_micro - 1)
+                h = jax.lax.psum(
+                    jnp.where(stage == pp - 1, y_b, 0).astype(jnp.float32),
+                    "pp").astype(y_b.dtype)
+                loss_t, d_h, d_w, d_norm = head_fwd_bwd(
+                    w_head_local, norm_p, h, idx_in(labels, mL_c),
+                    idx_in(mask, mL_c), inv_n)
+                nll = nll + jnp.where(do_h, loss_t, 0.0)
+                gate_h = jnp.where(do_h, 1.0, 0.0)
+                g_head = g_head + d_w * gate_h
+                g_norm = jax.tree.map(
+                    lambda a, b: a + b * gate_h, g_norm, d_norm)
+                g_in = jnp.where((stage == pp - 1) & (k_b_c == V - 1),
+                                 d_h.astype(cdtype), grad_in)
+                gp, gx = pb((g_in, jnp.asarray(1.0 / n_micro, jnp.float32)))
+                gate_b = jnp.where(do_b, 1.0, 0.0)
+                gacc = jax.tree.map(
+                    lambda acc, g: jax.lax.dynamic_update_index_in_dim(
+                        acc, idx_in(acc, k_b_c) + g * gate_b, k_b_c, 0),
+                    gacc, gp)
+                gx_send = jax.lax.ppermute(gx * gate_b, "pp", bwd_perm)
+                # ---- embedding backward: device 0's unit is (chunk 0, m)
+                sig0 = t - C - (pp - 1)
+                k0_b, m0_b = decomp_bwd(sig0)
+                do_e = (sig0 >= 0) & (k0_b == 0) & (m0_b >= 0) & (m0_b < n_micro)
+                m0_b_c = jnp.clip(m0_b, 0, n_micro - 1)
+                ct = jax.lax.psum(
+                    jnp.where(stage == 0, gx, 0).astype(jnp.float32), "pp")
+                tok_b = idx_in(tokens, m0_b_c)
+                ib = tok_b - stage * Vloc
+                okb = (ib >= 0) & (ib < Vloc) & do_e
+                upd = jnp.where(okb[..., None], ct * mult, 0.0)
+                g_emb = g_emb.at[jnp.clip(ib, 0, Vloc - 1).reshape(-1)].add(
+                    upd.reshape(-1, D).astype(g_emb.dtype))
+                return (y_send, gx_send, xbuf, gacc, g_emb, g_head, g_norm,
+                        nll, aux), None
+
+            c, _ = jax.lax.scan(tick, carry0, jnp.arange(T))
+            _, _, _, gacc, g_emb, g_head, g_norm, nll, aux = c
+            aux_total = jax.lax.psum(aux, "pp") / n_micro
+            loss = nll * inv_n + aux_total
+            # back to storage-order [V·Lc] for the pp-sharded out_spec
+            g_layers = jax.tree.map(
+                lambda a: a.reshape((V * Lc,) + a.shape[2:]), gacc)
+            return loss, g_layers, g_emb, g_head, g_norm
+
+        p_spec = P("pp")
+        pipe_sm = jax.shard_map(
+            pipe,
+            mesh=mesh,
+            in_specs=(p_spec, P("pp", None), P("pp", None), P(),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), p_spec, P("pp", None), P("pp", None), P()),
+            axis_names={"pp"},
+            check_vma=False,
+        )
+
+        def run(params, tokens, labels, mask, positions, rng):
+            if tied:
+                w_head = params["embedding"]
+            else:
+                w_head = params["lm_head"]["kernel"].T
+            mask32 = mask.astype(jnp.float32)
+            inv_n = 1.0 / jnp.maximum(jnp.sum(mask32), 1.0)
+            loss, g_layers, g_emb, g_head, g_norm = pipe_sm(
+                params["layers"], params["embedding"], w_head,
+                params["final_norm"], tokens, labels, mask32, positions,
+                rng, inv_n)
+            grads = jax.tree.map(jnp.zeros_like, params)
+            grads["layers"] = g_layers
+            grads["final_norm"] = g_norm
+            if tied:
+                grads["embedding"] = g_emb + g_head
+            else:
+                grads["embedding"] = g_emb
+                grads["lm_head"] = {"kernel": g_head.T}
+            return loss, grads
+
+        return run
+
     # -- train step --------------------------------------------------------------
     def _loss(self, params, batch):
         cfg = self.cfg
@@ -456,8 +674,9 @@ class PipelinedGPTModule:
             shardings = nn.meta.unbox(self.state_shardings())
             optimizer = self.optimizer
 
-            if self.schedule == "1f1b":
-                pipe_run = self._pipe_1f1b_fn()
+            if self.schedule in ("1f1b", "interleaved"):
+                pipe_run = (self._pipe_1f1b_fn() if self.schedule == "1f1b"
+                            else self._pipe_interleaved_fn())
                 cfg = self.cfg
 
                 def step(state, batch, rng):
@@ -506,11 +725,70 @@ class PipelinedGPTModule:
             spec = P(None, ("dp", "fsdp"))
             batch = jax.device_put(batch, jax.tree.map(
                 lambda x: NamedSharding(self.mesh, spec), batch))
-            if self.schedule == "1f1b":
+            if self.schedule in ("1f1b", "interleaved"):
                 if rng is None:
                     rng = jax.random.PRNGKey(0)
                 return step(state, batch, rng)
             return step(state, batch)
+
+
+def _make_embed_partial(Vloc: int, mult: float):
+    def embed_partial(emb_local, tokens, stage):
+        """This stage's vocab-shard contribution to the token embedding
+        (psum over pp completes the lookup)."""
+        idx = tokens - stage * Vloc
+        ok = (idx >= 0) & (idx < Vloc)
+        part = jnp.take(emb_local, jnp.clip(idx, 0, Vloc - 1), axis=0)
+        return jnp.where(ok[..., None], part, 0.0) * mult
+
+    return embed_partial
+
+
+def _make_head_fwd_bwd(cfg: GPTConfig, Vloc: int):
+    def head_fwd_bwd(w_local, norm_p, h, labels, mask, inv_n):
+        """Vocab-parallel (over pp) final-norm + LM head + masked CE,
+        forward AND analytic backward in one place. h [B,S,D] is
+        replicated across pp; w_local [Vloc, D] is this stage's vocab
+        shard. Returns (Σ nll, dL/dh, dL/dw_local, dL/dnorm) where the
+        d-seeds are pre-scaled by inv_n (grads of the MEAN loss)."""
+        hn = _apply_final_norm(cfg, norm_p, h)
+        hn32 = hn.astype(jnp.float32)
+        w32 = w_local.astype(jnp.float32)
+        logits = jnp.einsum("bsd,vd->bsv", hn32, w32)
+        if cfg.logit_softcapping:
+            cap = cfg.logit_softcapping
+            tl = jnp.tanh(logits / cap)
+            logits_c = cap * tl
+        else:
+            logits_c = logits
+        m = jax.lax.stop_gradient(
+            jax.lax.pmax(jnp.max(logits_c, -1), "pp"))
+        ex = jnp.exp(logits_c - m[..., None])
+        se = jax.lax.psum(jnp.sum(ex, -1), "pp")
+        lse = jnp.log(se) + m
+        stage = jax.lax.axis_index("pp")
+        li = labels - stage * Vloc
+        ok = (li >= 0) & (li < Vloc)
+        lic = jnp.clip(li, 0, Vloc - 1)
+        ll_loc = jnp.take_along_axis(logits_c, lic[..., None], -1)[..., 0]
+        ll = jax.lax.psum(jnp.where(ok, ll_loc, 0.0), "pp")
+        mask32 = mask.astype(jnp.float32)
+        loss_sum = jnp.sum((lse - ll) * mask32)
+        # ---- analytic backward (cotangent of mean loss = 1)
+        p = ex / se[..., None]
+        onehot = ok[..., None] & (jnp.arange(Vloc)[None, None, :] == lic[..., None])
+        d_logits = (p - onehot.astype(p.dtype)) * (mask32 * inv_n)[..., None]
+        if cfg.logit_softcapping:
+            d_logits = d_logits * (1.0 - tl * tl)
+        d_hn = jax.lax.psum(
+            jnp.einsum("bsv,vd->bsd", d_logits, w32), "pp")
+        d_w = jnp.einsum("bsv,bsd->vd", d_logits, hn32).astype(w_local.dtype)
+        _, norm_pb = jax.vjp(
+            lambda np_, hh: _apply_final_norm(cfg, np_, hh), norm_p, h)
+        d_norm, d_h = norm_pb(d_hn.astype(hn.dtype))
+        return loss_sum, d_h, d_w, d_norm
+
+    return head_fwd_bwd
 
 
 def _apply_final_norm(cfg: GPTConfig, norm_params, x):

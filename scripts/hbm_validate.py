@@ -74,29 +74,53 @@ def run_model(name, cfg, B, S, remat):
     return measured, modeled
 
 
-def main():
-    from nemo_tpu.models.llm.config import _cfg, llama32_1b
-
-    # (a) whole-model probes: a 551M config that FITS and the 1B config
-    # that exceeds one chip (the compiler's OOM report is the measurement)
-    m551 = _cfg(num_layers=16, hidden_size=1536, ffn_hidden_size=6144,
-                num_attention_heads=16, num_query_groups=16,
-                vocab_size=32768)
-    # fitting probe: compiles+runs under the 15.75 GB ceiling (relay does
-    # not forward memory_stats, so the bound is the measurement) and an
-    # intentionally-oversized probe whose compiler OOM report measures
-    # the exact requirement
-    run_model("gpt551m_B8", m551, B=8, S=2048, remat="full")
-    run_model("gpt551m_B64_oom_probe", m551, B=64, S=2048, remat="full")
-    run_model("llama32_1b_B2_oom_probe", llama32_1b(), B=2, S=2048,
-              remat="full")
-
+PROBES = {
+    # (a) whole-model probes: a 551M config that FITS and oversized probes
+    # whose compiler OOM report measures the exact requirement
+    "gpt551m_B8": ("m551", 8),
+    "gpt551m_B64_oom_probe": ("m551", 64),
+    "llama32_1b_B2_oom_probe": ("llama32_1b", 2),
     # (b) llama3-70b-shaped SLAB: 2 layers at full width — the pp recipes'
     # per-layer unit (vocab kept small so the head doesn't dominate)
-    slab = _cfg(num_layers=2, hidden_size=8192, ffn_hidden_size=28672,
-                num_attention_heads=64, num_query_groups=8, vocab_size=8192)
-    run_model("llama3_70b_shape_2layer", slab, B=1, S=2048, remat="full")
+    "llama3_70b_shape_2layer": ("slab70b", 1),
+}
+
+
+def _build_cfg(key):
+    from nemo_tpu.models.llm.config import _cfg, llama32_1b
+
+    if key == "m551":
+        return _cfg(num_layers=16, hidden_size=1536, ffn_hidden_size=6144,
+                    num_attention_heads=16, num_query_groups=16,
+                    vocab_size=32768)
+    if key == "llama32_1b":
+        return llama32_1b()
+    if key == "slab70b":
+        return _cfg(num_layers=2, hidden_size=8192, ffn_hidden_size=28672,
+                    num_attention_heads=64, num_query_groups=8,
+                    vocab_size=8192)
+    raise KeyError(key)
+
+
+def main():
+    # An OOM poisons the TPU allocator for the rest of the process, so each
+    # probe runs in its own subprocess (fresh device state).
+    import os
+    import subprocess
+    import sys
+
+    for name in PROBES:
+        subprocess.run(
+            [sys.executable, "-u", __file__, name],
+            env=os.environ, check=False)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1:
+        name = sys.argv[1]
+        cfg_key, B = PROBES[name]
+        run_model(name, _build_cfg(cfg_key), B=B, S=2048, remat="full")
+    else:
+        main()
