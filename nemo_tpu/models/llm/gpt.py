@@ -786,6 +786,8 @@ class GPTModel(nn.Module):
         if output_hidden:
             if mtp_hidden is not None:
                 return x, mtp_hidden
+            if kv_caches is not None:
+                return x, new_caches
             return x
 
         if cfg.share_embeddings_and_output_weights:
