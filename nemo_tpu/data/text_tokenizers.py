@@ -303,6 +303,29 @@ class CanaryTokenizer(AggregateTokenizer):
         return ids
 
 
+class ByteLevelTokenizer(TokenizerSpec):
+    """UTF-8 byte tokenizer (reference
+    common/tokenizers/bytelevel_tokenizers.py): ids are raw bytes 0-255
+    plus pad/bos/eos specials appended after the byte range."""
+
+    def __init__(self, special_tokens: Sequence[str] = ("<pad>", "<bos>", "<eos>")):
+        self._special = {s: 256 + i for i, s in enumerate(special_tokens)}
+        self.pad_id = self._special.get("<pad>")
+        self.bos_id = self._special.get("<bos>")
+        self.eos_id = self._special.get("<eos>")
+
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self._special)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return bytes(i for i in ids if i < 256).decode(
+            "utf-8", errors="replace")
+
+
 class TiktokenTokenizer(TokenizerSpec):
     """Byte-level BPE over a .tiktoken ranks file (reference
     tiktoken_tokenizer.py; the `tiktoken` wheel is absent in this image so

@@ -9,7 +9,7 @@ dataclass carries the architecture; presets mirror the reference model zoo.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +37,10 @@ class GPTConfig:
     rope_scaling: Optional[str] = None  # None | "llama3"
     rope_scaling_factor: float = 8.0
     old_context_len: int = 8192  # llama3 rope scaling original context
+    # qwen2-VL multimodal RoPE: per-frequency-section position axes
+    # (temporal, height, width); sum must be head_dim//2. Positions become
+    # [B, S, 3] (reference vlm/qwen2vl multimodal rotary embedding).
+    mrope_sections: Optional[Tuple[int, ...]] = None
     share_embeddings_and_output_weights: bool = False
     attention_softmax_in_fp32: bool = True
     qk_layernorm: bool = False  # qwen3-style per-head q/k norm

@@ -122,6 +122,27 @@ def rope_frequencies(cfg: GPTConfig) -> np.ndarray:
     return inv.astype(np.float32)
 
 
+def apply_mrope(x: jnp.ndarray, positions: jnp.ndarray,
+                inv_freq: jnp.ndarray, sections) -> jnp.ndarray:
+    """Multimodal RoPE (qwen2-VL): positions [B,S,3] = (temporal, height,
+    width) ids; frequency index f uses position axis given by `sections`
+    (e.g. (16,24,24) over head_dim/2=64). Text tokens carry identical ids
+    on all three axes, so M-RoPE == RoPE on pure text — tested."""
+    sect_idx = np.repeat(np.arange(len(sections)), sections)
+    assert sect_idx.shape[0] == inv_freq.shape[-1], (
+        f"mrope sections {sections} must sum to rotary dim/2 "
+        f"{inv_freq.shape[-1]}")
+    pos_f = positions[..., jnp.asarray(sect_idx)]  # [B,S,D/2]
+    ang = pos_f.astype(jnp.float32) * inv_freq
+    sin = jnp.sin(ang)[:, :, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]
+    rot_dim = 2 * inv_freq.shape[-1]
+    xr, xp = x[..., :rot_dim], x[..., rot_dim:]
+    x1, x2 = jnp.split(xr.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
+
+
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
     """x: [B, S, H, D]; positions: [B, S] or [S]. Rotates first
     2*len(inv_freq) channels (rotary_percent support), interleaved-free
@@ -231,8 +252,12 @@ class Attention(nn.Module):
 
         if cfg.position_embedding_type == "rope":
             inv = jnp.asarray(rope_frequencies(cfg))
-            q = apply_rope(q, positions, inv)
-            k = apply_rope(k, positions, inv)
+            if cfg.mrope_sections is not None and positions.ndim == 3:
+                q = apply_mrope(q, positions, inv, cfg.mrope_sections)
+                k = apply_mrope(k, positions, inv, cfg.mrope_sections)
+            else:
+                q = apply_rope(q, positions, inv)
+                k = apply_rope(k, positions, inv)
 
         q = with_constraint(q, ("batch", "act_seq", "heads", None))
         k = with_constraint(k, ("batch", "act_seq", "kv_heads", None))

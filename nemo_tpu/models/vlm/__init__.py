@@ -2,3 +2,14 @@
 
 from nemo_tpu.models.vlm.neva import NevaConfig, NevaModel  # noqa: F401
 from nemo_tpu.models.vlm.avlm import AVLMConfig, AVLMModel, avlm_8b  # noqa: F401
+from nemo_tpu.models.vlm.mllama import (  # noqa: F401
+    MLlamaConfig,
+    MLlamaModel,
+    mllama_11b,
+)
+from nemo_tpu.models.vlm.qwen2vl import (  # noqa: F401
+    Qwen2VLConfig,
+    Qwen2VLModel,
+    get_mrope_positions,
+    qwen2vl_2b,
+)
