@@ -388,6 +388,72 @@ def deepseek_v3(**kw) -> Recipe:
                   lr=7.3e-6, **kw)
 
 
+@register
+def gemma3_1b(**kw) -> Recipe:
+    """(reference recipes/gemma3_1b.py)"""
+    return Recipe("gemma3_1b", C.gemma3_1b(seq_length=8192),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 2, **kw)
+
+
+@register
+def gemma3_4b(**kw) -> Recipe:
+    return Recipe("gemma3_4b", C.gemma3_4b(seq_length=8192),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def gemma3_12b(**kw) -> Recipe:
+    return Recipe("gemma3_12b", C.gemma3_12b(seq_length=8192),
+                  MeshConfig(fsdp=-1, tp=2).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def gemma3_27b(**kw) -> Recipe:
+    return Recipe("gemma3_27b", C.gemma3_27b(seq_length=8192),
+                  MeshConfig(fsdp=-1, tp=4).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def llama4_scout(**kw) -> Recipe:
+    """(reference recipes/llama4_e16.py: 16-expert top-1 MoE)"""
+    return Recipe("llama4_scout", C.llama4_scout(),
+                  MeshConfig(fsdp=-1, tp=2, ep=8).resolved_or_default(),
+                  1024, 1, **kw)
+
+
+@register
+def llama4_maverick(**kw) -> Recipe:
+    """(reference recipes/llama4_e128.py: 128-expert alternating MoE)"""
+    return Recipe("llama4_maverick", C.llama4_maverick(),
+                  MeshConfig(fsdp=-1, tp=2, ep=16).resolved_or_default(),
+                  1024, 1, **kw)
+
+
+@register
+def gpt_oss_20b(**kw) -> Recipe:
+    return Recipe("gpt_oss_20b", C.gpt_oss_20b(seq_length=8192),
+                  MeshConfig(fsdp=-1, ep=8).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def gpt_oss_120b(**kw) -> Recipe:
+    return Recipe("gpt_oss_120b", C.gpt_oss_120b(seq_length=8192),
+                  MeshConfig(fsdp=-1, tp=2, ep=16).resolved_or_default(),
+                  1024, 1, **kw)
+
+
+@register
+def chatglm3_6b(**kw) -> Recipe:
+    return Recipe("chatglm3_6b", C.chatglm3_6b(attention_backend="flash"),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+@register
+def baichuan2_7b(**kw) -> Recipe:
+    return Recipe("baichuan2_7b", C.baichuan2_7b(attention_backend="flash"),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
 def _resolved_or_default(self: MeshConfig) -> MeshConfig:
     """Resolve against the actual device count, collapsing axes that don't
     fit (so recipes remain runnable on any mesh, incl. 1 chip)."""

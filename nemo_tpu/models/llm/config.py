@@ -34,9 +34,11 @@ class GPTConfig:
     position_embedding_type: str = "rope"  # rope | learned_absolute | none
     rotary_base: float = 10000.0
     rotary_percent: float = 1.0
-    rope_scaling: Optional[str] = None  # None | "llama3"
+    # None | "llama3" (wavelength-banded) | "linear" (gemma3 global) |
+    # "yarn" (gpt-oss: NTK-by-parts interpolation + concentration mscale)
+    rope_scaling: Optional[str] = None
     rope_scaling_factor: float = 8.0
-    old_context_len: int = 8192  # llama3 rope scaling original context
+    old_context_len: int = 8192  # llama3/yarn scaling original context
     # qwen2-VL multimodal RoPE: per-frequency-section position axes
     # (temporal, height, width); sum must be head_dim//2. Positions become
     # [B, S, 3] (reference vlm/qwen2vl multimodal rotary embedding).
@@ -49,6 +51,30 @@ class GPTConfig:
     embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
     logit_softcapping: Optional[float] = None  # gemma2
     window_size: Optional[int] = None  # sliding-window attention (mistral)
+    # per-layer heterogeneity (cyclic patterns over layer index; reference
+    # gemma3 interleaved_attn_pattern, gpt_oss window_attn_skip_freq,
+    # llama4 moe_layer_freq/nope_layer_interval). When the cycle period
+    # divides num_layers, layers are scanned in pattern-period groups;
+    # otherwise the stack unrolls.
+    # window per layer i = window_pattern[i % len]; None entry = global.
+    # gemma3: (512,)*5 + (None,); gemma2/gpt_oss: (4096|128, None).
+    window_pattern: Optional[Tuple[Optional[int], ...]] = None
+    # rotary base used by windowed (local) layers when set (gemma3:
+    # 10k local / 1M global; rope scaling applies to global layers only)
+    rope_local_base: Optional[float] = None
+    # llama4: every k-th layer (i+1 % k == 0) skips rope entirely (NoPE)
+    nope_layer_interval: Optional[int] = None
+    # llama4: local (rope) layers attend only within chunks of this size
+    attention_chunk_size: Optional[int] = None
+    # llama4: L2-normalize q/k after rope on rope layers (no learnable scale)
+    qk_l2_norm: bool = False
+    # gpt-oss: learnable per-head sink logit added to the softmax
+    # denominator (HF `sinks` / MCore softmax_offset)
+    attention_sinks: bool = False
+    # chatglm/llama4: rotate (x0,x1),(x2,x3) pairs instead of halves
+    rotary_interleaved: bool = False
+    # gpt-oss: clamp GLU gate to (-inf, c] and up-projection to [-c, c]
+    activation_clamp: Optional[float] = None
 
     # multi-token prediction (deepseek-V3 MTP, reference gpt/model/base.py
     # mtp_block_spec): an extra transformer block predicts token t+2 from
@@ -80,6 +106,9 @@ class GPTConfig:
     # layers [0, moe_first_k_dense) use a dense MLP instead of MoE
     # (deepseek first_k_dense_replace). Requires scan_layers=False.
     moe_first_k_dense: int = 0
+    # cyclic 0/1 pattern: layer i is MoE iff moe_layer_freq[i % len]
+    # (llama4 maverick (0, 1): MoE every other layer)
+    moe_layer_freq: Optional[Tuple[int, ...]] = None
 
     # Multi-head Latent Attention (deepseek v2/v3; reference
     # gpt/model/deepseek.py MLATransformerConfig). kv_lora_rank != None
@@ -356,6 +385,123 @@ def deepseek_v2_lite(**kw) -> GPTConfig:
     ), kw)
 
 
+# ---- gemma3 (reference gpt/model/gemma3.py: 5-local+1-global interleaved
+# window pattern, dual rope bases 10k local / 1M global, linear rope
+# scaling on global layers, per-head qk-norm) ------------------------------
+
+_GEMMA3_BASE = dict(
+    vocab_size=262144, seq_length=131072, rotary_base=1000000.0,
+    rope_local_base=10000.0, qk_layernorm=True,
+    layernorm_zero_centered_gamma=True, layernorm_epsilon=1e-6,
+    share_embeddings_and_output_weights=True, activation='gelu')
+
+
+def gemma3_1b(**kw) -> GPTConfig:
+    return _preset(dict(_GEMMA3_BASE, num_layers=26, hidden_size=1152,
+                        num_attention_heads=4, num_query_groups=1,
+                        kv_channels=256, ffn_hidden_size=6912,
+                        seq_length=32768,
+                        window_pattern=(512, 512, 512, 512, 512, None),
+                        embedding_multiplier=1152 ** 0.5), kw)
+
+
+def gemma3_4b(**kw) -> GPTConfig:
+    return _preset(dict(_GEMMA3_BASE, num_layers=34, hidden_size=2560,
+                        num_attention_heads=8, num_query_groups=4,
+                        kv_channels=256, ffn_hidden_size=10240,
+                        vocab_size=262208,
+                        window_pattern=(1024, 1024, 1024, 1024, 1024, None),
+                        rope_scaling='linear', rope_scaling_factor=8.0,
+                        embedding_multiplier=2560 ** 0.5), kw)
+
+
+def gemma3_12b(**kw) -> GPTConfig:
+    return _preset(dict(_GEMMA3_BASE, num_layers=48, hidden_size=3840,
+                        num_attention_heads=16, num_query_groups=8,
+                        kv_channels=256, ffn_hidden_size=15360,
+                        vocab_size=262208,
+                        window_pattern=(1024, 1024, 1024, 1024, 1024, None),
+                        rope_scaling='linear', rope_scaling_factor=8.0,
+                        embedding_multiplier=3840 ** 0.5), kw)
+
+
+def gemma3_27b(**kw) -> GPTConfig:
+    return _preset(dict(_GEMMA3_BASE, num_layers=62, hidden_size=5376,
+                        num_attention_heads=32, num_query_groups=16,
+                        kv_channels=128, ffn_hidden_size=21504,
+                        vocab_size=262208,
+                        window_pattern=(1024, 1024, 1024, 1024, 1024, None),
+                        rope_scaling='linear', rope_scaling_factor=8.0,
+                        attention_multiplier=168 ** -0.5,
+                        embedding_multiplier=5376 ** 0.5), kw)
+
+
+# ---- llama4 (reference gpt/model/llama.py Llama4Config: NoPE every 4th
+# layer, chunked local attention, interleaved rotary, qk L2 norm, top-1
+# sigmoid MoE with a large shared expert) ----------------------------------
+
+_LLAMA4_BASE = dict(
+    num_layers=48, hidden_size=5120, ffn_hidden_size=16384,
+    num_attention_heads=40, num_query_groups=8, vocab_size=202048,
+    seq_length=8192, rotary_base=500000.0, rotary_interleaved=True,
+    nope_layer_interval=4, attention_chunk_size=8192,
+    moe_router_topk=1, moe_router_score_function='sigmoid',
+    moe_ffn_hidden_size=8192, moe_shared_expert_intermediate_size=8192,
+    moe_aux_loss_coeff=0.001)
+
+
+def llama4_scout(**kw) -> GPTConfig:
+    """Llama-4-Scout (16 experts, every layer MoE, llama3 rope scaling)."""
+    return _preset(dict(_LLAMA4_BASE, num_moe_experts=16,
+                        rope_scaling='llama3', rope_scaling_factor=8.0,
+                        qk_l2_norm=True), kw)
+
+
+def llama4_maverick(**kw) -> GPTConfig:
+    """Llama-4-Maverick (128 experts, MoE every other layer)."""
+    return _preset(dict(_LLAMA4_BASE, num_moe_experts=128,
+                        moe_layer_freq=(0, 1)), kw)
+
+
+# ---- gpt-oss (reference gpt/model/gpt_oss.py: alternating SWA(128)/full
+# attention, learnable sinks, yarn rope ×32, clamped quick-gelu GLU MoE) ---
+
+_GPT_OSS_BASE = dict(
+    hidden_size=2880, num_attention_heads=64, num_query_groups=8,
+    kv_channels=64, ffn_hidden_size=2880, moe_ffn_hidden_size=2880,
+    vocab_size=201088, seq_length=131072, rotary_base=150000.0,
+    rope_scaling='yarn', rope_scaling_factor=32.0, old_context_len=4096,
+    window_pattern=(128, None), attention_sinks=True, add_qkv_bias=True,
+    add_bias_linear=True, activation='quick_gelu', activation_clamp=7.0,
+    moe_router_topk=4, moe_aux_loss_coeff=0.01)
+
+
+def gpt_oss_20b(**kw) -> GPTConfig:
+    return _preset(dict(_GPT_OSS_BASE, num_layers=24, num_moe_experts=32), kw)
+
+
+def gpt_oss_120b(**kw) -> GPTConfig:
+    return _preset(dict(_GPT_OSS_BASE, num_layers=36, num_moe_experts=128), kw)
+
+
+def chatglm3_6b(**kw) -> GPTConfig:
+    """reference gpt/model/chatglm.py: half-rotary interleaved rope, qkv
+    bias, 2-group GQA, 65024 vocab."""
+    return _preset(dict(num_layers=28, hidden_size=4096,
+                        ffn_hidden_size=13696, num_attention_heads=32,
+                        num_query_groups=2, vocab_size=65024,
+                        seq_length=8192, rotary_percent=0.5,
+                        rotary_interleaved=True, add_qkv_bias=True), kw)
+
+
+def baichuan2_7b(**kw) -> GPTConfig:
+    """reference gpt/model/baichuan.py Baichuan2Config7B."""
+    return _preset(dict(num_layers=32, hidden_size=4096,
+                        ffn_hidden_size=11008, num_attention_heads=32,
+                        vocab_size=125696, seq_length=4096,
+                        layernorm_epsilon=1e-6), kw)
+
+
 PRESETS = {
     "llama2_7b": llama2_7b,
     "llama3_8b": llama3_8b,
@@ -397,5 +543,15 @@ PRESETS = {
     "nemotron3_8b": nemotron3_8b,
     "mixtral_8x22b": mixtral_8x22b,
     "deepseek_v2_lite": deepseek_v2_lite,
+    "gemma3_1b": gemma3_1b,
+    "gemma3_4b": gemma3_4b,
+    "gemma3_12b": gemma3_12b,
+    "gemma3_27b": gemma3_27b,
+    "llama4_scout": llama4_scout,
+    "llama4_maverick": llama4_maverick,
+    "gpt_oss_20b": gpt_oss_20b,
+    "gpt_oss_120b": gpt_oss_120b,
+    "chatglm3_6b": chatglm3_6b,
+    "baichuan2_7b": baichuan2_7b,
     "tiny_test": tiny_test,
 }

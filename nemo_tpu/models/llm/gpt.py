@@ -103,12 +103,91 @@ def make_norm(cfg: GPTConfig, name: str):
 # --------------------------------------------------------------------------
 
 
-def rope_frequencies(cfg: GPTConfig) -> np.ndarray:
-    """Inverse frequencies [head_dim/2], with llama3 wavelength-dependent
-    scaling (reference: llama rope scaling in gpt/model/llama.py)."""
+# ---- per-layer heterogeneity (cyclic patterns over layer index) ----------
+# reference: gemma3 interleaved_attn_pattern, gpt_oss window_attn_skip_freq,
+# llama4 nope_layer_interval / moe_layer_freq. layer_idx=None means the
+# homogeneous (scan) path, where no pattern may be active.
+
+
+def layer_window(cfg: GPTConfig, i: Optional[int]) -> Optional[int]:
+    if cfg.window_pattern is not None:
+        assert i is not None, "window_pattern needs per-layer indices"
+        return cfg.window_pattern[i % len(cfg.window_pattern)]
+    return cfg.window_size
+
+
+def layer_uses_rope(cfg: GPTConfig, i: Optional[int]) -> bool:
+    if cfg.nope_layer_interval and i is not None:
+        return (i + 1) % cfg.nope_layer_interval != 0
+    return True
+
+
+def layer_chunk(cfg: GPTConfig, i: Optional[int]) -> Optional[int]:
+    # llama4: chunked attention applies to the rope (local) layers only;
+    # NoPE layers stay global
+    if cfg.attention_chunk_size and layer_uses_rope(cfg, i):
+        return cfg.attention_chunk_size
+    return None
+
+
+def layer_is_moe(cfg: GPTConfig, i: Optional[int]) -> bool:
+    if cfg.num_moe_experts <= 0:
+        return False
+    if i is None:
+        return True
+    if i < cfg.moe_first_k_dense:
+        return False
+    if cfg.moe_layer_freq is not None:
+        return bool(cfg.moe_layer_freq[i % len(cfg.moe_layer_freq)])
+    return True
+
+
+def hetero_period(cfg: GPTConfig) -> int:
+    """Cycle length of the per-layer pattern (1 = homogeneous stack)."""
+    p = 1
+    if cfg.window_pattern:
+        p = int(np.lcm(p, len(cfg.window_pattern)))
+    if cfg.moe_layer_freq:
+        p = int(np.lcm(p, len(cfg.moe_layer_freq)))
+    if cfg.nope_layer_interval:
+        p = int(np.lcm(p, cfg.nope_layer_interval))
+    return p
+
+
+def rope_frequencies(cfg: GPTConfig, local: bool = False) -> np.ndarray:
+    """Inverse frequencies [head_dim/2], with llama3 wavelength-dependent,
+    linear (gemma3), or yarn (gpt-oss) scaling (reference: llama rope
+    scaling in gpt/model/llama.py, gemma3.py rope_scaling linear,
+    gpt_oss.py rotary_scaling_factor yarn). local=True → windowed-layer
+    base (gemma3 10k) with no scaling."""
     dim = int(cfg.head_dim * cfg.rotary_percent)
-    inv = 1.0 / (cfg.rotary_base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
-    if cfg.rope_scaling == "llama3":
+    base = cfg.rotary_base
+    if local and cfg.rope_local_base is not None:
+        base = cfg.rope_local_base
+    inv = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if local and cfg.rope_local_base is not None:
+        return inv.astype(np.float32)
+    if cfg.rope_scaling == "linear":
+        inv = inv / cfg.rope_scaling_factor
+    elif cfg.rope_scaling == "yarn":
+        # NTK-by-parts (HF yarn): interpolate inv/factor ↔ inv with a ramp
+        # over the frequency index between the beta_fast/beta_slow rotations
+        factor = cfg.rope_scaling_factor
+        orig = cfg.old_context_len
+        beta_fast, beta_slow = 32.0, 1.0
+
+        def find_dim(num_rot):
+            return (dim * np.log(orig / (num_rot * 2 * np.pi))) / (
+                2 * np.log(base))
+
+        low = max(np.floor(find_dim(beta_fast)), 0)
+        high = min(np.ceil(find_dim(beta_slow)), dim // 2 - 1)
+        ramp = np.clip(
+            (np.arange(dim // 2, dtype=np.float64) - low)
+            / max(high - low, 1e-3), 0, 1)
+        extrap_mask = 1.0 - ramp  # high-freq dims keep extrapolation
+        inv = (inv / factor) * (1.0 - extrap_mask) + inv * extrap_mask
+    elif cfg.rope_scaling == "llama3":
         factor = cfg.rope_scaling_factor
         low_freq_factor, high_freq_factor = 1.0, 4.0
         old_len = cfg.old_context_len
@@ -143,10 +222,21 @@ def apply_mrope(x: jnp.ndarray, positions: jnp.ndarray,
     return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
+def yarn_mscale(cfg: GPTConfig) -> float:
+    """YaRN attention concentration: scores scale by mscale² (HF applies
+    attention_factor to cos/sin; scaling q·k is equivalent at
+    rotary_percent=1)."""
+    if cfg.rope_scaling == "yarn" and cfg.rope_scaling_factor > 1:
+        return 0.1 * float(np.log(cfg.rope_scaling_factor)) + 1.0
+    return 1.0
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray,
+               interleaved: bool = False) -> jnp.ndarray:
     """x: [B, S, H, D]; positions: [B, S] or [S]. Rotates first
-    2*len(inv_freq) channels (rotary_percent support), interleaved-free
-    (half-split convention, matching HF/Megatron 'neox' style)."""
+    2*len(inv_freq) channels (rotary_percent support); half-split
+    (HF/Megatron 'neox') convention by default, or interleaved (0,1)(2,3)
+    pairs (chatglm/llama4 rotary_interleaved)."""
     if positions.ndim == 1:
         positions = positions[None, :]
     ang = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
@@ -154,8 +244,15 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) ->
     cos = jnp.cos(ang)[:, :, None, :]
     rot_dim = 2 * inv_freq.shape[-1]
     xr, xp = x[..., :rot_dim], x[..., rot_dim:]
-    x1, x2 = jnp.split(xr.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if interleaved:
+        xf = xr.astype(jnp.float32).reshape(*xr.shape[:-1], rot_dim // 2, 2)
+        x1, x2 = xf[..., 0], xf[..., 1]
+        out = jnp.stack(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).reshape(xr.shape)
+    else:
+        x1, x2 = jnp.split(xr.astype(jnp.float32), 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
 
 
@@ -190,6 +287,8 @@ def causal_attention(
     kv_offset=0,
     kv_valid: Optional[jnp.ndarray] = None,  # [B, Skv] True = attendable
     segment_ids: Optional[jnp.ndarray] = None,  # [B, S] packed-seq ids (0=pad)
+    chunk: Optional[int] = None,  # llama4 chunked attention (same-chunk mask)
+    sink: Optional[jnp.ndarray] = None,  # [G, rep] gpt-oss sink logits
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
@@ -213,6 +312,8 @@ def causal_attention(
     mask = kpos[None, None, :] <= qpos[:, :, None]  # [B, Sq, Skv]
     if window is not None:
         mask = mask & (kpos[None, None, :] > qpos[:, :, None] - window)
+    if chunk is not None:
+        mask = mask & (kpos[None, None, :] // chunk == qpos[:, :, None] // chunk)
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
     if segment_ids is not None:
@@ -221,19 +322,33 @@ def causal_attention(
     scores = jnp.where(mask[:, None, None], scores, -1e30)
     if not softmax_fp32:
         scores = scores.astype(q.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sink is not None:
+        # gpt-oss attention sinks (HF `sinks` / MCore softmax_offset): a
+        # learnable per-head logit joins the softmax competition but emits
+        # no value — implemented as an extra column dropped after softmax.
+        col = jnp.broadcast_to(
+            sink[None, :, :, None, None].astype(scores.dtype),
+            (*scores.shape[:-1], 1))
+        probs = jax.nn.softmax(
+            jnp.concatenate([scores, col], axis=-1), axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v)
     return out.reshape(B, Sq, H, v.shape[-1])
 
 
 class Attention(nn.Module):
     cfg: GPTConfig
+    layer_idx: Optional[int] = None  # pattern position for hetero stacks
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
                  segment_ids=None, *, train=False):
         cfg = self.cfg
         H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
+        window = layer_window(cfg, self.layer_idx)
+        use_rope = layer_uses_rope(cfg, self.layer_idx)
+        chunk = layer_chunk(cfg, self.layer_idx)
         dtype = x.dtype
         dense = partial(
             dense_layer,
@@ -250,14 +365,23 @@ class Attention(nn.Module):
             q = RMSNorm(cfg, dim=D, name="q_norm")(q)
             k = RMSNorm(cfg, dim=D, name="k_norm")(k)
 
-        if cfg.position_embedding_type == "rope":
-            inv = jnp.asarray(rope_frequencies(cfg))
+        if cfg.position_embedding_type == "rope" and use_rope:
+            inv = jnp.asarray(rope_frequencies(cfg, local=window is not None))
             if cfg.mrope_sections is not None and positions.ndim == 3:
                 q = apply_mrope(q, positions, inv, cfg.mrope_sections)
                 k = apply_mrope(k, positions, inv, cfg.mrope_sections)
             else:
-                q = apply_rope(q, positions, inv)
-                k = apply_rope(k, positions, inv)
+                q = apply_rope(q, positions, inv, cfg.rotary_interleaved)
+                k = apply_rope(k, positions, inv, cfg.rotary_interleaved)
+            if cfg.qk_l2_norm:
+                # llama4: parameter-free L2 norm after rope on rope layers
+                def l2n(t):
+                    n = jax.lax.rsqrt(jnp.sum(
+                        jnp.square(t.astype(jnp.float32)), -1, keepdims=True
+                    ) + 1e-6)
+                    return (t.astype(jnp.float32) * n).astype(t.dtype)
+
+                q, k = l2n(q), l2n(k)
 
         q = with_constraint(q, ("batch", "act_seq", "heads", None))
         k = with_constraint(k, ("batch", "act_seq", "kv_heads", None))
@@ -269,11 +393,20 @@ class Attention(nn.Module):
             k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
+        scale = scale * yarn_mscale(cfg) ** 2
+        sink = None
+        if cfg.attention_sinks:
+            sink = self.param(
+                "sink", nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("heads",)),
+                (H,), jnp.float32).reshape(G, H // G)
         no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
         S = q.shape[1]
+        plain = chunk is None and sink is None
         use_ring = (
             cfg.cp_size > 1
             and no_cache
+            and plain
             and kv_valid is None
             and segment_ids is None
             and (S // cfg.cp_size) % 128 == 0
@@ -290,7 +423,7 @@ class Attention(nn.Module):
             def ring_body(qT, kT, vT, pos):
                 return ring_flash_attention(
                     qT, kT, vT, pos, axis_name="cp", scale=float(scale),
-                    causal=True, window=cfg.window_size, block_q=bq, block_kv=bq,
+                    causal=True, window=window, block_q=bq, block_kv=bq,
                 )
 
             spec = P(("dp", "fsdp"), "tp", "cp", None)
@@ -309,6 +442,7 @@ class Attention(nn.Module):
         elif (
             cfg.attention_backend == "flash"
             and no_cache
+            and plain
             and kv_valid is None
             and segment_ids is None
             and q.shape[1] % 128 == 0
@@ -320,14 +454,15 @@ class Attention(nn.Module):
             vT = jnp.transpose(v, (0, 2, 1, 3))
             bq = min(512, qT.shape[2])
             out = flash_attention(
-                qT, kT, vT, float(scale), True, cfg.window_size, bq, bq, 0
+                qT, kT, vT, float(scale), True, window, bq, bq, 0
             )
             out = jnp.transpose(out, (0, 2, 1, 3))
         else:
             out = causal_attention(
-                q, k, v, scale=scale, window=cfg.window_size,
+                q, k, v, scale=scale, window=window,
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
-                kv_valid=kv_valid, segment_ids=segment_ids,
+                kv_valid=kv_valid, segment_ids=segment_ids, chunk=chunk,
+                sink=sink,
             )
         out = dense_layer(
             cfg.quantization,
@@ -434,7 +569,29 @@ class MLAAttention(nn.Module):
 
 
 def _act(name: str):
-    return {"silu": nn.silu, "gelu": partial(nn.gelu, approximate=True), "squared_relu": lambda x: jnp.square(nn.relu(x))}[name]
+    return {
+        "silu": nn.silu,
+        "gelu": partial(nn.gelu, approximate=True),
+        "squared_relu": lambda x: jnp.square(nn.relu(x)),
+        # gpt-oss / CLIP: x·σ(1.702x) (megatron.core.activations.quick_gelu)
+        "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    }[name]
+
+
+def _glu(cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Activation over the fc1 output: gated (SwiGLU-family) or plain, with
+    gpt-oss value clamping (activation_func_clamp_value, gpt_oss.py:87)."""
+    if cfg.gated_linear_unit:
+        gate, up = jnp.split(h, 2, axis=-1)
+        if cfg.activation_clamp:
+            c = cfg.activation_clamp
+            gate = jnp.clip(gate, None, c)
+            up = jnp.clip(up, -c, c)
+        return _act(cfg.activation)(gate) * up
+    h = _act(cfg.activation)(h)
+    if cfg.activation_clamp:
+        h = jnp.clip(h, -cfg.activation_clamp, cfg.activation_clamp)
+    return h
 
 
 class MLP(nn.Module):
@@ -456,11 +613,7 @@ class MLP(nn.Module):
             kernel_init=_init(cfg.init_method_std, ("embed", "mlp")),
             name="fc1",
         )(x)
-        if cfg.gated_linear_unit:
-            gate, up = jnp.split(h, 2, axis=-1)
-            h = _act(cfg.activation)(gate) * up
-        else:
-            h = _act(cfg.activation)(h)
+        h = _glu(cfg, h)
         h = with_constraint(h, ("batch", "act_seq", "mlp"))
         out = dense_layer(
             cfg.quantization,
@@ -573,11 +726,7 @@ class MoEMLP(nn.Module):
 
         def expert_ffn(h_ecd):
             h = jnp.einsum("ecd,edf->ecf", h_ecd, w1.astype(dtype))
-            if cfg.gated_linear_unit:
-                gate, up = jnp.split(h, 2, axis=-1)
-                h = _act(cfg.activation)(gate) * up
-            else:
-                h = _act(cfg.activation)(h)
+            h = _glu(cfg, h)
             h = with_constraint(h, ("expert", None, "mlp"))
             return jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
 
@@ -585,11 +734,7 @@ class MoEMLP(nn.Module):
             one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
             combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
             h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))
-            if cfg.gated_linear_unit:
-                gate, up = jnp.split(h, 2, axis=-1)
-                h = _act(cfg.activation)(gate) * up
-            else:
-                h = _act(cfg.activation)(h)
+            h = _glu(cfg, h)
             out = jnp.einsum("bsef,efd->bsed", h, w2.astype(dtype))
             out = jnp.einsum("bsed,bse->bsd", out, combine.astype(dtype))
         else:
@@ -645,8 +790,11 @@ class TransformerLayer(nn.Module):
         cfg = self.cfg
         train = self.is_training
         h = make_norm(cfg, "input_norm")(x)
-        attn_cls = MLAAttention if cfg.kv_lora_rank else Attention
-        attn_out, kv_cache = attn_cls(cfg, name="attention")(
+        if cfg.kv_lora_rank:
+            attn = MLAAttention(cfg, name="attention")
+        else:
+            attn = Attention(cfg, layer_idx=self.layer_idx, name="attention")
+        attn_out, kv_cache = attn(
             h, positions, kv_cache=kv_cache, decode_index=decode_index,
             kv_valid=kv_valid, segment_ids=segment_ids, train=train
         )
@@ -656,15 +804,39 @@ class TransformerLayer(nn.Module):
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
-        use_moe = cfg.num_moe_experts > 0 and (
-            self.layer_idx is None or self.layer_idx >= cfg.moe_first_k_dense)
-        if use_moe:
+        if layer_is_moe(cfg, self.layer_idx):
             mlp_out = MoEMLP(cfg, name="moe")(h, train=train)
         else:
             mlp_out = MLP(cfg, name="mlp")(h, train=train)
         x = x + mlp_out
         x = with_constraint(x, ("batch", "act_seq_sp", "act_embed"))
         return x, kv_cache
+
+
+class LayerGroup(nn.Module):
+    """One pattern-period of a heterogeneous stack (gemma3 5-local+1-global,
+    gpt-oss alternate SWA/full, llama4 moe/nope cycles): the cyclic pattern
+    repeats every `period` layers, so the whole model is this group scanned
+    num_layers/period times — keeping scan's fast compiles where a naive
+    per-layer scan can't represent per-layer structure."""
+
+    cfg: GPTConfig
+    is_training: bool = False
+    period: int = 1
+
+    @nn.compact
+    def __call__(self, x, positions, kv_caches, decode_index, kv_valid,
+                 segment_ids):
+        new_c = []
+        for j in range(self.period):
+            cache_j = (kv_caches[0][j], kv_caches[1][j])
+            x, cache_j = TransformerLayer(
+                self.cfg, is_training=self.is_training, layer_idx=j,
+                name=f"sub{j}")(
+                x, positions, cache_j, decode_index, kv_valid, segment_ids)
+            new_c.append(cache_j)
+        return x, (jnp.stack([c[0] for c in new_c]),
+                   jnp.stack([c[1] for c in new_c]))
 
 
 class GPTModel(nn.Module):
@@ -727,8 +899,11 @@ class GPTModel(nn.Module):
         x = with_constraint(x, ("batch", "act_seq_sp", "act_embed"))
 
         new_caches = None
-        if cfg.scan_layers:
-            layer = TransformerLayer
+        period = hetero_period(cfg)
+        use_scan = cfg.scan_layers and cfg.moe_first_k_dense == 0 and (
+            period == 1 or cfg.num_layers % period == 0)
+        if use_scan:
+            layer = TransformerLayer if period == 1 else LayerGroup
             if cfg.remat == "full":
                 layer = nn.remat(layer, prevent_cse=False)
             elif cfg.remat == "dots":
@@ -757,7 +932,7 @@ class GPTModel(nn.Module):
                 variable_axes={"params": 0, "losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.num_layers,
+                length=cfg.num_layers // period,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
             if kv_caches is None:
@@ -765,11 +940,23 @@ class GPTModel(nn.Module):
                 caches_in = (empty[0], empty[1])
             else:
                 caches_in = kv_caches  # stacked [L, B, T, G, D] pair
-            x, new_caches = ScanLayers(cfg, is_training=train, name="layers")(
+            if period > 1:
+                caches_in = tuple(
+                    c.reshape(cfg.num_layers // period, period, *c.shape[1:])
+                    for c in caches_in)
+                mod = ScanLayers(cfg, is_training=train, period=period,
+                                 name="layers")
+            else:
+                mod = ScanLayers(cfg, is_training=train, name="layers")
+            x, new_caches = mod(
                 x, positions, caches_in, decode_index, kv_valid, segment_ids
             )
             if kv_caches is None:
                 new_caches = None
+            elif period > 1:
+                new_caches = tuple(
+                    c.reshape(cfg.num_layers, *c.shape[2:])
+                    for c in new_caches)
         else:
             new_caches = []
             for i in range(cfg.num_layers):
