@@ -200,6 +200,208 @@ def params_from_hf_mamba2(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     return params
 
 
+def _stack_trees(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def _pack_layers(trees, cfg: GPTConfig) -> Dict[str, Any]:
+    """Per-layer param trees → the layout GPTModel expects: plain scan
+    (leading L), pattern-period group scan (layers/sub{j}, leading L/P),
+    or unrolled (layer{i})."""
+    from nemo_tpu.models.llm.gpt import hetero_period
+
+    L, P = cfg.num_layers, hetero_period(cfg)
+    use_scan = cfg.scan_layers and cfg.moe_first_k_dense == 0 and (
+        P == 1 or L % P == 0)
+    if not use_scan:
+        return {f"layer{i}": trees[i] for i in range(L)}
+    if P == 1:
+        return {"layers": _stack_trees(trees)}
+    return {"layers": {f"sub{j}": _stack_trees(trees[j::P])
+                       for j in range(P)}}
+
+
+def config_from_hf_gemma3(c) -> GPTConfig:
+    """transformers Gemma3TextConfig → GPTConfig (dual rope bases, 5:1
+    sliding/full layer_types, qk-norm, sandwich norms)."""
+    pattern = tuple(
+        c.sliding_window if t == "sliding_attention" else None
+        for t in c.layer_types)
+    # collapse to the minimal cycle when one exists
+    for p in range(1, len(pattern)):
+        if len(pattern) % p == 0 and pattern == pattern[:p] * (len(pattern) // p):
+            pattern = pattern[:p]
+            break
+    rope_scaling = None
+    factor = 8.0
+    rs = getattr(c, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "linear":
+        rope_scaling = "linear"
+        factor = float(rs["factor"])
+    return GPTConfig(
+        num_layers=c.num_hidden_layers,
+        hidden_size=c.hidden_size,
+        ffn_hidden_size=c.intermediate_size,
+        num_attention_heads=c.num_attention_heads,
+        num_query_groups=c.num_key_value_heads,
+        kv_channels=c.head_dim,
+        vocab_size=c.vocab_size,
+        seq_length=c.max_position_embeddings,
+        layernorm_epsilon=c.rms_norm_eps,
+        rotary_base=c.rope_theta,
+        rope_local_base=c.rope_local_base_freq,
+        rope_scaling=rope_scaling,
+        rope_scaling_factor=factor,
+        window_pattern=pattern,
+        attention_multiplier=float(c.query_pre_attn_scalar) ** -0.5,
+        qk_layernorm=True,
+        sandwich_norms=True,
+        layernorm_zero_centered_gamma=True,
+        activation="gelu",
+        share_embeddings_and_output_weights=True,
+        embedding_multiplier=float(c.hidden_size) ** 0.5,
+        compute_dtype="float32",
+    )
+
+
+def params_from_hf_gemma3(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
+    D, H, G, dh = (cfg.hidden_size, cfg.num_attention_heads, cfg.n_kv_heads,
+                   cfg.head_dim)
+
+    def t(k):
+        return np.ascontiguousarray(np.transpose(sd[k]))
+
+    trees = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        trees.append({
+            "input_norm": {"scale": sd[f"{p}.input_layernorm.weight"]},
+            "attn_out_norm": {
+                "scale": sd[f"{p}.post_attention_layernorm.weight"]},
+            "post_attn_norm": {
+                "scale": sd[f"{p}.pre_feedforward_layernorm.weight"]},
+            "mlp_out_norm": {
+                "scale": sd[f"{p}.post_feedforward_layernorm.weight"]},
+            "attention": {
+                "q_proj": {"kernel": t(f"{p}.self_attn.q_proj.weight")
+                           .reshape(D, H, dh)},
+                "k_proj": {"kernel": t(f"{p}.self_attn.k_proj.weight")
+                           .reshape(D, G, dh)},
+                "v_proj": {"kernel": t(f"{p}.self_attn.v_proj.weight")
+                           .reshape(D, G, dh)},
+                "o_proj": {"kernel": t(f"{p}.self_attn.o_proj.weight")
+                           .reshape(H, dh, D)},
+                "q_norm": {"scale": sd[f"{p}.self_attn.q_norm.weight"]},
+                "k_norm": {"scale": sd[f"{p}.self_attn.k_norm.weight"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": np.concatenate(
+                    [t(f"{p}.mlp.gate_proj.weight"),
+                     t(f"{p}.mlp.up_proj.weight")], axis=1)},
+                "fc2": {"kernel": t(f"{p}.mlp.down_proj.weight")},
+            },
+        })
+    params = _pack_layers(trees, cfg)
+    params["embedding"] = sd["model.embed_tokens.weight"]
+    params["final_norm"] = {"scale": sd["model.norm.weight"]}
+    return params
+
+
+def config_from_hf_gpt_oss(c) -> GPTConfig:
+    """transformers GptOssConfig → GPTConfig (alternating SWA/full, sinks,
+    yarn rope, clamped (up+1)·quick-gelu MoE with per-expert biases)."""
+    pattern = tuple(
+        c.sliding_window if t == "sliding_attention" else None
+        for t in c.layer_types)
+    for p in range(1, len(pattern)):
+        if len(pattern) % p == 0 and pattern == pattern[:p] * (len(pattern) // p):
+            pattern = pattern[:p]
+            break
+    rs = getattr(c, "rope_scaling", None) or {}
+    return GPTConfig(
+        num_layers=c.num_hidden_layers,
+        hidden_size=c.hidden_size,
+        ffn_hidden_size=c.intermediate_size,
+        moe_ffn_hidden_size=c.intermediate_size,
+        num_attention_heads=c.num_attention_heads,
+        num_query_groups=c.num_key_value_heads,
+        kv_channels=c.head_dim,
+        vocab_size=c.vocab_size,
+        seq_length=c.max_position_embeddings,
+        layernorm_epsilon=c.rms_norm_eps,
+        rotary_base=c.rope_theta,
+        rope_scaling="yarn" if rs.get("rope_type") == "yarn" else None,
+        rope_scaling_factor=float(rs.get("factor", 32.0)),
+        old_context_len=int(rs.get(
+            "original_max_position_embeddings", 4096)),
+        window_pattern=pattern,
+        attention_sinks=True,
+        add_qkv_bias=True,
+        add_bias_linear=True,
+        activation="quick_gelu",
+        activation_clamp=7.0,
+        glu_linear_offset=1.0,
+        num_moe_experts=c.num_local_experts,
+        moe_router_topk=c.num_experts_per_tok,
+        moe_dispatch="dense",  # exact parity; switch to "topk" for scale
+        compute_dtype="float32",
+    )
+
+
+def params_from_hf_gpt_oss(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
+    D, H, G, dh = (cfg.hidden_size, cfg.num_attention_heads, cfg.n_kv_heads,
+                   cfg.head_dim)
+
+    def t(k):
+        return np.ascontiguousarray(np.transpose(sd[k]))
+
+    trees = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        # HF gate_up_proj [E, D, 2F] interleaves gate/up on even/odd cols
+        gu = sd[f"{p}.mlp.experts.gate_up_proj"]
+        w1 = np.concatenate([gu[..., 0::2], gu[..., 1::2]], axis=-1)
+        gub = sd[f"{p}.mlp.experts.gate_up_proj_bias"]
+        b1 = np.concatenate([gub[..., 0::2], gub[..., 1::2]], axis=-1)
+        trees.append({
+            "input_norm": {"scale": sd[f"{p}.input_layernorm.weight"]},
+            "post_attn_norm": {
+                "scale": sd[f"{p}.post_attention_layernorm.weight"]},
+            "attention": {
+                "q_proj": {"kernel": t(f"{p}.self_attn.q_proj.weight")
+                           .reshape(D, H, dh),
+                           "bias": sd[f"{p}.self_attn.q_proj.bias"]
+                           .reshape(H, dh)},
+                "k_proj": {"kernel": t(f"{p}.self_attn.k_proj.weight")
+                           .reshape(D, G, dh),
+                           "bias": sd[f"{p}.self_attn.k_proj.bias"]
+                           .reshape(G, dh)},
+                "v_proj": {"kernel": t(f"{p}.self_attn.v_proj.weight")
+                           .reshape(D, G, dh),
+                           "bias": sd[f"{p}.self_attn.v_proj.bias"]
+                           .reshape(G, dh)},
+                "o_proj": {"kernel": t(f"{p}.self_attn.o_proj.weight")
+                           .reshape(H, dh, D),
+                           "bias": sd[f"{p}.self_attn.o_proj.bias"]},
+                "sink": sd[f"{p}.self_attn.sinks"],
+            },
+            "moe": {
+                "router": {"kernel": t(f"{p}.mlp.router.weight"),
+                           "bias": sd[f"{p}.mlp.router.bias"]},
+                "w1": w1, "b1": b1,
+                "w2": sd[f"{p}.mlp.experts.down_proj"],
+                "b2": sd[f"{p}.mlp.experts.down_proj_bias"],
+            },
+        })
+    params = _pack_layers(trees, cfg)
+    params["embedding"] = sd["model.embed_tokens.weight"]
+    params["final_norm"] = {"scale": sd["model.norm.weight"]}
+    params["lm_head"] = {"kernel": np.transpose(sd["lm_head.weight"])}
+    return params
+
+
 def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
     """Any supported HF causal LM → (GPTConfig, params). Dispatches on
     config.model_type; llama/mistral/qwen2/qwen3-style handled by hf_llama."""
@@ -216,6 +418,16 @@ def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
     if mt == "mamba2":
         cfg = config_from_hf_mamba2(c)
         return cfg, params_from_hf_mamba2(sd, cfg)
+    if mt in ("gemma3_text", "gemma3"):
+        tc = getattr(c, "text_config", c)
+        if mt == "gemma3":  # multimodal wrapper: take the text tower
+            sd = {k.removeprefix("language_model."): v for k, v in sd.items()
+                  if k.startswith("language_model.") or k.startswith("model.")}
+        cfg = config_from_hf_gemma3(tc)
+        return cfg, params_from_hf_gemma3(sd, cfg)
+    if mt == "gpt_oss":
+        cfg = config_from_hf_gpt_oss(c)
+        return cfg, params_from_hf_gpt_oss(sd, cfg)
     if mt == "deepseek_v3":
         cfg = config_from_hf_deepseek(c)
         return cfg, params_from_hf_deepseek(

@@ -46,6 +46,10 @@ class GPTConfig:
     share_embeddings_and_output_weights: bool = False
     attention_softmax_in_fp32: bool = True
     qk_layernorm: bool = False  # qwen3-style per-head q/k norm
+    # gemma2/3: extra norms on the attention and MLP OUTPUTS before the
+    # residual adds (HF post_attention_layernorm applied to attn output +
+    # pre/post_feedforward_layernorm sandwich)
+    sandwich_norms: bool = False
     layernorm_zero_centered_gamma: bool = False  # gemma-style (1+g) scale
     attention_multiplier: Optional[float] = None  # custom softmax scale
     embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
@@ -75,6 +79,8 @@ class GPTConfig:
     rotary_interleaved: bool = False
     # gpt-oss: clamp GLU gate to (-inf, c] and up-projection to [-c, c]
     activation_clamp: Optional[float] = None
+    # gpt-oss: GLU linear term is (up + offset) — HF GptOssExperts (up+1)*glu
+    glu_linear_offset: float = 0.0
 
     # multi-token prediction (deepseek-V3 MTP, reference gpt/model/base.py
     # mtp_block_spec): an extra transformer block predicts token t+2 from
@@ -348,11 +354,11 @@ def gemma_2b(**kw) -> GPTConfig:
 
 def gemma2_9b(**kw) -> GPTConfig:
     """reference gpt/model/gemma2.py: logit softcap + interleaved window."""
-    return _preset(dict(num_layers=42, hidden_size=3584, ffn_hidden_size=14336, num_attention_heads=16, num_query_groups=8, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3584**0.5, logit_softcapping=30.0), kw)
+    return _preset(dict(num_layers=42, hidden_size=3584, ffn_hidden_size=14336, num_attention_heads=16, num_query_groups=8, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3584**0.5, logit_softcapping=30.0, sandwich_norms=True, window_pattern=(4096, None)), kw)
 
 
 def gemma2_27b(**kw) -> GPTConfig:
-    return _preset(dict(num_layers=46, hidden_size=4608, ffn_hidden_size=36864, num_attention_heads=32, num_query_groups=16, kv_channels=128, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=4608**0.5, logit_softcapping=30.0, attention_multiplier=(4608 // 32) ** -0.5), kw)
+    return _preset(dict(num_layers=46, hidden_size=4608, ffn_hidden_size=36864, num_attention_heads=32, num_query_groups=16, kv_channels=128, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=4608**0.5, logit_softcapping=30.0, attention_multiplier=(4608 // 32) ** -0.5, sandwich_norms=True, window_pattern=(4096, None)), kw)
 
 
 def starcoder2_3b(**kw) -> GPTConfig:
@@ -393,7 +399,8 @@ _GEMMA3_BASE = dict(
     vocab_size=262144, seq_length=131072, rotary_base=1000000.0,
     rope_local_base=10000.0, qk_layernorm=True,
     layernorm_zero_centered_gamma=True, layernorm_epsilon=1e-6,
-    share_embeddings_and_output_weights=True, activation='gelu')
+    share_embeddings_and_output_weights=True, activation='gelu',
+    sandwich_norms=True)
 
 
 def gemma3_1b(**kw) -> GPTConfig:
@@ -473,7 +480,7 @@ _GPT_OSS_BASE = dict(
     rope_scaling='yarn', rope_scaling_factor=32.0, old_context_len=4096,
     window_pattern=(128, None), attention_sinks=True, add_qkv_bias=True,
     add_bias_linear=True, activation='quick_gelu', activation_clamp=7.0,
-    moe_router_topk=4, moe_aux_loss_coeff=0.01)
+    glu_linear_offset=1.0, moe_router_topk=4, moe_aux_loss_coeff=0.01)
 
 
 def gpt_oss_20b(**kw) -> GPTConfig:

@@ -587,6 +587,8 @@ def _glu(cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
             c = cfg.activation_clamp
             gate = jnp.clip(gate, None, c)
             up = jnp.clip(up, -c, c)
+        if cfg.glu_linear_offset:
+            up = up + cfg.glu_linear_offset
         return _act(cfg.activation)(gate) * up
     h = _act(cfg.activation)(h)
     if cfg.activation_clamp:
@@ -656,7 +658,7 @@ class MoEMLP(nn.Module):
         B, S, Dm = x.shape
 
         router = nn.DenseGeneral(
-            features=E, use_bias=False, dtype=jnp.float32,
+            features=E, use_bias=cfg.add_bias_linear, dtype=jnp.float32,
             param_dtype=jnp.float32,
             kernel_init=_init(cfg.init_method_std, ("embed", None)),
             name="router",
@@ -723,19 +725,38 @@ class MoEMLP(nn.Module):
             "w2", _init(cfg.init_method_std, ("expert", "mlp", "embed")),
             (E, ffn, Dm), _dtype(cfg.params_dtype),
         )
+        b1 = b2 = None
+        if cfg.add_bias_linear:  # gpt-oss: per-expert fc biases
+            b1 = self.param(
+                "b1", nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("expert", "mlp")),
+                (E, mult * ffn), _dtype(cfg.params_dtype))
+            b2 = self.param(
+                "b2", nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("expert", "embed")),
+                (E, Dm), _dtype(cfg.params_dtype))
 
         def expert_ffn(h_ecd):
             h = jnp.einsum("ecd,edf->ecf", h_ecd, w1.astype(dtype))
+            if b1 is not None:
+                h = h + b1.astype(dtype)[:, None, :]
             h = _glu(cfg, h)
             h = with_constraint(h, ("expert", None, "mlp"))
-            return jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
+            out = jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
+            if b2 is not None:
+                out = out + b2.astype(dtype)[:, None, :]
+            return out
 
         if cfg.moe_dispatch == "dense":
             one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
             combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
             h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))
+            if b1 is not None:
+                h = h + b1.astype(dtype)[None, None]
             h = _glu(cfg, h)
             out = jnp.einsum("bsef,efd->bsed", h, w2.astype(dtype))
+            if b2 is not None:
+                out = out + b2.astype(dtype)[None, None]
             out = jnp.einsum("bsed,bse->bsd", out, combine.astype(dtype))
         else:
             N = B * S
@@ -802,12 +823,16 @@ class TransformerLayer(nn.Module):
         # backward replay then skips qkv projections + the flash kernel
         # forward (the most expensive recompute) at 2·L·B·S·D bytes cost.
         attn_out = checkpoint_name(attn_out, "attn_out")
+        if cfg.sandwich_norms:  # gemma2/3: norm the output pre-residual
+            attn_out = make_norm(cfg, "attn_out_norm")(attn_out)
         x = x + attn_out
         h = make_norm(cfg, "post_attn_norm")(x)
         if layer_is_moe(cfg, self.layer_idx):
             mlp_out = MoEMLP(cfg, name="moe")(h, train=train)
         else:
             mlp_out = MLP(cfg, name="mlp")(h, train=train)
+        if cfg.sandwich_norms:
+            mlp_out = make_norm(cfg, "mlp_out_norm")(mlp_out)
         x = x + mlp_out
         x = with_constraint(x, ("batch", "act_seq_sp", "act_embed"))
         return x, kv_cache
