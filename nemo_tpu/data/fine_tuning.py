@@ -3,7 +3,12 @@ optional sequence packing.
 
 Reference parity: FineTuningDataModule (`llm/gpt/data/fine_tuning.py` —
 jsonl {input,output} or chat messages, prompt templates, loss-masked prompt
-tokens, packed sequences) and SquadDataModule/DollyDataModule shapes.
+tokens, packed sequences), ChatDataModule (`gpt/data/chat.py` — multi-turn
+messages through a chat template with per-turn answer masking),
+SquadDataModule (`gpt/data/squad.py:138-141` "Context: … Question: …
+Answer:" lines), DollyDataModule (`gpt/data/dolly.py:114-129` randomized
+context/instruction order) and HFDatasetDataModule (`gpt/data/hf_dataset.py`
+— arbitrary in-memory/`datasets` splits + a row→example mapping).
 """
 
 from __future__ import annotations
@@ -108,3 +113,105 @@ class FineTuningDataModule:
                             "loss_mask": jnp.asarray(mask),
                         }
                     step += 1
+
+class ChatDataModule(FineTuningDataModule):
+    """Multi-turn chat jsonl: {"messages": [{"role": ..., "content": ...},
+    ...]} rendered through a PromptFormatter; only assistant-turn tokens
+    carry loss (reference chat.py → GPTSFTChatDataset template masking)."""
+
+    def __init__(self, path, tokenizer, seq_length, global_batch_size,
+                 prompt_format: str = "chatml", **kw):
+        from nemo_tpu.data.prompt_formatters import get_prompt_formatter
+
+        super().__init__(path, tokenizer, seq_length, global_batch_size, **kw)
+        self.formatter = get_prompt_formatter(prompt_format, tokenizer)
+
+    def _encode(self, ex: Dict) -> Optional[Dict[str, np.ndarray]]:
+        turns = [{"role": m["role"], "slots": {"message": m["content"]}}
+                 for m in ex["messages"]]
+        enc = self.formatter.encode_dialog(turns)
+        ids, mask = enc["input_ids"], enc["mask"]
+        if len(ids) < 2 or mask[1:].sum() == 0:
+            return None
+        ids = ids[: self.seq_length + 1]
+        mask = mask[: self.seq_length + 1]
+        return {
+            "tokens": ids[:-1].astype(np.int32),
+            "labels": ids[1:].astype(np.int32),
+            # loss sits on positions whose LABEL is an answer token
+            "loss_mask": mask[1:].astype(np.float32),
+        }
+
+
+class SquadDataModule(FineTuningDataModule):
+    """SQuAD-schema jsonl ({"context","question","answers":{"text":[...]}})
+    preprocessed to the reference's line format (squad.py:138-141)."""
+
+    def __init__(self, path, tokenizer, seq_length, global_batch_size, **kw):
+        super().__init__(path, tokenizer, seq_length, global_batch_size, **kw)
+        converted = []
+        for ex in self.examples:
+            if "input" in ex and "output" in ex:  # already preprocessed
+                converted.append(ex)
+                continue
+            answers = ex["answers"]["text"] if isinstance(ex.get("answers"), dict) \
+                else ex.get("answers", [])
+            if not answers:
+                continue
+            converted.append({
+                "input": "Context: " + ex["context"] + " Question: "
+                         + ex["question"] + " Answer:",
+                "output": answers[0],
+            })
+        self.examples = converted
+
+
+class DollyDataModule(FineTuningDataModule):
+    """databricks-dolly-schema jsonl ({"instruction","context","response"})
+    with the reference's randomized context/instruction order
+    (dolly.py:114-129)."""
+
+    def __init__(self, path, tokenizer, seq_length, global_batch_size, **kw):
+        super().__init__(path, tokenizer, seq_length, global_batch_size, **kw)
+        rng = np.random.RandomState(self.seed)
+        converted = []
+        for ex in self.examples:
+            if "input" in ex and "output" in ex:
+                converted.append(ex)
+                continue
+            instruction = ex["instruction"].strip()
+            context = (ex.get("context") or "").strip()
+            if context:
+                _input = (f"{context}\n\n{instruction}" if rng.randint(2) == 0
+                          else f"{instruction}\n\n{context}")
+            else:
+                _input = instruction
+            converted.append({"input": _input, "output": ex["response"]})
+        self.examples = converted
+
+
+class HFDatasetDataModule(FineTuningDataModule):
+    """Arbitrary in-memory rows (list of dicts, or a `datasets.Dataset`
+    split if that library is importable) + a row→{"input","output"} mapping
+    fn on the FineTuningDataModule batching/packing path (reference
+    hf_dataset.py HFDatasetDataModule)."""
+
+    def __init__(self, rows, tokenizer, seq_length, global_batch_size,
+                 map_fn=None, **kw):
+        import os
+        import tempfile
+
+        # route through the jsonl ctor with an empty file, then install rows
+        with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                         delete=False) as f:
+            empty = f.name
+        try:
+            super().__init__(empty, tokenizer, seq_length, global_batch_size,
+                             **kw)
+        finally:
+            os.unlink(empty)
+        rows = list(rows)
+        if map_fn is not None:
+            rows = [map_fn(r) for r in rows]
+        self.examples = [r for r in rows
+                         if r and "input" in r and "output" in r]

@@ -148,3 +148,31 @@ def export_asr_ctc(model_obj, output_path: str, *, batch: int = 1,
 
     return save_exported(fn, model_obj.variables, (wav, lens), output_path,
                          manifest={"kind": "asr_ctc", "labels": model_obj.labels})
+
+
+def export_tts_synthesize(fastpitch_model, hifigan_model, output_path: str,
+                          *, batch: int = 1, max_tokens: int = 128) -> str:
+    """Export end-to-end TTS synthesis as ONE program: text tokens [B, U] +
+    token lengths [B] → (waveform [B, max_mel_len*hop], mel_len [B]).
+    Callers trim audio to mel_len*hop. The mel generator and vocoder fuse
+    into a single compiled graph — the reference exports these as separate
+    TRT engines (export/tensorrt_mm_exporter.py); one XLA program avoids
+    the intermediate host round-trip."""
+    fp_net = fastpitch_model.net
+    fp_vars = fastpitch_model.variables
+    gen = hifigan_model.generator
+    gen_params = hifigan_model.variables["params"]["generator"]
+    params = {"fastpitch": fp_vars["params"], "generator": gen_params}
+
+    def fn(p, tokens, token_len):
+        out = fp_net.apply({"params": p["fastpitch"]}, tokens, token_len,
+                           train=False)
+        audio = gen.apply({"params": p["generator"]}, out["mel"])
+        return audio, out["mel_len"]
+
+    args = (jnp.zeros((batch, max_tokens), jnp.int32),
+            jnp.full((batch,), max_tokens, jnp.int32))
+    return save_exported(fn, params, args, output_path,
+                         manifest={"kind": "tts_synthesize",
+                                   "sample_rate": fastpitch_model.sample_rate,
+                                   "hop_length": hifigan_model.hop_length})

@@ -61,3 +61,30 @@ def test_asr_ctc_export_round_trip(tmp_path):
     ref_lp, ref_fl = m._infer_fn(m.variables, wav, lens)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ref_lp), atol=1e-4)
     assert prog.manifest["labels"] == m.labels
+
+
+def test_tts_synthesize_export_round_trip(tmp_path):
+    import numpy as np
+
+    from nemo_tpu.core.config import ConfigDict
+    from nemo_tpu.export.stablehlo import export_tts_synthesize, load_exported
+    from nemo_tpu.models.tts.fastpitch_model import FastPitchModel
+    from nemo_tpu.models.tts.hifigan_model import HifiGanModel
+
+    fp = FastPitchModel(ConfigDict({"d_model": 32, "d_ff": 64,
+                                    "enc_layers": 1, "dec_layers": 1,
+                                    "max_mel_len": 64}))
+    hg = HifiGanModel(ConfigDict({"generator": {
+        "upsample_rates": (4, 4), "upsample_kernel_sizes": (8, 8),
+        "upsample_initial_channel": 16}}))
+    path = export_tts_synthesize(fp, hg, str(tmp_path / "tts"), batch=1,
+                                 max_tokens=16)
+    prog = load_exported(path)
+    toks = fp.parse("hello world")[:, :16]
+    toks = np.pad(np.asarray(toks), ((0, 0), (0, 16 - toks.shape[1])))
+    audio, mel_len = prog(toks.astype(np.int32),
+                          np.array([16], np.int32))
+    hop = prog.manifest["hop_length"]
+    assert audio.shape == (1, 64 * hop)
+    n = int(mel_len[0]) * hop
+    assert np.abs(np.asarray(audio)[0, :n]).max() > 0

@@ -75,3 +75,80 @@ def test_finetuning_packed(jsonl_file):
     seg = np.asarray(batch["segment_ids"])
     assert seg.max() >= 2  # multiple samples packed into one row
     assert "positions" in batch
+
+
+def test_chat_datamodule_per_turn_mask(tmp_path):
+    from nemo_tpu.data.fine_tuning import ChatDataModule
+
+    p = tmp_path / "chat.jsonl"
+    rows = [
+        {"messages": [
+            {"role": "user", "content": "hi there"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "what is up"},
+            {"role": "assistant", "content": "the sky"},
+        ]},
+        {"messages": [
+            {"role": "user", "content": "ping"},
+            {"role": "assistant", "content": "pong"},
+        ]},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dm = ChatDataModule(str(p), ByteTok(), seq_length=128,
+                        global_batch_size=2, prompt_format="chatml")
+    batch = next(dm.train_batches(0))
+    mask = np.asarray(batch["loss_mask"])
+    toks = np.asarray(batch["tokens"])
+    valid = (toks != 0).sum(axis=1)
+    # loss only on assistant turns: strictly between 0 and all valid tokens
+    assert (mask.sum(axis=1) > 0).all()
+    assert (mask.sum(axis=1) < valid).all()
+    # the multi-turn row has two disjoint unmasked spans (mask 1->0->1);
+    # rows are shuffled, so check the max transition count across the batch
+    transitions = max(
+        int(np.abs(np.diff(mask[b][: int(valid[b])])).sum())
+        for b in range(mask.shape[0]))
+    assert transitions >= 3
+
+
+def test_squad_dolly_hf_datamodules(tmp_path):
+    from nemo_tpu.data.fine_tuning import (
+        DollyDataModule, HFDatasetDataModule, SquadDataModule)
+
+    sq = tmp_path / "squad.jsonl"
+    with open(sq, "w") as f:
+        f.write(json.dumps({"context": "Paris is in France.",
+                            "question": "Where is Paris?",
+                            "answers": {"text": ["France"]}}) + "\n")
+        f.write(json.dumps({"context": "x", "question": "y",
+                            "answers": {"text": []}}) + "\n")
+    dm = SquadDataModule(str(sq), ByteTok(), seq_length=96,
+                         global_batch_size=1)
+    assert len(dm.examples) == 1  # unanswerable row dropped
+    assert dm.examples[0]["input"].startswith("Context: Paris")
+    assert dm.examples[0]["input"].endswith("Answer:")
+    batch = next(dm.train_batches(0))
+    assert batch["tokens"].shape == (1, 96)
+
+    do = tmp_path / "dolly.jsonl"
+    with open(do, "w") as f:
+        f.write(json.dumps({"instruction": "Summarize.",
+                            "context": "Long text here.",
+                            "response": "Short."}) + "\n")
+        f.write(json.dumps({"instruction": "Say hi.", "context": "",
+                            "response": "Hi."}) + "\n")
+    dm = DollyDataModule(str(do), ByteTok(), seq_length=96,
+                         global_batch_size=2)
+    assert len(dm.examples) == 2
+    joined = dm.examples[0]["input"]
+    assert "Summarize." in joined and "Long text here." in joined
+    assert dm.examples[1]["input"] == "Say hi."
+
+    rows = [{"q": "a or b?", "a": "a"}, {"q": "b or c?", "a": "c"}]
+    dm = HFDatasetDataModule(
+        rows, ByteTok(), seq_length=64, global_batch_size=2,
+        map_fn=lambda r: {"input": r["q"], "output": r["a"]})
+    batch = next(dm.train_batches(0))
+    assert batch["tokens"].shape == (2, 64)
