@@ -156,3 +156,47 @@ def test_presets_construct():
     assert llama32_1b_embedding().ce_loss_scale == 50.0
     assert llama32_1b_embedding(num_hard_negatives=8).num_hard_negatives == 8
     assert llama32_1b_reranker().pool_type == "avg"
+
+
+def test_retrieval_datamodule_feeds_ranking_loss(tmp_path):
+    """RetrievalDataModule batches drive EmbeddingModel.ranking_loss
+    (reference CustomRetrievalDataModule → embedding finetune)."""
+    import json as _json
+
+    import jax
+    import numpy as np
+
+    from nemo_tpu.data.retrieval import RetrievalDataModule
+
+    class ByteTok:
+        def text_to_ids(self, t):
+            return [1 + (b % 30) for b in t.encode()]
+
+    p = tmp_path / "retr.jsonl"
+    rows = [
+        {"question": "capital of france", "pos_doc": ["paris is the capital"],
+         "neg_doc": ["berlin", "madrid", "rome"]},
+        {"question": "largest ocean", "pos_doc": "the pacific ocean",
+         "neg_doc": ["the atlantic"]},
+        {"question": "red planet", "pos_doc": "mars",
+         "neg_doc": ["venus", "jupiter"]},
+        {"question": "no negs drop", "pos_doc": "x", "neg_doc": []},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    dm = RetrievalDataModule(str(p), ByteTok(), seq_length=16,
+                             global_batch_size=3, num_hard_negatives=2)
+    assert len(dm.examples) == 3  # zero-negative row dropped
+    batch = next(dm.train_batches(0))
+    assert batch["q_tokens"].shape == (3, 16)
+    assert batch["d_tokens"].shape == (3 * 3, 16)
+
+    cfg = _tiny_cfg(num_hard_negatives=2)
+    model = EmbeddingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["q_tokens"],
+                        batch["q_mask"])
+    loss, aux = model.apply(params, batch["q_tokens"], batch["q_mask"],
+                            batch["d_tokens"], batch["d_mask"],
+                            train=False, method=EmbeddingModel.ranking_loss)
+    assert np.isfinite(float(loss))
