@@ -160,7 +160,8 @@ class ContinuousBatchingEngine:
         self._decode_jit = None
         model = self.model
 
-        def prefill(params, k_cache, v_cache, slot, tokens, plen, temperature, rng):
+        def prefill(params, k_cache, v_cache, slot, tokens, plen, temperature,
+                    top_k, top_p, rng):
             """tokens [1, Sb] right-padded; writes slot's KV, returns first tok."""
             Sb = tokens.shape[1]
             positions = jnp.arange(Sb)[None, :]
@@ -173,10 +174,11 @@ class ContinuousBatchingEngine:
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc, slot, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc, slot, axis=1)
             last = logits[0, plen - 1]
-            tok = _temp_sample(last[None], rng, temperature)[0]
+            tok = _temp_sample(last[None], rng, temperature, top_k, top_p)[0]
             return k_cache, v_cache, tok
 
-        def decode(params, k_cache, v_cache, tok, cur_len, temperature, rng):
+        def decode(params, k_cache, v_cache, tok, cur_len, temperature,
+                   top_k, top_p, rng):
             """One step for every slot: tok [B] feeds, writes at cur_len [B]."""
             positions = cur_len[:, None].astype(jnp.int32)
             kv_valid = jnp.arange(self.max_len)[None, :] <= cur_len[:, None]
@@ -184,7 +186,7 @@ class ContinuousBatchingEngine:
                 {"params": params}, tok[:, None], positions,
                 kv_caches=(k_cache, v_cache),
                 decode_index=cur_len.astype(jnp.int32), kv_valid=kv_valid)
-            nxt = _temp_sample(logits[:, 0], rng, temperature)
+            nxt = _temp_sample(logits[:, 0], rng, temperature, top_k, top_p)
             return k_cache, v_cache, nxt
 
         self._prefill_fn = prefill
@@ -197,7 +199,8 @@ class ContinuousBatchingEngine:
         return self.buckets[-1]
 
     def prefill_slot(self, slot: int, prompt_ids: Sequence[int],
-                     temperature: float = 0.0, seed: int = 0) -> int:
+                     temperature: float = 0.0, seed: int = 0,
+                     top_k: int = 0, top_p: float = 0.0) -> int:
         """Admit a request into `slot`; returns its first generated token."""
         Sb = self._bucket(len(prompt_ids))
         if Sb not in self._prefill_jit:
@@ -208,23 +211,29 @@ class ContinuousBatchingEngine:
         k, v, tok = self._prefill_jit[Sb](
             self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
             jnp.asarray(toks), jnp.asarray(len(ids)),
-            jnp.asarray(temperature, jnp.float32), jax.random.PRNGKey(seed))
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+            jax.random.PRNGKey(seed))
         self.caches = (k, v)
         self.cur_len[slot] = len(ids)
         return int(tok)
 
     def decode_step(self, feed_tokens: np.ndarray, active: np.ndarray,
-                    temperature=0.0, seed: int = 0) -> np.ndarray:
+                    temperature=0.0, seed: int = 0,
+                    top_k=0, top_p=0.0) -> np.ndarray:
         """feed_tokens [slots] (last sampled per slot; 0 for inactive).
         Advances active slots one token; returns next tokens [slots].
-        `temperature` is a scalar or per-slot [slots] vector (each request's
-        own sampling params under continuous batching)."""
+        `temperature`/`top_k`/`top_p` are scalars or per-slot [slots]
+        vectors (each request's own sampling params under continuous
+        batching)."""
         if self._decode_jit is None:
             self._decode_jit = jax.jit(self._decode_fn)
         k, v, nxt = self._decode_jit(
             self.params, self.caches[0], self.caches[1],
             jnp.asarray(feed_tokens, jnp.int32), jnp.asarray(self.cur_len),
-            jnp.asarray(temperature, jnp.float32), jax.random.PRNGKey(seed))
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+            jax.random.PRNGKey(seed))
         self.caches = (k, v)
         self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
         return np.asarray(nxt)
@@ -233,18 +242,33 @@ class ContinuousBatchingEngine:
         self.cur_len[slot] = 0
 
 
-def _temp_sample(logits: jnp.ndarray, rng, temperature) -> jnp.ndarray:
-    """Greedy when temperature==0 else categorical — one program for both
-    (`where` keeps the decode jit cache at size 1). `temperature` may be a
-    scalar or a per-row [B] vector (continuous batching: each slot keeps its
-    own request's sampling params — a greedy request stays deterministic
-    even when co-scheduled with sampled ones)."""
+def _temp_sample(logits: jnp.ndarray, rng, temperature,
+                 top_k=0, top_p=0.0) -> jnp.ndarray:
+    """Greedy when temperature==0 else (optionally top-k/top-p filtered)
+    categorical — one program for every combination (`where` keeps the
+    decode jit cache at size 1). `temperature`/`top_k`/`top_p` may each be
+    a scalar or a per-row [B] vector (continuous batching: each slot keeps
+    its own request's sampling params — a greedy request stays
+    deterministic next to a temperature=1.0 top_p=0.9 neighbour).
+    0 disables top_k/top_p for that row."""
+    B, V = logits.shape
     t = jnp.asarray(temperature, jnp.float32)
-    t_rows = t if t.ndim == 0 else t[:, None]
+    t_rows = (t if t.ndim else t[None]) * jnp.ones((B,), jnp.float32)
+    k = (jnp.asarray(top_k, jnp.int32) * jnp.ones((B,), jnp.int32))
+    p = (jnp.asarray(top_p, jnp.float32) * jnp.ones((B,), jnp.float32))
+    scaled = logits / jnp.maximum(t_rows[:, None], 1e-6)
+    srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(srt, jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)
+    kth = jnp.where(k[:, None] > 0, kth, -jnp.inf)
+    cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+    cut_idx = jnp.clip(jnp.sum(cum < p[:, None], axis=-1, keepdims=True),
+                       0, V - 1)
+    cutoff = jnp.take_along_axis(srt, cut_idx, axis=-1)
+    cutoff = jnp.where(p[:, None] > 0, cutoff, -jnp.inf)
+    masked = jnp.where(scaled < jnp.maximum(kth, cutoff), -1e30, scaled)
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-    sampled = jax.random.categorical(
-        rng, logits / jnp.maximum(t_rows, 1e-6), axis=-1).astype(jnp.int32)
-    return jnp.where(t > 0, sampled, greedy)
+    sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(t_rows > 0, sampled, greedy)
 
 
 class SpeculativeEngine:

@@ -28,11 +28,14 @@ _END = object()  # stream sentinel
 
 
 class _StreamRequest:
-    def __init__(self, prompt_ids, max_new: int, eos_id: int, temperature: float):
+    def __init__(self, prompt_ids, max_new: int, eos_id: int,
+                 temperature: float, top_k: int = 0, top_p: float = 0.0):
         self.prompt_ids = prompt_ids
         self.max_new = max_new
         self.eos_id = eos_id
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
         self.tokens: "queue.Queue" = queue.Queue()
         self.produced = 0
 
@@ -82,7 +85,8 @@ class LLMServer:
                     break
                 try:
                     tok = self.engine.prefill_slot(
-                        s, req.prompt_ids, req.temperature, seed=step)
+                        s, req.prompt_ids, req.temperature, seed=step,
+                        top_k=req.top_k, top_p=req.top_p)
                 except Exception as e:  # pragma: no cover
                     logging.error(f"prefill failed: {e}")
                     req.tokens.put(_END)
@@ -97,11 +101,16 @@ class LLMServer:
                     time.sleep(0.002)
                 continue
             # one batched decode step for every active slot, each sampled at
-            # its own request's temperature (per-slot vector; a greedy
-            # request stays greedy next to a temperature=1.0 neighbour)
+            # its own request's temperature/top_k/top_p (per-slot vectors; a
+            # greedy request stays greedy next to a sampled neighbour)
             temps = np.asarray(
                 [r.temperature if r else 0.0 for r in slots], np.float32)
-            nxt = self.engine.decode_step(feed, active, temps, seed=step)
+            top_ks = np.asarray(
+                [r.top_k if r else 0 for r in slots], np.int32)
+            top_ps = np.asarray(
+                [r.top_p if r else 0.0 for r in slots], np.float32)
+            nxt = self.engine.decode_step(feed, active, temps, seed=step,
+                                          top_k=top_ks, top_p=top_ps)
             step += 1
             for s, req in enumerate(slots):
                 if req is None:
@@ -128,7 +137,9 @@ class LLMServer:
     def submit_stream(self, prompt: str, sampling: SamplingParams) -> "queue.Queue":
         ids = self.tokenizer.text_to_ids(prompt)
         req = _StreamRequest(ids, sampling.max_new_tokens, sampling.eos_id,
-                             0.0 if sampling.greedy else sampling.temperature)
+                             0.0 if sampling.greedy else sampling.temperature,
+                             top_k=0 if sampling.greedy else sampling.top_k,
+                             top_p=0.0 if sampling.greedy else sampling.top_p)
         self._queue.put(req)
         return req.tokens
 
@@ -264,6 +275,7 @@ class LLMServer:
                     greedy=not req.get("temperature"),
                     temperature=float(req.get("temperature") or 1.0),
                     top_p=float(req.get("top_p") or 0.0),
+                    top_k=int(req.get("top_k") or 0),
                     max_new_tokens=int(req.get("max_tokens", 64)),
                 )
                 if req.get("stream"):

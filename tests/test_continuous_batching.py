@@ -161,3 +161,58 @@ def test_per_slot_temperature_isolation(setup):
     solo = run(pair=False)
     paired = run(pair=True)
     assert solo == paired, (solo, paired)
+
+
+def test_temp_sample_per_row_topk_topp():
+    """_temp_sample supports per-row top_k/top_p vectors: a top_k=1 row is
+    argmax regardless of temperature; a tiny-top_p row collapses to argmax;
+    disabled rows (0) sample the full distribution."""
+    from nemo_tpu.models.llm.generate import _temp_sample
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 50).astype(np.float32) * 3)
+    temps = np.asarray([1.0, 1.0, 0.0, 1.0], np.float32)
+    top_k = np.asarray([1, 0, 0, 0], np.int32)
+    top_p = np.asarray([0.0, 1e-6, 0.0, 0.0], np.float32)
+    amax = np.argmax(np.asarray(logits), -1)
+    hits = np.zeros(4)
+    draws = []
+    for seed in range(24):
+        out = np.asarray(_temp_sample(logits, jax.random.PRNGKey(seed),
+                                      temps, top_k, top_p))
+        assert out[0] == amax[0]          # top_k=1 → argmax
+        assert out[1] == amax[1]          # top_p→0 → argmax
+        assert out[2] == amax[2]          # temperature 0 → greedy
+        draws.append(out[3])
+    assert len(set(draws)) > 1            # unrestricted row actually samples
+
+
+def test_per_slot_topp_isolation(setup):
+    """A top_k=1 sampled request co-scheduled with an unrestricted
+    temperature=1.0 request decodes exactly like running alone."""
+    cfg, params = setup
+    rng = np.random.RandomState(5)
+    p_a = list(rng.randint(1, cfg.vocab_size, 6))
+    p_b = list(rng.randint(1, cfg.vocab_size, 6))
+
+    def run(pair):
+        eng = ContinuousBatchingEngine(cfg, params, max_slots=4, max_len=64,
+                                       prefill_buckets=(8,))
+        feed = np.zeros(4, np.int32)
+        temps = np.zeros(4, np.float32)
+        tks = np.zeros(4, np.int32)
+        temps[0], tks[0] = 1.0, 1          # sampled but top_k=1 == argmax
+        out = [eng.prefill_slot(0, p_a, temperature=1.0, seed=0, top_k=1)]
+        feed[0] = out[0]
+        active = np.asarray([True, False, False, False])
+        if pair:
+            temps[1] = 1.0
+            feed[1] = eng.prefill_slot(1, p_b, temperature=1.0, seed=0)
+            active[1] = True
+        for step in range(8):
+            nxt = eng.decode_step(feed, active, temps, seed=step, top_k=tks)
+            feed = np.where(active, nxt, feed).astype(np.int32)
+            out.append(int(nxt[0]))
+        return out
+
+    assert run(pair=False) == run(pair=True)
