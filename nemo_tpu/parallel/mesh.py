@@ -31,7 +31,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Parallelism sizes. Product must equal the device count (dp is inferred
-    when left at -1)."""
+    when left at -1).
+
+    Multi-slice (DCN) scaling: `dcn_dp`/`dcn_pp` declare how many TPU
+    slices the job spans and which axis crosses the slice boundary —
+    the reference's multi-node NCCL DP/PP (SURVEY §5.8: "DCN via
+    multi-slice mesh axes"). `dp`/`pp` etc. remain the WITHIN-slice (ICI)
+    sizes; the built mesh exposes combined axes (dp_total = dcn_dp·dp)
+    laid out slice-major, so gradient all-reduces split into a fast ICI
+    phase and one DCN phase while tp/fsdp/cp collectives never leave a
+    slice."""
 
     dp: int = -1
     fsdp: int = 1
@@ -39,19 +48,25 @@ class MeshConfig:
     ep: int = 1
     tp: int = 1
     pp: int = 1  # pipeline stages (parallel/pipeline.py shard_map schedule)
+    dcn_dp: int = 1  # data-parallel replicas across slices (DCN)
+    dcn_pp: int = 1  # pipeline stages across slices (DCN)
 
     def resolved(self, n_devices: int) -> "MeshConfig":
-        known = self.fsdp * self.cp * self.ep * self.tp * self.pp
+        dcn = self.dcn_dp * self.dcn_pp
+        known = self.fsdp * self.cp * self.ep * self.tp * self.pp * dcn
         dp = self.dp
         if dp == -1:
             if n_devices % known:
                 raise ValueError(
-                    f"{n_devices} devices not divisible by fsdp*cp*ep*tp={known}"
+                    f"{n_devices} devices not divisible by "
+                    f"fsdp*cp*ep*tp*pp*dcn={known}"
                 )
             dp = n_devices // known
         if dp * known != n_devices:
             raise ValueError(
-                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.ep}x{self.tp}x{self.pp} != {n_devices} devices"
+                f"mesh {dp}x{self.fsdp}x{self.cp}x{self.ep}x{self.tp}"
+                f"x{self.pp} (dcn {self.dcn_dp}x{self.dcn_pp}) != "
+                f"{n_devices} devices"
             )
         return dataclasses.replace(self, dp=dp)
 
@@ -62,6 +77,23 @@ AXIS_NAMES = ("pp", "dp", "fsdp", "cp", "ep", "tp")
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = cfg.resolved(len(devices))
+    if cfg.dcn_dp * cfg.dcn_pp > 1:
+        # Slice-major hybrid layout: devices grouped by slice (real TPUs
+        # carry slice_index; virtual/CPU fall back to contiguous blocks of
+        # equal size), then the slice grid lands as the OUTER stride of the
+        # pp/dp axes. Inner-dim collectives (tp/fsdp/cp/ep, within-slice
+        # dp/pp) stay on ICI; only the outermost pp/dp hops cross DCN —
+        # the jax.experimental.mesh_utils.create_hybrid_device_mesh layout,
+        # constructed directly so it also works on virtual device sets.
+        if all(hasattr(d, "slice_index") for d in devices):
+            devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+        devs = np.array(devices).reshape(
+            cfg.dcn_pp, cfg.dcn_dp,
+            cfg.pp, cfg.dp, cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
+        arr = devs.transpose(0, 2, 1, 3, 4, 5, 6, 7).reshape(
+            cfg.dcn_pp * cfg.pp, cfg.dcn_dp * cfg.dp,
+            cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
+        return Mesh(arr, AXIS_NAMES)
     arr = np.array(devices).reshape(cfg.pp, cfg.dp, cfg.fsdp, cfg.cp, cfg.ep, cfg.tp)
     return Mesh(arr, AXIS_NAMES)
 
