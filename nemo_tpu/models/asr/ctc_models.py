@@ -12,10 +12,12 @@ on-chip by the fused mel frontend.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 from typing import Any, List, Optional, Sequence, Union
 
+import flax.core
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -191,6 +193,39 @@ class EncDecCTCModel(Model):
     def loss(self, log_probs, encoded_len, targets, target_len):
         return ctc_loss_mean(log_probs, encoded_len, targets, target_len)
 
+    # -- vocabulary / decoding hot-swap ------------------------------------
+    def change_vocabulary(self, new_vocabulary: Sequence[str], seed: int = 0):
+        """Swap the decoder head for a new label set, keeping the trained
+        encoder — the cross-language fine-tune entry point (reference:
+        EncDecCTCModel.change_vocabulary, asr/models/ctc_models.py:194)."""
+        new_labels = list(new_vocabulary)
+        old_vars = self.variables
+        self.labels = new_labels
+        self.net = dataclasses.replace(self.net, num_classes=len(new_labels))
+        self._init_params(seed)  # fresh tree with the new decoder shape
+        fresh = flax.core.unfreeze(self.variables)
+        old = flax.core.unfreeze(old_vars)
+        for col in fresh:  # keep every trained leaf outside the decoder
+            for key in fresh[col]:
+                if key != "decoder" and key in old.get(col, {}):
+                    fresh[col][key] = old[col][key]
+        self.variables = fresh
+        self.decoding = CTCDecoding(new_labels)
+        if "decoder" in self.cfg:
+            self.cfg.decoder.vocabulary = new_labels
+            self.cfg.decoder.num_classes = len(new_labels)
+        if "labels" in self.cfg:
+            self.cfg.labels = new_labels
+
+    def change_decoding_strategy(self, strategy: str = "greedy", **kw):
+        """Select the decoding used by transcribe(): 'greedy' (on-device
+        argmax) or 'beam' (batched on-device prefix beam; kw: beam_size,
+        lm, lm_weight). Reference: change_decoding_strategy,
+        asr/models/ctc_models.py:265."""
+        if strategy not in ("greedy", "beam"):
+            raise ValueError(f"unknown decoding strategy: {strategy}")
+        self._decoding_cfg = {"strategy": strategy, **kw}
+
     # -- transcription API (reference transcription.py:175) --------------
     def transcribe(
         self,
@@ -209,6 +244,10 @@ class EncDecCTCModel(Model):
         half the wire bytes again and no frontend on the device; a
         producer thread overlaps mel + upload with device compute.
         """
+        dec = getattr(self, "_decoding_cfg", None)
+        if dec and dec.get("strategy") == "beam":
+            kw = {k: v for k, v in dec.items() if k != "strategy"}
+            return self.transcribe_beam(audio, batch_size=batch_size, **kw)
         if frontend == "host":
             return self._transcribe_host_frontend(audio, batch_size, verbose)
         from nemo_tpu.ops.ctc import ctc_collapse
