@@ -147,7 +147,7 @@ class ContinuousBatchingEngine:
 
     def __init__(self, cfg: GPTConfig, params, *, max_slots: int = 4,
                  max_len: int = 512, prefill_buckets: Sequence[int] = (32, 64, 128),
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, max_prefixes: int = 8):
         self.cfg = cfg
         self.model = GPTModel(cfg)
         self.params = params
@@ -155,22 +155,33 @@ class ContinuousBatchingEngine:
         self.max_len = max_len
         self.buckets = sorted(prefill_buckets)
         self.caches = init_kv_caches(cfg, max_slots, max_len, cache_dtype)
+        self.cache_dtype = cache_dtype
         self.cur_len = np.zeros(max_slots, np.int64)  # next write index per slot
         self._prefill_jit = {}
         self._decode_jit = None
+        # prefix cache: tuple(prompt-prefix ids) → (k [L,1,P,...], v, P),
+        # LRU-evicted (vLLM/TRT-LLM prefix-caching analog: shared system
+        # prompts are prefilled once, then injected per admission)
+        self._prefix_store: "dict" = {}
+        self._max_prefixes = max_prefixes
+        self._prefix_jit = {}
+        self._inject_jit = None
         model = self.model
 
-        def prefill(params, k_cache, v_cache, slot, tokens, plen, temperature,
-                    top_k, top_p, rng):
-            """tokens [1, Sb] right-padded; writes slot's KV, returns first tok."""
+        def prefill(params, k_cache, v_cache, slot, tokens, start, plen,
+                    temperature, top_k, top_p, rng):
+            """tokens [1, Sb] right-padded chunk of the prompt; the slot's
+            cache already holds `start` tokens of KV (a cached prefix or
+            earlier chunks — chunked prefill). Writes this chunk's KV at
+            [start, start+Sb) and samples from the chunk's last real row."""
             Sb = tokens.shape[1]
-            positions = jnp.arange(Sb)[None, :]
-            kv_valid = (jnp.arange(self.max_len) < plen)[None, :]
+            positions = start + jnp.arange(Sb)[None, :]
+            kv_valid = (jnp.arange(self.max_len) < start + plen)[None, :]
             kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
             vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
             logits, (kc, vc) = model.apply(
                 {"params": params}, tokens, positions,
-                kv_caches=(kc, vc), decode_index=0, kv_valid=kv_valid)
+                kv_caches=(kc, vc), decode_index=start, kv_valid=kv_valid)
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc, slot, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc, slot, axis=1)
             last = logits[0, plen - 1]
@@ -198,24 +209,99 @@ class ContinuousBatchingEngine:
                 return b
         return self.buckets[-1]
 
+    def register_prefix(self, prefix_ids: Sequence[int]) -> None:
+        """Prefill a shared prompt prefix ONCE and cache its KV; later
+        admissions whose prompt starts with it skip those tokens entirely
+        (vLLM automatic-prefix-caching / TRT-LLM kv-cache-reuse analog —
+        the reference serves through those engines, SURVEY §2.7)."""
+        key = tuple(int(t) for t in prefix_ids)
+        if not key or len(key) > self.max_len:
+            raise ValueError("prefix must be 1..max_len tokens")
+        if key in self._prefix_store:
+            return
+        P = len(key)
+        Tpad = max(8, int(2 ** np.ceil(np.log2(P))))
+        if Tpad not in self._prefix_jit:
+            model, cfg = self.model, self.cfg
+
+            def prefix_fn(params, tokens, plen):
+                positions = jnp.arange(tokens.shape[1])[None, :]
+                caches = init_kv_caches(cfg, 1, tokens.shape[1],
+                                        self.cache_dtype)
+                kv_valid = (jnp.arange(tokens.shape[1]) < plen)[None, :]
+                _, (kc, vc) = model.apply(
+                    {"params": params}, tokens, positions, kv_caches=caches,
+                    decode_index=0, kv_valid=kv_valid)
+                return kc, vc
+
+            self._prefix_jit[Tpad] = jax.jit(prefix_fn)
+        toks = np.zeros((1, Tpad), np.int32)
+        toks[0, :P] = key
+        kc, vc = self._prefix_jit[Tpad](
+            self.params, jnp.asarray(toks), jnp.asarray(P))
+        # trim the time axis (axis 2 of [L, 1, T, ...]) to the exact length
+        kc = jax.lax.slice_in_dim(kc, 0, P, axis=2)
+        vc = jax.lax.slice_in_dim(vc, 0, P, axis=2)
+        while len(self._prefix_store) >= self._max_prefixes:
+            self._prefix_store.pop(next(iter(self._prefix_store)))  # LRU
+        self._prefix_store[key] = (kc, vc, P)
+
+    def _match_prefix(self, ids) -> int:
+        """Longest cached prefix of `ids` (leaving ≥1 token to prefill);
+        injects its KV into no slot — returns the match length only."""
+        best = ()
+        for key in self._prefix_store:
+            if len(key) > len(best) and len(key) < len(ids) \
+                    and tuple(ids[: len(key)]) == key:
+                best = key
+        return len(best)
+
     def prefill_slot(self, slot: int, prompt_ids: Sequence[int],
                      temperature: float = 0.0, seed: int = 0,
                      top_k: int = 0, top_p: float = 0.0) -> int:
-        """Admit a request into `slot`; returns its first generated token."""
-        Sb = self._bucket(len(prompt_ids))
-        if Sb not in self._prefill_jit:
-            self._prefill_jit[Sb] = jax.jit(self._prefill_fn)
-        ids = list(prompt_ids)[-Sb:]
-        toks = np.zeros((1, Sb), np.int32)
-        toks[0, : len(ids)] = ids
-        k, v, tok = self._prefill_jit[Sb](
-            self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
-            jnp.asarray(toks), jnp.asarray(len(ids)),
-            jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-            jax.random.PRNGKey(seed))
-        self.caches = (k, v)
-        self.cur_len[slot] = len(ids)
+        """Admit a request into `slot`; returns its first generated token.
+
+        Long prompts run as CHUNKED prefill (successive largest-bucket
+        chunks against the slot's growing KV — no truncation, bounded
+        compile shapes, and the server can interleave decode steps between
+        chunks). A registered prefix match skips its tokens entirely."""
+        ids = list(prompt_ids)
+        if len(ids) >= self.max_len:
+            ids = ids[-(self.max_len - 1):]
+        start = 0
+        P = self._match_prefix(ids)
+        if P:
+            key = tuple(ids[:P])
+            kc, vc, _ = self._prefix_store.pop(key)
+            self._prefix_store[key] = (kc, vc, P)  # LRU touch
+            if self._inject_jit is None:
+                def inject(k_cache, v_cache, kc, vc, slot):
+                    at = (0, slot) + (0,) * (k_cache.ndim - 2)
+                    return (jax.lax.dynamic_update_slice(k_cache, kc, at),
+                            jax.lax.dynamic_update_slice(v_cache, vc, at))
+                self._inject_jit = jax.jit(inject)
+            self.caches = self._inject_jit(
+                self.caches[0], self.caches[1], kc, vc, jnp.asarray(slot))
+            start = P
+        tok = None
+        rest = ids[start:]
+        chunk_cap = self.buckets[-1]
+        while rest:
+            piece, rest = rest[:chunk_cap], rest[chunk_cap:]
+            Sb = self._bucket(len(piece))
+            if Sb not in self._prefill_jit:
+                self._prefill_jit[Sb] = jax.jit(self._prefill_fn)
+            toks = np.zeros((1, Sb), np.int32)
+            toks[0, : len(piece)] = piece
+            k, v, tok = self._prefill_jit[Sb](
+                self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
+                jnp.asarray(toks), jnp.asarray(start), jnp.asarray(len(piece)),
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                jax.random.PRNGKey(seed))
+            self.caches = (k, v)
+            start += len(piece)
+        self.cur_len[slot] = start
         return int(tok)
 
     def decode_step(self, feed_tokens: np.ndarray, active: np.ndarray,

@@ -216,3 +216,64 @@ def test_per_slot_topp_isolation(setup):
         return out
 
     assert run(pair=False) == run(pair=True)
+
+
+def test_chunked_prefill_matches_single_shot(setup):
+    """A prompt longer than the largest prefill bucket runs as chunked
+    prefill and must match a single-shot prefill exactly (greedy)."""
+    cfg, params = setup
+    rng = np.random.RandomState(11)
+    prompt = list(rng.randint(1, cfg.vocab_size, 20))
+
+    def run(buckets):
+        eng = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                       prefill_buckets=buckets)
+        toks = [eng.prefill_slot(0, prompt)]
+        feed = np.zeros(2, np.int32)
+        feed[0] = toks[0]
+        active = np.asarray([True, False])
+        for step in range(6):
+            nxt = eng.decode_step(feed, active)
+            toks.append(int(nxt[0]))
+            feed[0] = nxt[0]
+        return toks
+
+    single = run((32,))
+    chunked = run((8,))   # 20-token prompt → chunks of 8, 8, 4
+    assert single == chunked, (single, chunked)
+
+
+def test_prefix_cache_exactness_and_lru(setup):
+    """register_prefix + prefill == vanilla prefill (greedy, token-exact);
+    the store is LRU-bounded."""
+    cfg, params = setup
+    rng = np.random.RandomState(12)
+    prefix = list(rng.randint(1, cfg.vocab_size, 8))
+    suffix = list(rng.randint(1, cfg.vocab_size, 5))
+    prompt = prefix + suffix
+
+    def run(use_prefix):
+        eng = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                       prefill_buckets=(8, 16),
+                                       max_prefixes=2)
+        if use_prefix:
+            eng.register_prefix(prefix)
+        toks = [eng.prefill_slot(0, prompt)]
+        assert eng.cur_len[0] == len(prompt)
+        feed = np.zeros(2, np.int32)
+        feed[0] = toks[0]
+        active = np.asarray([True, False])
+        for step in range(6):
+            nxt = eng.decode_step(feed, active)
+            toks.append(int(nxt[0]))
+            feed[0] = nxt[0]
+        return eng, toks
+
+    _, vanilla = run(False)
+    eng, cached = run(True)
+    assert vanilla == cached, (vanilla, cached)
+    # LRU bound: registering 2 more prefixes evicts the oldest
+    eng.register_prefix(prefix[:4])
+    eng.register_prefix(list(rng.randint(1, cfg.vocab_size, 6)))
+    assert len(eng._prefix_store) == 2
+    assert tuple(prefix) not in eng._prefix_store
