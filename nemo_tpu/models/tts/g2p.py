@@ -200,3 +200,136 @@ class HeteronymClassifier:
         logits = logits + self._mask(word)
         w, i = self.labels[int(np.argmax(logits))]
         return self.het[w][i]
+
+
+# ---------------------------------------------------------------------------
+# IPA G2P (reference: nemo/collections/tts/g2p/models/i18n_ipa.py IpaG2p +
+# scripts/tts_dataset_files/ipa_cmudict — IPA phoneme pipeline with
+# stochastic grapheme mixing for robustness)
+# ---------------------------------------------------------------------------
+
+# standard ARPABET→IPA table (vowels carry stress via ˈ/ˌ prefixes)
+ARPABET_TO_IPA: Dict[str, str] = {
+    "AA": "ɑ", "AE": "æ", "AH": "ʌ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "EH": "ɛ", "ER": "ɝ",
+    "EY": "eɪ", "F": "f", "G": "ɡ", "HH": "h", "IH": "ɪ", "IY": "i",
+    "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n", "NG": "ŋ",
+    "OW": "oʊ", "OY": "ɔɪ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ",
+    "T": "t", "TH": "θ", "UH": "ʊ", "UW": "u", "V": "v", "W": "w",
+    "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+_STRESS_IPA = {"1": "ˈ", "2": "ˌ", "0": ""}
+
+
+def arpabet_to_ipa(phones: Sequence[str]) -> List[str]:
+    """['HH', 'AH0', 'L', 'OW1'] → ['h', 'ʌ', 'l', 'ˈoʊ'] (stress digit on
+    a vowel becomes the IPA stress mark prefixed to that vowel)."""
+    out = []
+    for p in phones:
+        stress = ""
+        base = p
+        if p and p[-1] in "012":
+            stress = _STRESS_IPA[p[-1]]
+            base = p[:-1]
+        out.append(stress + ARPABET_TO_IPA.get(base, base))
+    return out
+
+
+class IpaG2p:
+    """IPA-emitting G2P (reference IpaG2p): dictionary lookup → IPA symbol
+    sequence, with `phoneme_probability` stochastically keeping whole words
+    as graphemes (the reference's training-robustness trick — models see
+    both representations; set 1.0 for deterministic inference)."""
+
+    def __init__(self, phoneme_dict: Optional[str] = None,
+                 ipa_dict: Optional[str] = None,
+                 phoneme_probability: float = 1.0, seed: int = 0):
+        import numpy as np
+
+        base = EnglishG2p(phoneme_dict=phoneme_dict)
+        self.lexicon: Dict[str, List[str]] = {
+            w: arpabet_to_ipa(p) for w, p in base.lexicon.items()
+        }
+        if ipa_dict:
+            self._load_ipa_dict(ipa_dict)
+        self.phoneme_probability = float(phoneme_probability)
+        self._rng = np.random.RandomState(seed)
+
+    def _load_ipa_dict(self, path: str) -> None:
+        """Lines: `WORD  ipastring` (reference ipa dict format; multiple
+        entries keep the first)."""
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip() or line.startswith(";;;"):
+                    continue
+                word, _, pron = line.strip().partition(" ")
+                word = re.sub(r"\(\d+\)$", "", word.lower())
+                pron = pron.strip()
+                if word and pron and word not in self.lexicon:
+                    self.lexicon[word] = self._split_ipa(pron)
+
+    @staticmethod
+    def _split_ipa(s: str) -> List[str]:
+        """IPA string → symbols, keeping stress marks and affricates/
+        diphthongs (2-char sequences from the table) attached."""
+        two = {v for v in ARPABET_TO_IPA.values() if len(v) == 2}
+        out: List[str] = []
+        i = 0
+        while i < len(s):
+            stress = ""
+            if s[i] in "ˈˌ":
+                stress, i = s[i], i + 1
+                if i >= len(s):
+                    break
+            if s[i : i + 2] in two:
+                out.append(stress + s[i : i + 2])
+                i += 2
+            else:
+                out.append(stress + s[i])
+                i += 1
+        return out
+
+    def set_phoneme_probability(self, p: float) -> None:
+        self.phoneme_probability = float(p)
+
+    def __call__(self, text: str) -> List[str]:
+        out: List[str] = []
+        for token in re.findall(r"[a-zA-Z']+|[^a-zA-Z\s]", text.lower()):
+            use_phonemes = (token in self.lexicon
+                            and self._rng.rand() < self.phoneme_probability)
+            if use_phonemes:
+                out.extend(self.lexicon[token])
+            elif token.isalpha():
+                out.extend(list(token))
+            else:
+                out.append(token)
+            out.append(" ")
+        return out[:-1] if out else out
+
+
+class IpaTokenizer:
+    """IPA phoneme vocabulary tokenizer (reference tts_tokenizers.py
+    IPATokenizer): IPA symbols (stressed + unstressed) + graphemes +
+    punctuation."""
+
+    def __init__(self, g2p: Optional[IpaG2p] = None):
+        self.g2p = g2p or IpaG2p()
+        symbols = set()
+        for ipa in ARPABET_TO_IPA.values():
+            for stress in ("", "ˈ", "ˌ"):
+                symbols.add(stress + ipa)
+        chars = [chr(ord("a") + i) for i in range(26)]
+        punct = list("!'\"(),.:;?- ")
+        self.vocab = ["<pad>"] + sorted(symbols) + chars + punct + ["<blank>"]
+        self._stoi = {t: i for i, t in enumerate(self.vocab)}
+        self.pad_id = 0
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._stoi[t] for t in self.g2p(text) if t in self._stoi]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return " ".join(self.vocab[i] for i in ids)

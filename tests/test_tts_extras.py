@@ -108,3 +108,46 @@ def test_heteronym_classifier_learns_context():
     # masking confines predictions to the word's own pronunciations
     assert clf.predict("totally unseen context here", "bass") in \
         HETERONYMS["bass"]
+
+
+# -- IPA G2P (reference g2p/models/i18n_ipa.py IpaG2p) ----------------------
+
+def test_arpabet_to_ipa_mapping():
+    from nemo_tpu.models.tts.g2p import arpabet_to_ipa
+
+    assert arpabet_to_ipa(["HH", "AH0", "L", "OW1"]) == ["h", "ʌ", "l", "ˈoʊ"]
+    assert arpabet_to_ipa(["CH", "ER2"]) == ["tʃ", "ˌɝ"]
+
+
+def test_ipa_g2p_and_tokenizer_roundtrip():
+    from nemo_tpu.models.tts.g2p import IpaG2p, IpaTokenizer
+
+    g2p = IpaG2p()
+    phones = g2p("hello world")
+    assert "ˈoʊ" in phones and "ɝ" in "".join(phones)
+    tok = IpaTokenizer(g2p)
+    ids = tok.text_to_ids("hello test.")
+    assert ids and all(0 < i < tok.vocab_size for i in ids)
+    assert "ˈoʊ" in tok.ids_to_text(ids)
+
+
+def test_ipa_dict_loading(tmp_path):
+    from nemo_tpu.models.tts.g2p import IpaG2p
+
+    d = tmp_path / "ipa.txt"
+    d.write_text("ZEBRA ˈzibɹʌ\n", encoding="utf-8")
+    g2p = IpaG2p(ipa_dict=str(d))
+    assert g2p.lexicon["zebra"][0] == "ˈz"
+    assert g2p("zebra")[:2] == ["ˈz", "i"]
+
+
+def test_ipa_phoneme_probability_mixing():
+    from nemo_tpu.models.tts.g2p import IpaG2p
+
+    never = IpaG2p(phoneme_probability=0.0)
+    assert never("hello") == list("hello")  # all-grapheme
+    always = IpaG2p(phoneme_probability=1.0)
+    assert always("hello") == ["h", "ʌ", "l", "ˈoʊ"]
+    mixed = IpaG2p(phoneme_probability=0.5, seed=0)
+    outs = {tuple(mixed("hello")) for _ in range(20)}
+    assert len(outs) == 2  # both representations appear
