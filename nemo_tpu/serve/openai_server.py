@@ -16,6 +16,7 @@ import queue
 import threading
 import time
 import uuid
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -56,7 +57,9 @@ class LLMServer:
 
     def __init__(self, cfg, params, tokenizer, *, max_slots: int = 4,
                  max_len: int = 512, model_name: str = "nemo-tpu-llm",
-                 chat_template: str = "chatml"):
+                 chat_template: str = "chatml",
+                 enable_prefix_caching: bool = True,
+                 auto_prefix_min_tokens: int = 16):
         self.engine = ContinuousBatchingEngine(
             cfg, params, max_slots=max_slots, max_len=max_len)
         self.tokenizer = tokenizer
@@ -64,9 +67,34 @@ class LLMServer:
         self.chat_template = chat_template
         self.max_slots = max_slots
         self.max_len = max_len
+        # automatic prefix caching (vLLM APC analog): when admissions share
+        # a long common prefix (chat system prompts), register it once so
+        # later requests skip re-prefilling those tokens
+        self.enable_prefix_caching = enable_prefix_caching
+        self.auto_prefix_min_tokens = auto_prefix_min_tokens
+        self._recent_prompts: "deque" = deque(maxlen=8)
         self._queue: "queue.Queue[_StreamRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
+
+    def _maybe_register_prefix(self, ids) -> None:
+        """Worker-thread-only: register the longest common prefix this
+        prompt shares with a recent one (≥ auto_prefix_min_tokens)."""
+        key = tuple(ids)
+        best = 0
+        for prev in self._recent_prompts:
+            n = 0
+            for a, b in zip(prev, key):
+                if a != b:
+                    break
+                n += 1
+            best = max(best, n)
+        self._recent_prompts.append(key)
+        if self.auto_prefix_min_tokens <= best < len(key):
+            try:
+                self.engine.register_prefix(list(key[:best]))
+            except ValueError:
+                pass
 
     # -- continuous-batching scheduler ----------------------------------------
     def _loop(self):
@@ -84,6 +112,8 @@ class LLMServer:
                 except queue.Empty:
                     break
                 try:
+                    if self.enable_prefix_caching:
+                        self._maybe_register_prefix(req.prompt_ids)
                     tok = self.engine.prefill_slot(
                         s, req.prompt_ids, req.temperature, seed=step,
                         top_k=req.top_k, top_p=req.top_p)

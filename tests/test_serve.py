@@ -83,3 +83,22 @@ def test_concurrent_requests_batched(server):
     for t in threads:
         t.join()
     assert all(v == 200 for v in results.values())
+
+
+def test_auto_prefix_caching(server):
+    """Two requests sharing a ≥16-token prefix: the scheduler registers
+    the common prefix and the second request's output is unaffected."""
+    from nemo_tpu.models.llm.generate import SamplingParams
+
+    sys_prompt = "You are a terse assistant. Answer in one word. " * 2
+    p1 = sys_prompt + "Q: color of sky?"
+    p2 = sys_prompt + "Q: color of grass?"
+    sp = SamplingParams(greedy=True, max_new_tokens=4, eos_id=-1)
+    # fresh-engine reference for p2 (no caching path possible)
+    ref = server.submit(p2, sp)
+    out1 = server.submit(p1, sp)
+    assert isinstance(out1, str)
+    # after two admissions with a shared prefix the store is populated
+    assert len(server.engine._prefix_store) >= 1
+    out2 = server.submit(p2, sp)  # now rides the cached prefix
+    assert out2 == ref
