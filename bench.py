@@ -149,7 +149,8 @@ def bench_llm():
     """GPT training tokens/sec/chip on the 551M config (BASELINE metric 3)."""
     import scripts.train_mfu as mfu
 
-    r = mfu.run(None, steps=40, B=16, S=2048, chunk=40)
+    # B=8 + dh=128: the measured-best single-chip point (scripts/mfu_probe.py)
+    r = mfu.run(None, steps=40, B=8, S=2048, chunk=40)
     # vs_baseline: utilization vs the reference's own headline MFU
     # (LLAMA2-7B fp8 H100 = 768/1979 ≈ 39%)
     return {

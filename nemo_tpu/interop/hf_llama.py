@@ -43,13 +43,19 @@ def config_from_hf(hf_cfg) -> GPTConfig:
         rope_scaling_factor=factor,
         old_context_len=old_ctx,
         add_qkv_bias=bool(getattr(hf_cfg, "attention_bias", False)),
+        qk_layernorm=getattr(hf_cfg, "model_type", "") in ("qwen3", "qwen3_moe"),
         share_embeddings_and_output_weights=bool(getattr(hf_cfg, "tie_word_embeddings", False)),
         compute_dtype="float32",
     )
 
 
-def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
-    """HF llama state dict (numpy) → our flax param tree (scan-layer layout)."""
+def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig,
+                         moe: Dict[str, Any] = None) -> Dict[str, Any]:
+    """HF llama state dict (numpy) → our flax param tree (scan-layer layout).
+
+    `moe`: pre-built routed-experts subtree (leading layer axis) — replaces
+    the dense-MLP mapping for MoE families (mixtral/qwen-moe). Sandwich
+    norms (gemma2: pre/post_feedforward_layernorm) are auto-detected."""
     L = cfg.num_layers
     D = cfg.hidden_size
     H = cfg.num_attention_heads
@@ -84,29 +90,35 @@ def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str,
     if cfg.add_bias_linear:
         attention["o_proj"]["bias"] = stack(
             "model.layers.{i}.self_attn.o_proj.bias", lambda k: sd[k])
+    if "model.layers.0.self_attn.q_norm.weight" in sd:  # qwen3-style qk-norm
+        attention["q_norm"] = {"scale": stack(
+            "model.layers.{i}.self_attn.q_norm.weight", lambda k: sd[k])}
+        attention["k_norm"] = {"scale": stack(
+            "model.layers.{i}.self_attn.k_norm.weight", lambda k: sd[k])}
 
-    # MLP: gated (gate_proj+up_proj fused into fc1) or plain (up_proj/c_fc)
-    up_key = ("model.layers.{i}.mlp.up_proj.weight"
-              if "model.layers.0.mlp.up_proj.weight" in sd
-              else "model.layers.{i}.mlp.c_fc.weight")
-    down_key = ("model.layers.{i}.mlp.down_proj.weight"
-                if "model.layers.0.mlp.down_proj.weight" in sd
-                else "model.layers.{i}.mlp.c_proj.weight")
+    if moe is None:
+        # MLP: gated (gate_proj+up_proj fused into fc1) or plain (up_proj/c_fc)
+        up_key = ("model.layers.{i}.mlp.up_proj.weight"
+                  if "model.layers.0.mlp.up_proj.weight" in sd
+                  else "model.layers.{i}.mlp.c_fc.weight")
+        down_key = ("model.layers.{i}.mlp.down_proj.weight"
+                    if "model.layers.0.mlp.down_proj.weight" in sd
+                    else "model.layers.{i}.mlp.c_proj.weight")
 
-    def fc1(i):
-        if cfg.gated_linear_unit:
-            gate = np.transpose(sd[f"model.layers.{i}.mlp.gate_proj.weight"])  # [D, F]
-            up = np.transpose(sd[up_key.format(i=i)])
-            return np.concatenate([gate, up], axis=1)  # [D, 2F]
-        return np.transpose(sd[up_key.format(i=i)])
+        def fc1(i):
+            if cfg.gated_linear_unit:
+                gate = np.transpose(sd[f"model.layers.{i}.mlp.gate_proj.weight"])  # [D, F]
+                up = np.transpose(sd[up_key.format(i=i)])
+                return np.concatenate([gate, up], axis=1)  # [D, 2F]
+            return np.transpose(sd[up_key.format(i=i)])
 
-    mlp = {
-        "fc1": {"kernel": np.stack([fc1(i) for i in range(L)])},
-        "fc2": {"kernel": stack(down_key, t)},
-    }
-    if cfg.add_bias_linear:
-        mlp["fc1"]["bias"] = stack(up_key.replace(".weight", ".bias"), lambda k: sd[k])
-        mlp["fc2"]["bias"] = stack(down_key.replace(".weight", ".bias"), lambda k: sd[k])
+        mlp = {
+            "fc1": {"kernel": np.stack([fc1(i) for i in range(L)])},
+            "fc2": {"kernel": stack(down_key, t)},
+        }
+        if cfg.add_bias_linear:
+            mlp["fc1"]["bias"] = stack(up_key.replace(".weight", ".bias"), lambda k: sd[k])
+            mlp["fc2"]["bias"] = stack(down_key.replace(".weight", ".bias"), lambda k: sd[k])
 
     def norm(prefix):
         out = {"scale": stack(prefix + ".weight", lambda k: sd[k])}
@@ -114,12 +126,26 @@ def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str,
             out["bias"] = stack(prefix + ".bias", lambda k: sd[k])
         return out
 
-    layers = {
-        "input_norm": norm("model.layers.{i}.input_layernorm"),
-        "post_attn_norm": norm("model.layers.{i}.post_attention_layernorm"),
-        "attention": attention,
-        "mlp": mlp,
-    }
+    if "model.layers.0.pre_feedforward_layernorm.weight" in sd:
+        # gemma2/3 sandwich norms: post_attention_layernorm norms the attn
+        # OUTPUT pre-residual; pre_feedforward is the true post-attn norm
+        layers = {
+            "input_norm": norm("model.layers.{i}.input_layernorm"),
+            "attn_out_norm": norm("model.layers.{i}.post_attention_layernorm"),
+            "post_attn_norm": norm("model.layers.{i}.pre_feedforward_layernorm"),
+            "mlp_out_norm": norm("model.layers.{i}.post_feedforward_layernorm"),
+            "attention": attention,
+        }
+    else:
+        layers = {
+            "input_norm": norm("model.layers.{i}.input_layernorm"),
+            "post_attn_norm": norm("model.layers.{i}.post_attention_layernorm"),
+            "attention": attention,
+        }
+    if moe is not None:
+        layers["moe"] = moe
+    else:
+        layers["mlp"] = mlp
     final_norm = {"scale": sd["model.norm.weight"]}
     if "model.norm.bias" in sd:
         final_norm["bias"] = sd["model.norm.bias"]
@@ -133,6 +159,20 @@ def params_from_hf_state(sd: Dict[str, np.ndarray], cfg: GPTConfig) -> Dict[str,
         params["lm_head"] = {"kernel": np.transpose(lm)}
     if not cfg.scan_layers:
         params = _unstack_layers(params, L)
+    else:
+        from nemo_tpu.models.llm.gpt import hetero_period
+
+        P = hetero_period(cfg)
+        if P > 1 and L % P == 0:
+            # pattern-period group scan: GPTModel scans LayerGroup(sub0..P)
+            # L/P times — split the stacked [L, ...] leaves by phase
+            def phase(tree, j):
+                if isinstance(tree, dict):
+                    return {k: phase(v, j) for k, v in tree.items()}
+                return tree[j::P]
+
+            params["layers"] = {
+                f"sub{j}": phase(params["layers"], j) for j in range(P)}
     return params
 
 

@@ -13,6 +13,7 @@ single rope implementation serves every family.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -432,6 +433,22 @@ def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
         cfg = config_from_hf_deepseek(c)
         return cfg, params_from_hf_deepseek(
             sd, cfg, interleaved_rope=getattr(c, "rope_interleave", True))
+    if mt == "mixtral":
+        cfg = config_from_hf_mixtral(c)
+        moe = _moe_subtree(
+            sd, cfg, "model.layers.{i}.block_sparse_moe.gate.weight",
+            "model.layers.{i}.block_sparse_moe.experts.{e}.{w}.weight")
+        return cfg, params_from_hf_state(sd, cfg, moe=moe)
+    if mt == "qwen3_moe":
+        cfg = config_from_hf_qwen3_moe(c)
+        moe = _moe_subtree(
+            sd, cfg, "model.layers.{i}.mlp.gate.weight",
+            "model.layers.{i}.mlp.experts.{e}.{w}.weight",
+            names=("gate_proj", "up_proj", "down_proj"))
+        return cfg, params_from_hf_state(sd, cfg, moe=moe)
+    if mt == "gemma2":
+        cfg = config_from_hf_gemma2(c)
+        return cfg, params_from_hf_state(sd, cfg)
 
     cfg = config_from_hf(c)
     if mt == "phi3":
@@ -454,3 +471,84 @@ def import_hf_model(path_or_model) -> Tuple[GPTConfig, Dict[str, Any]]:
             layernorm_epsilon=c.norm_eps,
         )
     return cfg, params_from_hf_state(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral / Qwen3-MoE (routed experts) and Gemma2
+# ---------------------------------------------------------------------------
+
+
+def _moe_subtree(sd, cfg, gate_key, expert_fmt, names=("w1", "w3", "w2")):
+    """Routed-experts params with a leading layer axis:
+    router [L, D, E], w1 [L, E, D, 2F] (gate|up), w2 [L, E, F, D]."""
+    L, E = cfg.num_layers, cfg.num_moe_experts
+    gate_n, up_n, down_n = names
+
+    def t(k):
+        return np.ascontiguousarray(np.transpose(sd[k]))
+
+    def layer(i):
+        w1 = np.stack([
+            np.concatenate(
+                [t(expert_fmt.format(i=i, e=e, w=gate_n)),
+                 t(expert_fmt.format(i=i, e=e, w=up_n))], axis=1)
+            for e in range(E)])                       # [E, D, 2F]
+        w2 = np.stack([t(expert_fmt.format(i=i, e=e, w=down_n))
+                       for e in range(E)])            # [E, F, D]
+        return w1, w2
+
+    per = [layer(i) for i in range(L)]
+    return {
+        "router": {"kernel": np.stack(
+            [t(gate_key.format(i=i)) for i in range(L)])},
+        "w1": np.stack([p[0] for p in per]),
+        "w2": np.stack([p[1] for p in per]),
+    }
+
+
+def config_from_hf_mixtral(c) -> GPTConfig:
+    from nemo_tpu.interop.hf_llama import config_from_hf
+
+    # HF Mixtral routes softmax-all → top-k → renormalize, which equals
+    # softmax over the top-k logits (our default routing branch)
+    return dataclasses.replace(
+        config_from_hf(c),
+        num_moe_experts=c.num_local_experts,
+        moe_router_topk=c.num_experts_per_tok,
+        moe_dispatch="dense",  # exact combine for import-parity
+        window_size=getattr(c, "sliding_window", None),
+    )
+
+
+def config_from_hf_qwen3_moe(c) -> GPTConfig:
+    from nemo_tpu.interop.hf_llama import config_from_hf
+
+    # HF: softmax-all → top-k → renormalize iff norm_topk_prob. Renormalized
+    # == softmax over top-k logits (our default branch); unrenormalized ==
+    # our pre_softmax branch.
+    return dataclasses.replace(
+        config_from_hf(c),
+        num_moe_experts=c.num_experts,
+        moe_router_topk=c.num_experts_per_tok,
+        moe_ffn_hidden_size=c.moe_intermediate_size,
+        moe_dispatch="dense",  # exact combine for import-parity
+        moe_router_pre_softmax=not bool(getattr(c, "norm_topk_prob", False)),
+    )
+
+
+def config_from_hf_gemma2(c) -> GPTConfig:
+    from nemo_tpu.interop.hf_llama import config_from_hf
+
+    return dataclasses.replace(
+        config_from_hf(c),
+        kv_channels=c.head_dim,
+        activation="gelu",
+        sandwich_norms=True,
+        layernorm_zero_centered_gamma=True,
+        embedding_multiplier=float(c.hidden_size) ** 0.5,
+        attention_multiplier=float(c.query_pre_attn_scalar) ** -0.5,
+        logit_softcapping=c.final_logit_softcapping,
+        attn_logit_softcapping=c.attn_logit_softcapping,
+        # HF gemma2: even layer indices slide, odd are global
+        window_pattern=(c.sliding_window, None),
+    )

@@ -54,6 +54,7 @@ class GPTConfig:
     attention_multiplier: Optional[float] = None  # custom softmax scale
     embedding_multiplier: Optional[float] = None  # gemma: sqrt(hidden)
     logit_softcapping: Optional[float] = None  # gemma2
+    attn_logit_softcapping: Optional[float] = None  # gemma2 attn scores
     window_size: Optional[int] = None  # sliding-window attention (mistral)
     # per-layer heterogeneity (cyclic patterns over layer index; reference
     # gemma3 interleaved_attn_pattern, gpt_oss window_attn_skip_freq,
@@ -354,11 +355,11 @@ def gemma_2b(**kw) -> GPTConfig:
 
 def gemma2_9b(**kw) -> GPTConfig:
     """reference gpt/model/gemma2.py: logit softcap + interleaved window."""
-    return _preset(dict(num_layers=42, hidden_size=3584, ffn_hidden_size=14336, num_attention_heads=16, num_query_groups=8, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3584**0.5, logit_softcapping=30.0, sandwich_norms=True, window_pattern=(4096, None)), kw)
+    return _preset(dict(num_layers=42, hidden_size=3584, ffn_hidden_size=14336, num_attention_heads=16, num_query_groups=8, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=3584**0.5, logit_softcapping=30.0, attn_logit_softcapping=50.0, sandwich_norms=True, window_pattern=(4096, None)), kw)
 
 
 def gemma2_27b(**kw) -> GPTConfig:
-    return _preset(dict(num_layers=46, hidden_size=4608, ffn_hidden_size=36864, num_attention_heads=32, num_query_groups=16, kv_channels=128, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=4608**0.5, logit_softcapping=30.0, attention_multiplier=(4608 // 32) ** -0.5, sandwich_norms=True, window_pattern=(4096, None)), kw)
+    return _preset(dict(num_layers=46, hidden_size=4608, ffn_hidden_size=36864, num_attention_heads=32, num_query_groups=16, kv_channels=128, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=4608**0.5, logit_softcapping=30.0, attn_logit_softcapping=50.0, attention_multiplier=(4608 // 32) ** -0.5, sandwich_norms=True, window_pattern=(4096, None)), kw)
 
 
 def starcoder2_3b(**kw) -> GPTConfig:

@@ -289,6 +289,7 @@ def causal_attention(
     segment_ids: Optional[jnp.ndarray] = None,  # [B, S] packed-seq ids (0=pad)
     chunk: Optional[int] = None,  # llama4 chunked attention (same-chunk mask)
     sink: Optional[jnp.ndarray] = None,  # [G, rep] gpt-oss sink logits
+    logit_cap: Optional[float] = None,  # gemma2 attn_logit_softcapping
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
@@ -302,6 +303,10 @@ def causal_attention(
     qg = q.reshape(B, Sq, G, rep, D)
     scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
     scores = scores * scale
+    if logit_cap:
+        # gemma2 attention-logit softcapping (HF attn_logit_softcapping:
+        # cap·tanh(s/cap) BEFORE masking/softmax)
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
     Skv = k.shape[1]
     kv_off = jnp.asarray(kv_offset)
     if kv_off.ndim == 1:  # per-slot offsets [B]
@@ -402,7 +407,9 @@ class Attention(nn.Module):
                 (H,), jnp.float32).reshape(G, H // G)
         no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
         S = q.shape[1]
-        plain = chunk is None and sink is None
+        # the flash/ring kernels don't implement attention-logit softcapping
+        plain = chunk is None and sink is None \
+            and not cfg.attn_logit_softcapping
         use_ring = (
             cfg.cp_size > 1
             and no_cache
@@ -462,7 +469,7 @@ class Attention(nn.Module):
                 q, k, v, scale=scale, window=window,
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
                 kv_valid=kv_valid, segment_ids=segment_ids, chunk=chunk,
-                sink=sink,
+                sink=sink, logit_cap=cfg.attn_logit_softcapping,
             )
         out = dense_layer(
             cfg.quantization,

@@ -23,13 +23,18 @@ import time
 import numpy as np
 
 
-def make_cfg(quantization=None, seq_length=2048):
+def make_cfg(quantization=None, seq_length=2048, heads=12):
     from nemo_tpu.models.llm.config import _cfg
 
-    # ~551M-param GPT (the round-2 MFU config): 16 L, d=1536, ffn 6144
+    # ~540M-param GPT: 16 L, d=1536, ffn 6144, 12 heads × dh=128.
+    # head_dim=128 (not the r2 config's 16×96) is the TPU-native choice:
+    # the flash kernel tiles heads onto the 128-lane MXU, so dh=96 pads
+    # to 128 and throws away 1/4 of the attention work — measured +17%
+    # step throughput from this change alone (scripts/mfu_probe.py:
+    # 19.9k → 23.3k tok/s, 45.9% → 53.5% MFU at 80 steps).
     return _cfg(
         num_layers=16, hidden_size=1536, ffn_hidden_size=6144,
-        num_attention_heads=16, num_query_groups=16, vocab_size=32768,
+        num_attention_heads=heads, num_query_groups=heads, vocab_size=32768,
         seq_length=seq_length, compute_dtype="bfloat16",
         attention_backend="flash", remat="full",
         quantization=quantization,

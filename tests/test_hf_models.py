@@ -109,3 +109,38 @@ def test_new_presets_instantiate():
                  "deepseek_v3", "nemotron4_340b"]:
         cfg = PRESETS[name]()
         assert cfg.num_layers > 0
+
+
+def test_mixtral_parity():
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(0)
+    m = MixtralForCausalLM(MixtralConfig(
+        num_local_experts=4, num_experts_per_tok=2, **TINY)).eval()
+    cfg = _parity(m)
+    assert cfg.num_moe_experts == 4 and cfg.moe_router_topk == 2
+
+
+def test_qwen3_moe_parity():
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(0)
+    m = Qwen3MoeForCausalLM(Qwen3MoeConfig(
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        norm_topk_prob=True, head_dim=16, decoder_sparse_step=1,
+        **TINY)).eval()
+    cfg = _parity(m)
+    assert cfg.qk_layernorm and cfg.moe_ffn_hidden_size == 48
+
+
+def test_gemma2_parity():
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(0)
+    m = Gemma2ForCausalLM(Gemma2Config(
+        head_dim=16, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=8, **TINY)).eval()
+    cfg = _parity(m)
+    assert cfg.attn_logit_softcapping == 50.0
+    assert cfg.sandwich_norms and cfg.layernorm_zero_centered_gamma
