@@ -16,6 +16,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import importlib
+import re
 from typing import Any, Iterable, Mapping
 
 import yaml
@@ -88,6 +89,49 @@ def load_yaml(path_or_str: str) -> ConfigDict:
             text = f.read()
     data = yaml.safe_load(text) or {}
     return ConfigDict(data)
+
+
+_INTERP_FULL = re.compile(r"^\$\{([^}]+)\}$")
+_INTERP_PART = re.compile(r"\$\{([^}]+)\}")
+
+
+def resolve_interpolations(cfg: ConfigDict) -> ConfigDict:
+    """OmegaConf-style `${a.b.c}` interpolation resolution against the
+    config root (the reference's hydra YAMLs use these pervasively —
+    SURVEY §5.6; e.g. `feat_in: ${model.preprocessor.features}`).
+    Whole-string refs keep the referenced value's native type; embedded
+    refs stringify. Unresolvable refs are left as-is."""
+
+    def look(path: str):
+        node = cfg
+        for p in path.split("."):
+            node = node[p]
+        return node
+
+    def rec(node, depth=0):
+        if isinstance(node, dict):
+            return ConfigDict({k: rec(v, depth) for k, v in node.items()})
+        if isinstance(node, (list, tuple)):
+            return [rec(v, depth) for v in node]
+        if isinstance(node, str) and depth < 8:
+            m = _INTERP_FULL.match(node)
+            if m:
+                try:
+                    v = look(m.group(1))
+                except (KeyError, TypeError):
+                    return node
+                return rec(v, depth + 1)
+
+            def sub(mm):
+                try:
+                    return str(look(mm.group(1)))
+                except (KeyError, TypeError):
+                    return mm.group(0)
+
+            return _INTERP_PART.sub(sub, node)
+        return node
+
+    return rec(cfg)
 
 
 def to_yaml(cfg: Any) -> str:

@@ -371,3 +371,35 @@ def import_rnnt_model(path: str):
     )
     logging.info(f"Imported transducer .nemo checkpoint from {path}")
     return model
+
+
+def model_from_reference_yaml(path: str, labels=None, overrides=None):
+    """Build an EncDecCTCModel from a reference example config YAML
+    (SURVEY §2.4 config contract: `examples/asr/conf/**` — model node with
+    `_target_` submodules, e.g. conformer/conformer_ctc_bpe.yaml).
+
+    BPE configs carry `decoder.num_classes: -1` + a tokenizer dir instead
+    of an explicit vocabulary — pass `labels=` (the tokenizer's vocab) for
+    those. `overrides` is a dotted-key dict applied after conversion."""
+    from nemo_tpu.core.config import load_yaml, resolve_interpolations
+    from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+
+    raw = resolve_interpolations(load_yaml(path))
+    model_node = raw.get("model", raw)  # example YAMLs wrap under `model:`
+    cfg = convert_asr_config(model_node)
+    if labels is not None:
+        cfg.labels = list(labels)
+        if "decoder" in cfg:
+            cfg.decoder.vocabulary = list(labels)
+            cfg.decoder.num_classes = len(labels)
+    if not cfg.get("labels"):
+        raise ValueError(
+            "config carries no vocabulary (BPE/tokenizer config) — pass "
+            "labels=[...] with the tokenizer's tokens")
+    for k, v in (overrides or {}).items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return EncDecCTCModel(cfg)
