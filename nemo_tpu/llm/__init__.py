@@ -1,7 +1,9 @@
 """User-facing LLM namespace (reference: nemo.collections.llm)."""
 
 from nemo_tpu.llm.api import (  # noqa: F401
+    deploy,
     distill,
+    evaluate,
     export_ckpt,
     train,
     finetune,

@@ -296,3 +296,71 @@ def export_ckpt(cfg: GPTConfig, params, target: str, output_path: str):
                os.path.join(output_path, "pytorch_model.bin"))
     logging.info(f"Exported HF state dict → {output_path}")
     return output_path
+
+
+def deploy(
+    model: GPTConfig | str,
+    params=None,
+    tokenizer=None,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_slots: int = 4,
+    max_len: int = 2048,
+    blocking: bool = True,
+):
+    """Serve a model behind the OpenAI-compatible API (reference
+    api.py:588 `deploy` → PyTriton + FastAPI proxy; here the native
+    continuous-batching server). `model` may be a preset name (random
+    init — smoke/deploy tests), or pass (cfg, params, tokenizer) from an
+    importer. Returns (server, httpd) when blocking=False."""
+    from nemo_tpu.serve.openai_server import LLMServer
+
+    if isinstance(model, str):
+        if model.startswith("hf://"):
+            from nemo_tpu.data.text_tokenizers import HFTokenizer
+            from nemo_tpu.interop.hf_models import import_hf_model
+
+            cfg, params = import_hf_model(model[len("hf://"):])
+            tokenizer = tokenizer or HFTokenizer(model[len("hf://"):])
+        else:
+            cfg = PRESETS[model]()
+            if params is None:
+                import jax
+                import jax.numpy as jnp
+                import flax.linen as nn
+
+                from nemo_tpu.models.llm.gpt import GPTModel
+
+                variables = GPTModel(cfg).init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+                params = nn.meta.unbox(variables["params"])
+    else:
+        cfg = model
+    if tokenizer is None:
+        from nemo_tpu.data.text_tokenizers import ByteLevelTokenizer
+
+        tokenizer = ByteLevelTokenizer()
+    srv = LLMServer(cfg, params, tokenizer, max_slots=max_slots,
+                    max_len=max_len)
+    httpd = srv.serve(host=host, port=port, blocking=blocking)
+    return srv, httpd
+
+
+def evaluate(
+    cfg: GPTConfig,
+    params,
+    tokenizer,
+    tasks: Sequence[Dict[str, Any]],
+    *,
+    batch_size: int = 8,
+) -> Dict[str, float]:
+    """Multiple-choice evaluation over in-memory tasks (reference
+    api.py:806 `evaluate` → lm-eval harness against a deployed endpoint;
+    here the in-process batched length-normalized MC protocol —
+    llm/evaluation.py covers the endpoint flavor). Each task dict:
+    {"context": str, "choices": [str], "answer": int}."""
+    from nemo_tpu.llm.evaluation import LMEvaluator, evaluate_multiple_choice
+
+    ev = LMEvaluator(cfg, params, tokenizer)
+    return evaluate_multiple_choice(ev, list(tasks), batch_size=batch_size)

@@ -158,3 +158,44 @@ def test_dora_identity_at_init_and_column_magnitudes():
         np.testing.assert_allclose(
             np.asarray(node_m, np.float32), np.asarray(node_b, np.float32),
             atol=2e-6, err_msg="/".join(path))
+
+
+def test_deploy_and_evaluate_tasks():
+    """llm.deploy serves a preset end-to-end; llm.evaluate runs the MC
+    protocol (reference api.py:588 deploy, :806 evaluate)."""
+    import http.client
+    import json as _json
+
+    import nemo_tpu.llm as llm
+    from nemo_tpu.llm.api import deploy, evaluate
+
+    srv, httpd = deploy("tiny_test", port=18321, blocking=False,
+                        max_slots=2, max_len=64)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 18321, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     _json.dumps({"prompt": "ab", "max_tokens": 2}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        out = _json.loads(r.read())
+        assert r.status == 200 and out["choices"][0]["text"] is not None
+    finally:
+        srv.shutdown()
+
+    # evaluate: tiny random model — protocol runs and returns accuracies
+    from nemo_tpu.models.llm.config import tiny_test
+    import flax.linen as nn
+    import jax, jax.numpy as jnp
+    from nemo_tpu.models.llm.gpt import GPTModel
+    from nemo_tpu.data.text_tokenizers import ByteLevelTokenizer
+
+    cfg = tiny_test(vocab_size=512)
+    variables = GPTModel(cfg).init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 8), jnp.int32))
+    params = nn.meta.unbox(variables["params"])
+    tasks = [
+        {"context": "q1", "choices": ["aa", "bb"], "answer": 0},
+        {"context": "q2", "choices": ["cc", "dd"], "answer": 1},
+    ]
+    res = evaluate(cfg, params, ByteLevelTokenizer(), tasks, batch_size=2)
+    assert 0.0 <= res["accuracy"] <= 1.0 and "accuracy_norm" in res
