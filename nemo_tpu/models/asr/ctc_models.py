@@ -440,3 +440,78 @@ def _transcribe_beam(self, audio, batch_size: int = 4, beam_size: int = 8,
 
 
 EncDecCTCModel.transcribe_beam = _transcribe_beam
+
+
+def _transcribe_buffered(self, audio, chunk_secs: float = 20.0,
+                         context_secs: float = 2.0,
+                         batch_size: int = 4) -> List[str]:
+    """Long-audio transcription by overlapping windows (reference:
+    FrameBatchASR / speech_to_text_buffered_inference_ctc.py — each window
+    carries `context_secs` of acoustic context on both sides; only the
+    MIDDLE chunk's frames are kept, then greedy-collapsed across the
+    concatenated sequence).
+
+    Windows share ONE static shape → one jit compile regardless of audio
+    length; windows batch across and within files."""
+    from nemo_tpu.ops.ctc import ctc_collapse
+
+    sr = self.sample_rate
+    win = int((chunk_secs + 2 * context_secs) * sr)
+    hop = int(chunk_secs * sr)
+    ctx = int(context_secs * sr)
+
+    results: List[str] = []
+    for a in audio:
+        if isinstance(a, str):
+            x, _ = read_wav(a, target_sr=sr)
+        else:
+            x = np.asarray(a, np.float32)
+        if len(x) <= win:
+            results.append(self.transcribe([x], batch_size=1)[0])
+            continue
+        ids_mid = self._buffered_frame_ids(
+            x, chunk_secs=chunk_secs, context_secs=context_secs,
+            batch_size=batch_size)
+        merged = ctc_collapse(
+            np.asarray(ids_mid)[None, :],
+            np.asarray([len(ids_mid)]), blank=self.decoding.blank_id)[0]
+        results.append(self.decoding.ids_to_text(merged))
+    return results
+
+
+def _buffered_frame_ids(self, x: np.ndarray, chunk_secs: float,
+                        context_secs: float, batch_size: int) -> List[int]:
+    """Concatenated middle-frame argmax ids over overlapping windows (the
+    pre-collapse stage of transcribe_buffered; exposed for frame-level
+    agreement checks vs the offline forward)."""
+    sr = self.sample_rate
+    win = int((chunk_secs + 2 * context_secs) * sr)
+    hop = int(chunk_secs * sr)
+    ctx = int(context_secs * sr)
+    # left-pad by ctx so window 0's middle starts at sample 0
+    x = np.concatenate([np.zeros(ctx, np.float32), np.asarray(x, np.float32)])
+    n_win = int(np.ceil((len(x) - 2 * ctx) / hop))
+    pad_total = 2 * ctx + n_win * hop
+    x = np.concatenate([x, np.zeros(max(0, pad_total - len(x)), np.float32)])
+    windows = np.stack([x[i * hop: i * hop + win] for i in range(n_win)])
+    ids_mid: List[int] = []
+    for s in range(0, n_win, batch_size):
+        wb = windows[s: s + batch_size]
+        nb = len(wb)
+        if nb < batch_size:
+            wb = np.concatenate(
+                [wb, np.zeros((batch_size - nb, win), np.float32)])
+        preds, enc_len = self._jit_infer_ids(
+            self.variables, jnp.asarray(wb),
+            jnp.full((batch_size,), win, jnp.int32))
+        preds = np.asarray(preds)
+        F = int(np.asarray(enc_len)[0])  # same for every full window
+        # middle frame span: drop the context fraction on each side
+        f_ctx = int(round(F * ctx / win))
+        for b in range(nb):
+            ids_mid.extend(preds[b, f_ctx: F - f_ctx].tolist())
+    return ids_mid
+
+
+EncDecCTCModel.transcribe_buffered = _transcribe_buffered
+EncDecCTCModel._buffered_frame_ids = _buffered_frame_ids
