@@ -173,10 +173,17 @@ def ptq(cfg: GPTConfig, params, *, algorithm: str = "int8_weight_only",
 
     "int8_weight_only": every large kernel → (int8, per-channel scale);
     halves checkpoint/HBM-at-rest size. Returns (cfg, quantized_params);
-    pass through `nemo_tpu.ops.quant.dequantize_params` before serving,
-    or serve with cfg.quantization="int8" for on-the-fly int8 GEMMs."""
-    from nemo_tpu.ops.quant import quantize_params_int8
+    pass through `nemo_tpu.ops.quant.dequantize_params` before serving.
 
+    "int8_serve" (the TRT-LLM qnemo-engine analog): returns
+    (cfg with quantization="int8_ptq", int8-resident params) that the
+    generation/serving engines execute directly — weights stay int8 in
+    HBM (½ the bf16 decode bandwidth) and GEMMs ride the MXU int8 pipe,
+    with dynamic per-token activation quantization."""
+    from nemo_tpu.ops.quant import ptq_params_for_serving, quantize_params_int8
+
+    if algorithm == "int8_serve":
+        return ptq_params_for_serving(cfg, params)
     if algorithm != "int8_weight_only":
         raise ValueError(f"unknown ptq algorithm: {algorithm}")
     return cfg, quantize_params_int8(params, min_size=min_size)

@@ -133,6 +133,15 @@ class QuantDense(nn.Module):
     tuple, `axis` int or tuple of trailing axes, bias, logical-partitioned
     kernel init. The GEMM runs via quant_matmul (fp8/int8, current scaling);
     bias add and everything around it stay in `dtype`.
+
+    mode="int8_ptq" is the WEIGHT-RESIDENT serving path (reference: the
+    TRT-LLM qnemo quantized-engine flow, SURVEY §2.7): the kernel is STORED
+    as an int8 param `qkernel` plus a per-output-channel fp32 `scale`, so
+    decode reads ¼ the f32 / ½ the bf16 weight bytes from HBM and the GEMM
+    runs int8×int8→int32 on the MXU's native int8 pipe (2× bf16 peak on
+    v5e). Activations are quantized per-token on the fly (dynamic W8A8).
+    A raw-initialized int8_ptq model is all-zeros — build params with
+    `ptq_params_for_serving` from a trained bf16/f32 checkpoint.
     """
 
     features: Any  # int | tuple
@@ -150,15 +159,37 @@ class QuantDense(nn.Module):
         axis = self.axis if isinstance(self.axis, tuple) else (self.axis,)
         axis = tuple(a % x.ndim for a in axis)
         contract = tuple(x.shape[a] for a in axis)
-        kernel = self.param("kernel", self.kernel_init, contract + features, self.param_dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, features, self.param_dtype)
         batch_shape = tuple(x.shape[i] for i in range(x.ndim) if i not in axis)
         # move contracting axes last, flatten
         perm = [i for i in range(x.ndim) if i not in axis] + list(axis)
         xt = jnp.transpose(x, perm).reshape(batch_shape + (int(np.prod(contract)),))
-        k2 = kernel.reshape(int(np.prod(contract)), int(np.prod(features)))
-        y = quant_matmul(xt, k2, self.mode, self.dtype)
+        if self.mode == "int8_ptq":
+            # scale keeps kernel ndim with contraction dims = 1 so the
+            # converter can tell channel axes from reduced axes (and scan
+            # layer-stacking prepends a real leading dim to both params)
+            qkernel = self.param(
+                "qkernel", nn.initializers.zeros, contract + features, jnp.int8)
+            scale = self.param(
+                "scale", nn.initializers.ones,
+                (1,) * len(contract) + features, jnp.float32)
+            k2 = qkernel.reshape(int(np.prod(contract)), int(np.prod(features)))
+            # dynamic per-token activation quant (W8A8)
+            amax = jnp.max(jnp.abs(xt.astype(jnp.float32)), -1, keepdims=True)
+            sx = jnp.maximum(amax, 1e-12) / 127.0
+            xq = jnp.round(
+                jnp.clip(xt.astype(jnp.float32) / sx, -127, 127)).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, k2, (((xt.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * sx
+                 * scale.reshape(-1)).astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel", self.kernel_init, contract + features, self.param_dtype)
+            k2 = kernel.reshape(int(np.prod(contract)), int(np.prod(features)))
+            y = quant_matmul(xt, k2, self.mode, self.dtype)
         y = y.reshape(batch_shape + features)
         if self.use_bias:
             y = y + bias.astype(self.dtype)
@@ -198,6 +229,56 @@ def quantize_params_int8(params, min_size: int = 1 << 16):
         return {"q": q, "scale": scale}
 
     return jax.tree_util.tree_map_with_path(_q, params)
+
+
+def ptq_convert_params(src_params, abstract_ptq_params):
+    """Map a trained f32/bf16 param tree onto an int8_ptq model's tree.
+
+    `abstract_ptq_params` is `jax.eval_shape` of the quantization="int8_ptq"
+    model's init (unboxed). Every `qkernel` leaf takes the per-channel
+    int8 quantization of the source tree's sibling `kernel`; its `scale`
+    sibling gets amax/127 reduced over exactly the axes the abstract scale
+    holds as size-1 (so scan-stacked layer dims keep per-layer scales).
+    All other leaves copy through (cast to the abstract dtype)."""
+    from flax import traverse_util
+
+    flat_src = traverse_util.flatten_dict(src_params)
+    flat_abs = traverse_util.flatten_dict(abstract_ptq_params)
+    out = {}
+    for path, spec in flat_abs.items():
+        if path[-1] == "qkernel":
+            k = jnp.asarray(flat_src[path[:-1] + ("kernel",)], jnp.float32)
+            s_spec = flat_abs[path[:-1] + ("scale",)]
+            red = tuple(i for i, d in enumerate(s_spec.shape) if d == 1)
+            amax = jnp.max(jnp.abs(k), axis=red, keepdims=True)
+            scale = jnp.maximum(amax, 1e-12) / 127.0
+            out[path] = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+            out[path[:-1] + ("scale",)] = scale.astype(jnp.float32)
+        elif path[-1] == "scale" and (path[:-1] + ("qkernel",)) in flat_abs:
+            continue  # written alongside qkernel
+        else:
+            out[path] = jnp.asarray(flat_src[path], spec.dtype)
+    return traverse_util.unflatten_dict(out)
+
+
+def ptq_params_for_serving(cfg, params):
+    """(cfg, trained params) → (cfg_q, int8-resident params) for decode.
+
+    Returns the `quantization="int8_ptq"` config plus the converted tree;
+    feed both to GenerationEngine / ContinuousBatchingEngine. Weights sit
+    in HBM as int8 (half the bf16 bytes — decode is weight-bandwidth
+    bound) and GEMMs run on the MXU int8 pipe."""
+    import dataclasses
+
+    from nemo_tpu.models.llm.gpt import GPTModel
+
+    cfg_q = dataclasses.replace(cfg, quantization="int8_ptq")
+    model = GPTModel(cfg_q)
+    tokens = jnp.zeros((1, min(cfg.seq_length, 8)), jnp.int32)
+    abstract = jax.eval_shape(
+        lambda r: nn.meta.unbox(model.init(r, tokens)["params"]),
+        jax.random.PRNGKey(0))
+    return cfg_q, ptq_convert_params(params, abstract)
 
 
 def dequantize_params(params, dtype=jnp.bfloat16):

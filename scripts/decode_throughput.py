@@ -1,0 +1,92 @@
+"""Decode throughput on the real chip: bf16 vs int8-resident PTQ serving.
+
+Measures continuous-batching decode tokens/sec/chip (the serving hot loop:
+one jitted step advancing every slot) for a ~1B-shape GPT at realistic
+serving geometry, in bf16 and with `ptq(algorithm="int8_serve")` weights.
+Decode at small batch is weight-HBM-bandwidth bound, so int8-resident
+weights (half the bf16 bytes) bound the possible win at ~2×; this records
+what the chip actually does.
+
+Run: JAX_PLATFORMS=axon PYTHONPATH=/root/.axon_site:/root/repo \
+     python scripts/decode_throughput.py [--layers 16] [--slots 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run(quant: bool, layers: int, slots: int, max_len: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.llm.config import _cfg
+    from nemo_tpu.models.llm.generate import ContinuousBatchingEngine
+    from nemo_tpu.models.llm.gpt import GPTModel
+    import flax.linen as nn
+
+    cfg = _cfg(
+        num_layers=layers, hidden_size=2048, ffn_hidden_size=8192,
+        num_attention_heads=16, kv_channels=128,
+        vocab_size=32000, seq_length=max_len, scan_layers=True,
+        attention_backend="xla",
+    )
+    model = GPTModel(cfg)
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), tokens)["params"])
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    label = "bf16"
+    if quant:
+        from nemo_tpu.llm.api import ptq
+
+        cfg, params = ptq(cfg, params, algorithm="int8_serve")
+        label = "int8_ptq"
+    else:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    params = jax.device_put(params)
+
+    eng = ContinuousBatchingEngine(
+        cfg, params, max_slots=slots, max_len=max_len,
+        prefill_buckets=(64,))
+    rng = np.random.RandomState(0)
+    for s in range(slots):
+        eng.prefill_slot(s, rng.randint(1, 30000, 48).tolist())
+    active = np.ones(slots, bool)
+    feed = rng.randint(1, 30000, slots)
+    # warm the decode program, then time steps (distinct feeds beat relay
+    # caches; sync via a scalar fetch each chunk)
+    nxt = eng.decode_step(feed, active)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        nxt = eng.decode_step(np.asarray(nxt), active, seed=i)
+    _ = int(np.asarray(nxt)[0])
+    dt = time.perf_counter() - t0
+    tps = slots * steps / dt
+    return {
+        "mode": label, "params_m": round(n_params / 1e6, 1),
+        "slots": slots, "steps": steps,
+        "tokens_per_sec": round(tps, 1),
+        "ms_per_step": round(1e3 * dt / steps, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--modes", nargs="+", default=["bf16", "int8_ptq"])
+    args = ap.parse_args()
+    for mode in args.modes:
+        r = run(mode == "int8_ptq", args.layers, args.slots,
+                args.max_len, args.steps)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from nemo_tpu.models.llm.train import GPTTrainModule
 from nemo_tpu.ops.quant import (
     QuantDense,
     dequantize_params,
+    ptq_convert_params,
     quant_matmul,
     quantize,
     quantize_params_int8,
@@ -79,6 +80,62 @@ def test_fp8_train_step_loss_decreases(mode):
     state, m2 = mod.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m1["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_int8_ptq_dense_matches_dense_general():
+    """Weight-resident int8 QuantDense ≈ the bf16 DenseGeneral it replaces."""
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 64), jnp.float32)
+    ref = nn.DenseGeneral(features=(4, 16), dtype=jnp.float32)
+    v = ref.init(rng, x)
+    y_ref = ref.apply(v, x)
+
+    m = QuantDense(features=(4, 16), mode="int8_ptq", dtype=jnp.float32)
+    v_q = m.init(rng, x)
+    assert v_q["params"]["qkernel"].dtype == jnp.int8
+    assert v_q["params"]["scale"].shape == (1, 4, 16)
+    # convert the trained kernel into the ptq tree
+    abstract = jax.eval_shape(lambda: v_q["params"])
+    params_q = ptq_convert_params(v["params"], abstract)
+    y_q = m.apply({"params": params_q}, x)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.03, rel
+
+
+def test_int8_ptq_gpt_serving_parity():
+    """ptq(algorithm='int8_serve') → engines run int8-resident decode with
+    logits close to bf16 (scan-stacked per-layer scales exercised)."""
+    from nemo_tpu.llm.api import ptq
+    from nemo_tpu.models.llm.generate import GenerationEngine, SamplingParams
+    from nemo_tpu.models.llm.gpt import GPTModel
+
+    cfg = tiny_test(seq_length=32)
+    model = GPTModel(cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(1, 100, (2, 16)))
+    params = nn_unbox(model.init(jax.random.PRNGKey(0), tokens)["params"])
+    logits_ref = model.apply({"params": params}, tokens)
+
+    cfg_q, params_q = ptq(cfg, params, algorithm="int8_serve")
+    assert cfg_q.quantization == "int8_ptq"
+    flat = jax.tree_util.tree_leaves_with_path(params_q)
+    assert any("qkernel" in jax.tree_util.keystr(p) for p, _ in flat)
+    logits_q = GPTModel(cfg_q).apply({"params": params_q}, tokens)
+    rel = float(jnp.linalg.norm(
+        (logits_q - logits_ref).astype(jnp.float32))
+        / jnp.linalg.norm(logits_ref.astype(jnp.float32)))
+    assert rel < 0.15, rel
+
+    out = GenerationEngine(cfg_q, params_q).generate_tokens(
+        [[5, 6, 7], [9]], SamplingParams(max_new_tokens=4))
+    assert len(out) == 2 and all(len(o) == 4 for o in out)
+
+
+def nn_unbox(tree):
+    import flax.linen as nn
+
+    return nn.meta.unbox(tree)
 
 
 def test_ptq_weight_only_round_trip():
