@@ -724,14 +724,32 @@ class MoEMLP(nn.Module):
                 self.sow("losses", "moe_aux", aux)
 
         mult = 2 if cfg.gated_linear_unit else 1
-        w1 = self.param(
-            "w1", _init(cfg.init_method_std, ("expert", "embed", "mlp")),
-            (E, Dm, mult * ffn), _dtype(cfg.params_dtype),
-        )
-        w2 = self.param(
-            "w2", _init(cfg.init_method_std, ("expert", "mlp", "embed")),
-            (E, ffn, Dm), _dtype(cfg.params_dtype),
-        )
+        ptq = cfg.quantization == "int8_ptq"
+        if ptq:
+            # weight-resident int8 experts (serving PTQ — same scheme as
+            # ops/quant.QuantDense: int8 weights in HBM, per-expert
+            # per-output-channel scales, dynamic per-row activation quant)
+            w1 = self.param(
+                "w1_q", nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("expert", "embed", "mlp")),
+                (E, Dm, mult * ffn), jnp.int8)
+            w1_s = self.param("w1_scale", nn.initializers.ones,
+                              (E, 1, mult * ffn), jnp.float32)
+            w2 = self.param(
+                "w2_q", nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("expert", "mlp", "embed")),
+                (E, ffn, Dm), jnp.int8)
+            w2_s = self.param("w2_scale", nn.initializers.ones,
+                              (E, 1, Dm), jnp.float32)
+        else:
+            w1 = self.param(
+                "w1", _init(cfg.init_method_std, ("expert", "embed", "mlp")),
+                (E, Dm, mult * ffn), _dtype(cfg.params_dtype),
+            )
+            w2 = self.param(
+                "w2", _init(cfg.init_method_std, ("expert", "mlp", "embed")),
+                (E, ffn, Dm), _dtype(cfg.params_dtype),
+            )
         b1 = b2 = None
         if cfg.add_bias_linear:  # gpt-oss: per-expert fc biases
             b1 = self.param(
@@ -743,18 +761,39 @@ class MoEMLP(nn.Module):
                     nn.initializers.zeros, ("expert", "embed")),
                 (E, Dm), _dtype(cfg.params_dtype))
 
+        def qexpert_dot(h_ecd, wq, ws):
+            """ecd,edf->ecf with int8-resident weights: dynamic per-row
+            activation quant, int8×int8→int32 on the MXU int8 pipe."""
+            amax = jnp.max(jnp.abs(h_ecd.astype(jnp.float32)), -1, keepdims=True)
+            hs = jnp.maximum(amax, 1e-12) / 127.0
+            hq = jnp.round(
+                jnp.clip(h_ecd.astype(jnp.float32) / hs, -127, 127)
+            ).astype(jnp.int8)
+            acc = jnp.einsum("ecd,edf->ecf", hq, wq,
+                             preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * hs * ws).astype(dtype)
+
         def expert_ffn(h_ecd):
-            h = jnp.einsum("ecd,edf->ecf", h_ecd, w1.astype(dtype))
+            if ptq:
+                h = qexpert_dot(h_ecd, w1, w1_s)
+            else:
+                h = jnp.einsum("ecd,edf->ecf", h_ecd, w1.astype(dtype))
             if b1 is not None:
                 h = h + b1.astype(dtype)[:, None, :]
             h = _glu(cfg, h)
             h = with_constraint(h, ("expert", None, "mlp"))
-            out = jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
+            if ptq:
+                out = qexpert_dot(h, w2, w2_s)
+            else:
+                out = jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype))
             if b2 is not None:
                 out = out + b2.astype(dtype)[:, None, :]
             return out
 
         if cfg.moe_dispatch == "dense":
+            if ptq:  # parity/test path: materialize dequantized experts
+                w1 = (w1.astype(jnp.float32) * w1_s).astype(dtype)
+                w2 = (w2.astype(jnp.float32) * w2_s).astype(dtype)
             one_hot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
             combine = jnp.einsum("bske,bsk->bse", one_hot, top_w)  # [B,S,E]
             h = jnp.einsum("bsd,edf->bsef", x, w1.astype(dtype))

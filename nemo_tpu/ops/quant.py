@@ -244,18 +244,32 @@ def ptq_convert_params(src_params, abstract_ptq_params):
 
     flat_src = traverse_util.flatten_dict(src_params)
     flat_abs = traverse_util.flatten_dict(abstract_ptq_params)
+
+    def _pair(path):
+        """(src_kernel_path, scale_path) for an int8 leaf, else None.
+        Pairs: `qkernel`/`scale` (QuantDense) and `X_q`/`X_scale` (MoE)."""
+        name = path[-1]
+        if name == "qkernel":
+            return path[:-1] + ("kernel",), path[:-1] + ("scale",)
+        if name.endswith("_q") and (path[:-1] + (name[:-2] + "_scale",)) in flat_abs:
+            return path[:-1] + (name[:-2],), path[:-1] + (name[:-2] + "_scale",)
+        return None
+
+    scale_paths = {p[1] for p in filter(None, map(_pair, flat_abs))}
     out = {}
     for path, spec in flat_abs.items():
-        if path[-1] == "qkernel":
-            k = jnp.asarray(flat_src[path[:-1] + ("kernel",)], jnp.float32)
-            s_spec = flat_abs[path[:-1] + ("scale",)]
+        pair = _pair(path)
+        if pair is not None:
+            src_path, scale_path = pair
+            k = jnp.asarray(flat_src[src_path], jnp.float32)
+            s_spec = flat_abs[scale_path]
             red = tuple(i for i, d in enumerate(s_spec.shape) if d == 1)
             amax = jnp.max(jnp.abs(k), axis=red, keepdims=True)
             scale = jnp.maximum(amax, 1e-12) / 127.0
             out[path] = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
-            out[path[:-1] + ("scale",)] = scale.astype(jnp.float32)
-        elif path[-1] == "scale" and (path[:-1] + ("qkernel",)) in flat_abs:
-            continue  # written alongside qkernel
+            out[scale_path] = scale.astype(jnp.float32)
+        elif path in scale_paths:
+            continue  # written alongside its int8 leaf
         else:
             out[path] = jnp.asarray(flat_src[path], spec.dtype)
     return traverse_util.unflatten_dict(out)

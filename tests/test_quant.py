@@ -132,6 +132,29 @@ def test_int8_ptq_gpt_serving_parity():
     assert len(out) == 2 and all(len(o) == 4 for o in out)
 
 
+def test_int8_ptq_moe_experts():
+    """int8_serve covers MoE expert weights (w1_q/w2_q per-expert scales);
+    quantized top-k dispatch output tracks the bf16 model."""
+    from nemo_tpu.llm.api import ptq
+    from nemo_tpu.models.llm.gpt import GPTModel
+
+    cfg = tiny_test(seq_length=32, num_moe_experts=4, moe_router_topk=2,
+                    moe_ffn_hidden_size=64)
+    model = GPTModel(cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(1, 100, (2, 16)))
+    params = nn_unbox(model.init(jax.random.PRNGKey(0), tokens)["params"])
+    logits_ref = model.apply({"params": params}, tokens)
+
+    cfg_q, params_q = ptq(cfg, params, algorithm="int8_serve")
+    flat = jax.tree_util.tree_leaves_with_path(params_q)
+    assert any("w1_q" in jax.tree_util.keystr(p) for p, _ in flat)
+    logits_q = GPTModel(cfg_q).apply({"params": params_q}, tokens)
+    rel = float(jnp.linalg.norm(
+        (logits_q - logits_ref).astype(jnp.float32))
+        / jnp.linalg.norm(logits_ref.astype(jnp.float32)))
+    assert rel < 0.15, rel
+
+
 def nn_unbox(tree):
     import flax.linen as nn
 
