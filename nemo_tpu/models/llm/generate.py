@@ -177,13 +177,17 @@ class ContinuousBatchingEngine:
             Sb = tokens.shape[1]
             positions = start + jnp.arange(Sb)[None, :]
             kv_valid = (jnp.arange(self.max_len) < start + plen)[None, :]
-            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
-            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            take = partial(jax.lax.dynamic_slice_in_dim, start_index=slot,
+                           slice_size=1, axis=1)
+            kc = jax.tree.map(take, k_cache)
+            vc = jax.tree.map(take, v_cache)
             logits, (kc, vc) = model.apply(
                 {"params": params}, tokens, positions,
                 kv_caches=(kc, vc), decode_index=start, kv_valid=kv_valid)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc, slot, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc, slot, axis=1)
+            put = lambda c, u: jax.lax.dynamic_update_slice_in_dim(
+                c, u, slot, axis=1)
+            k_cache = jax.tree.map(put, k_cache, kc)
+            v_cache = jax.tree.map(put, v_cache, vc)
             last = logits[0, plen - 1]
             tok = _temp_sample(last[None], rng, temperature, top_k, top_p)[0]
             return k_cache, v_cache, tok
@@ -240,8 +244,8 @@ class ContinuousBatchingEngine:
         kc, vc = self._prefix_jit[Tpad](
             self.params, jnp.asarray(toks), jnp.asarray(P))
         # trim the time axis (axis 2 of [L, 1, T, ...]) to the exact length
-        kc = jax.lax.slice_in_dim(kc, 0, P, axis=2)
-        vc = jax.lax.slice_in_dim(vc, 0, P, axis=2)
+        kc = jax.tree.map(lambda c: jax.lax.slice_in_dim(c, 0, P, axis=2), kc)
+        vc = jax.tree.map(lambda c: jax.lax.slice_in_dim(c, 0, P, axis=2), vc)
         while len(self._prefix_store) >= self._max_prefixes:
             self._prefix_store.pop(next(iter(self._prefix_store)))  # LRU
         self._prefix_store[key] = (kc, vc, P)
@@ -276,9 +280,11 @@ class ContinuousBatchingEngine:
             self._prefix_store[key] = (kc, vc, P)  # LRU touch
             if self._inject_jit is None:
                 def inject(k_cache, v_cache, kc, vc, slot):
-                    at = (0, slot) + (0,) * (k_cache.ndim - 2)
-                    return (jax.lax.dynamic_update_slice(k_cache, kc, at),
-                            jax.lax.dynamic_update_slice(v_cache, vc, at))
+                    def put(c, u):
+                        at = (0, slot) + (0,) * (c.ndim - 2)
+                        return jax.lax.dynamic_update_slice(c, u, at)
+                    return (jax.tree.map(put, k_cache, kc),
+                            jax.tree.map(put, v_cache, vc))
                 self._inject_jit = jax.jit(inject)
             self.caches = self._inject_jit(
                 self.caches[0], self.caches[1], kc, vc, jnp.asarray(slot))

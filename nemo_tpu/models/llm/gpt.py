@@ -256,18 +256,54 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray,
     return jnp.concatenate([out.astype(x.dtype), xp], axis=-1)
 
 
-def _update_kv_cache(ck, cv, k, v, decode_index):
-    """Write new K/V into the cache at decode_index — a scalar (all slots at
-    the same depth: batch generate) or a per-slot [B] vector (continuous
-    batching: one scatter along the time axis per slot, Sq must be 1)."""
+def _cache_T(c) -> int:
+    """Time-axis length of one per-layer cache side (bf16 array [B,T,G,D]
+    or int8 pair {'q': int8 [B,T,G,D], 's': f32 [B,T,G,1]})."""
+    return (c["q"] if isinstance(c, dict) else c).shape[1]
+
+
+def _quantize_kv(x):
+    """[B,S,G,D] → (int8 q, f32 per-(token,head) scale [B,S,G,1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), -1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(jnp.clip(x.astype(jnp.float32) / s, -127, 127)).astype(jnp.int8)
+    return q, s
+
+
+def _dequantize_kv(c, dtype):
+    if isinstance(c, dict):
+        return (c["q"].astype(jnp.float32) * c["s"]).astype(dtype)
+    return c
+
+
+def _cache_write(c, val, decode_index):
+    """Scatter `val` into cache array `c` along the time axis at
+    decode_index — a scalar (all slots at the same depth: batch generate /
+    chunked prefill) or a per-slot [B] vector (continuous batching, Sq=1)."""
     idx = jnp.asarray(decode_index)
     if idx.ndim == 1:
-        B = k.shape[0]
-        ck = ck.at[jnp.arange(B), idx].set(k[:, 0].astype(ck.dtype))
-        cv = cv.at[jnp.arange(B), idx].set(v[:, 0].astype(cv.dtype))
-    else:
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), decode_index, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), decode_index, axis=1)
+        B = val.shape[0]
+        return c.at[jnp.arange(B), idx].set(val[:, 0].astype(c.dtype))
+    return jax.lax.dynamic_update_slice_in_dim(
+        c, val.astype(c.dtype), decode_index, axis=1)
+
+
+def _update_kv_cache(ck, cv, k, v, decode_index):
+    """Write new K/V into the cache at decode_index and return the full
+    (dequantized) cache contents to attend over. int8 cache sides
+    ({'q','s'} pairs — the vLLM kv_cache_dtype=int8 analog; half the bf16
+    KV bytes read per decode step) quantize per (token, head) on write."""
+    if isinstance(ck, dict):
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        ck = {"q": _cache_write(ck["q"], kq, decode_index),
+              "s": _cache_write(ck["s"], ks, decode_index)}
+        cv = {"q": _cache_write(cv["q"], vq, decode_index),
+              "s": _cache_write(cv["s"], vs, decode_index)}
+        return (_dequantize_kv(ck, k.dtype), _dequantize_kv(cv, v.dtype),
+                (ck, cv), decode_index)
+    ck = _cache_write(ck, k, decode_index)
+    cv = _cache_write(cv, v, decode_index)
     return ck, cv, (ck, cv), decode_index
 
 
@@ -393,7 +429,7 @@ class Attention(nn.Module):
         v = with_constraint(v, ("batch", "act_seq", "kv_heads", None))
 
         kv_offset = 0
-        if kv_cache is not None and kv_cache[0].shape[1] > 0:
+        if kv_cache is not None and _cache_T(kv_cache[0]) > 0:
             ck, cv = kv_cache
             k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
@@ -405,7 +441,7 @@ class Attention(nn.Module):
                 "sink", nn.with_logical_partitioning(
                     nn.initializers.zeros, ("heads",)),
                 (H,), jnp.float32).reshape(G, H // G)
-        no_cache = kv_cache is None or kv_cache[0].shape[1] == 0
+        no_cache = kv_cache is None or _cache_T(kv_cache[0]) == 0
         S = q.shape[1]
         # the flash/ring kernels don't implement attention-logit softcapping
         plain = chunk is None and sink is None \
@@ -549,7 +585,7 @@ class MLAAttention(nn.Module):
         v = with_constraint(v, ("batch", "act_seq", "heads", None))
 
         kv_offset = 0
-        if kv_cache is not None and kv_cache[0].shape[1] > 0:
+        if kv_cache is not None and _cache_T(kv_cache[0]) > 0:
             ck, cv = kv_cache
             k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
@@ -1012,9 +1048,10 @@ class GPTModel(nn.Module):
             else:
                 caches_in = kv_caches  # stacked [L, B, T, G, D] pair
             if period > 1:
-                caches_in = tuple(
-                    c.reshape(cfg.num_layers // period, period, *c.shape[1:])
-                    for c in caches_in)
+                caches_in = jax.tree.map(
+                    lambda c: c.reshape(
+                        cfg.num_layers // period, period, *c.shape[1:]),
+                    caches_in)
                 mod = ScanLayers(cfg, is_training=train, period=period,
                                  name="layers")
             else:
@@ -1025,15 +1062,15 @@ class GPTModel(nn.Module):
             if kv_caches is None:
                 new_caches = None
             elif period > 1:
-                new_caches = tuple(
-                    c.reshape(cfg.num_layers, *c.shape[2:])
-                    for c in new_caches)
+                new_caches = jax.tree.map(
+                    lambda c: c.reshape(cfg.num_layers, *c.shape[2:]),
+                    new_caches)
         else:
             new_caches = []
             for i in range(cfg.num_layers):
                 cache_i = None
                 if kv_caches is not None:
-                    cache_i = (kv_caches[0][i], kv_caches[1][i])
+                    cache_i = jax.tree.map(lambda c: c[i], kv_caches)
                 x, cache_i = TransformerLayer(cfg, is_training=train, layer_idx=i, name=f"layer{i}")(
                     x, positions, cache_i, decode_index, kv_valid, segment_ids
                 )
@@ -1094,12 +1131,23 @@ class GPTModel(nn.Module):
 
 
 def init_kv_caches(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    """Stacked KV cache: ([L, B, T, G, Dk], [L, B, T, G, Dv])."""
+    """Stacked KV cache: ([L, B, T, G, Dk], [L, B, T, G, Dv]).
+
+    dtype=jnp.int8 builds a QUANTIZED cache (vLLM kv_cache_dtype=int8
+    analog): each side becomes {'q': int8 [L,B,T,G,D], 's': f32 per-
+    (token,head) scale [L,B,T,G,1]} — half the bf16 KV bytes in HBM and
+    per decode-step read; writes quantize, reads dequantize
+    (see _update_kv_cache). Engines pass cache_dtype=jnp.int8."""
     if cfg.kv_lora_rank:  # MLA: full-head K (nope+rope) and V
         G = cfg.num_attention_heads
         Dk, Dv = cfg.qk_head_dim + cfg.qk_pos_emb_head_dim, cfg.v_head_dim
     else:
         G, Dk, Dv = cfg.n_kv_heads, cfg.head_dim, cfg.head_dim
+    if dtype == jnp.int8:
+        def side(D):
+            return {"q": jnp.zeros((cfg.num_layers, batch, max_len, G, D), jnp.int8),
+                    "s": jnp.zeros((cfg.num_layers, batch, max_len, G, 1), jnp.float32)}
+        return (side(Dk), side(Dv))
     return (
         jnp.zeros((cfg.num_layers, batch, max_len, G, Dk), dtype),
         jnp.zeros((cfg.num_layers, batch, max_len, G, Dv), dtype),

@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def run(quant: bool, layers: int, slots: int, max_len: int, steps: int):
+def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
+        kv_int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,9 +50,12 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int):
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     params = jax.device_put(params)
 
+    if kv_int8:
+        label += "+kv8"
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=slots, max_len=max_len,
-        prefill_buckets=(64,))
+        prefill_buckets=(64,),
+        cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16)
     rng = np.random.RandomState(0)
     for s in range(slots):
         eng.prefill_slot(s, rng.randint(1, 30000, 48).tolist())
@@ -80,11 +84,12 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=128)
-    ap.add_argument("--modes", nargs="+", default=["bf16", "int8_ptq"])
+    ap.add_argument("--modes", nargs="+",
+                    default=["bf16", "int8_ptq", "int8_ptq+kv8"])
     args = ap.parse_args()
     for mode in args.modes:
-        r = run(mode == "int8_ptq", args.layers, args.slots,
-                args.max_len, args.steps)
+        r = run(mode.startswith("int8_ptq"), args.layers, args.slots,
+                args.max_len, args.steps, kv_int8=mode.endswith("+kv8"))
         print(json.dumps(r), flush=True)
 
 

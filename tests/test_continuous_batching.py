@@ -277,3 +277,41 @@ def test_prefix_cache_exactness_and_lru(setup):
     eng.register_prefix(list(rng.randint(1, cfg.vocab_size, 6)))
     assert len(eng._prefix_store) == 2
     assert tuple(prefix) not in eng._prefix_store
+
+
+def test_int8_kv_cache_generation(setup):
+    """int8 KV cache (vLLM kv_cache_dtype=int8 analog): greedy decode with a
+    quantized cache stays close to the f32-cache reference — logits-level
+    quantization noise only, structure (shape/eos handling) identical."""
+    cfg, params = setup
+    rng = np.random.RandomState(2)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 9)]
+    p = SamplingParams(greedy=True, max_new_tokens=6, eos_id=-1)
+    ref = GenerationEngine(cfg, params, cache_dtype=jnp.float32).generate_tokens(prompts, p)
+    q = GenerationEngine(cfg, params, cache_dtype=jnp.int8).generate_tokens(prompts, p)
+    assert [len(o) for o in q] == [len(o) for o in ref]
+    # untrained logits are near-ties; require a majority token agreement
+    agree = np.mean([a == b for r, s in zip(ref, q) for a, b in zip(r, s)])
+    assert agree >= 0.5, (agree, ref, q)
+
+
+def test_int8_kv_cache_continuous_with_prefix(setup):
+    """Continuous batching + chunked prefill + prefix cache all run on an
+    int8 cache pool; slots stay independent."""
+    cfg, params = setup
+    eng = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                   prefill_buckets=(8,), cache_dtype=jnp.int8)
+    prefix = [7, 8, 9, 10]
+    eng.register_prefix(prefix)
+    t0 = eng.prefill_slot(0, prefix + [11, 12])  # hits the cached prefix
+    t1 = eng.prefill_slot(1, [3, 4, 5])
+    feed = np.asarray([t0, t1], np.int32)
+    active = np.ones(2, bool)
+    for i in range(4):
+        feed = eng.decode_step(feed, active, seed=i)
+    assert feed.shape == (2,)
+    # prefix path == no-prefix path on the same int8 pool
+    eng2 = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                    prefill_buckets=(8,), cache_dtype=jnp.int8)
+    t0b = eng2.prefill_slot(0, prefix + [11, 12])
+    assert t0b == t0
