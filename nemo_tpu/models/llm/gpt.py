@@ -1112,6 +1112,16 @@ class GPTModel(nn.Module):
 
         if cfg.share_embeddings_and_output_weights:
             logits = jnp.einsum("bsd,vd->bsv", x, embed.astype(dtype))
+        elif cfg.quantization == "int8_ptq":
+            # int8-resident vocab projection (the head is a large share of
+            # decode weight bytes at small models); other quantization
+            # modes keep the head full-precision (training numerics)
+            from nemo_tpu.ops.quant import QuantDense
+
+            logits = QuantDense(
+                features=cfg.vocab_size, mode="int8_ptq", dtype=dtype,
+                name="lm_head",
+            )(x)
         else:
             logits = nn.DenseGeneral(
                 features=cfg.vocab_size,

@@ -59,9 +59,19 @@ class LLMServer:
                  max_len: int = 512, model_name: str = "nemo-tpu-llm",
                  chat_template: str = "chatml",
                  enable_prefix_caching: bool = True,
-                 auto_prefix_min_tokens: int = 16):
+                 auto_prefix_min_tokens: int = 16,
+                 quantize_weights: bool = False,
+                 quantize_kv_cache: bool = False):
+        if quantize_weights and cfg.quantization != "int8_ptq":
+            # int8-resident PTQ serving (docs/serving.md "Quantized serving")
+            from nemo_tpu.llm.api import ptq
+
+            cfg, params = ptq(cfg, params, algorithm="int8_serve")
+        import jax.numpy as jnp
+
         self.engine = ContinuousBatchingEngine(
-            cfg, params, max_slots=max_slots, max_len=max_len)
+            cfg, params, max_slots=max_slots, max_len=max_len,
+            cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16)
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.chat_template = chat_template

@@ -315,3 +315,27 @@ def test_int8_kv_cache_continuous_with_prefix(setup):
                                     prefill_buckets=(8,), cache_dtype=jnp.int8)
     t0b = eng2.prefill_slot(0, prefix + [11, 12])
     assert t0b == t0
+
+
+def test_server_quantized_flags(setup):
+    """LLMServer(quantize_weights=True, quantize_kv_cache=True) serves an
+    int8-resident engine end-to-end."""
+    from nemo_tpu.serve.openai_server import LLMServer, SamplingParams as SP
+
+    class ByteTok:
+        def text_to_ids(self, t):
+            return [b % 120 for b in t.encode()] or [1]
+
+        def ids_to_text(self, ids):
+            return bytes(max(32, min(126, i + 32)) for i in ids).decode(errors="replace")
+
+    cfg, params = setup
+    srv = LLMServer(cfg, params, ByteTok(), max_slots=2, max_len=64,
+                    quantize_weights=True, quantize_kv_cache=True)
+    assert srv.engine.cfg.quantization == "int8_ptq"
+    srv._worker.start()
+    try:
+        out = srv.submit("hello", SP(max_new_tokens=4))
+        assert isinstance(out, str) and len(out) > 0
+    finally:
+        srv.shutdown()
