@@ -532,6 +532,11 @@ class MLAAttention(nn.Module):
     RMSNorm'd then up-projected per-head to [k_nope | v]. RoPE is applied
     only to the rope slices (k_rope is head-shared — the MQA-like trick).
 
+    Decode caches the LATENT (c_kv + roped k_pe, r+dr floats/token) and
+    attends in latent space with W_uk absorbed into q and W_uv applied
+    after the probability-weighted sum — mathematically exact, with the
+    full MLA cache-size win (see init_kv_caches).
+
     v0 caches the full post-rope K/V (correct; the latent-cache memory
     optimization is a follow-up)."""
 
@@ -566,9 +571,10 @@ class MLAAttention(nn.Module):
                     name="kv_down")(x)
         c_kv, k_pe = kvd[..., : cfg.kv_lora_rank], kvd[..., cfg.kv_lora_rank:]
         c_kv = RMSNorm(cfg, dim=cfg.kv_lora_rank, name="kv_down_norm")(c_kv)
-        kv = dense(features=(H, dn + dv),
-                   kernel_init=_init(cfg.init_method_std, (None, "heads", "qkv")),
-                   name="kv_up")(c_kv)
+        kv_up = dense(features=(H, dn + dv),
+                      kernel_init=_init(cfg.init_method_std, (None, "heads", "qkv")),
+                      name="kv_up")
+        kv = kv_up(c_kv)
         k_nope, v = kv[..., :dn], kv[..., dn:]
 
         # rope on the positional slices only (shared single-head k_pe)
@@ -576,25 +582,46 @@ class MLAAttention(nn.Module):
         inv = jnp.asarray(inv.astype(np.float32))
         q_pe = apply_rope(q_pe, positions, inv)
         k_pe = apply_rope(k_pe[:, :, None, :], positions, inv)
-        k = jnp.concatenate(
-            [k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (dr,))], axis=-1)
-        q = jnp.concatenate([q_nope, q_pe], axis=-1)
-
-        q = with_constraint(q, ("batch", "act_seq", "heads", None))
-        k = with_constraint(k, ("batch", "act_seq", "heads", None))
-        v = with_constraint(v, ("batch", "act_seq", "heads", None))
-
-        kv_offset = 0
-        if kv_cache is not None and _cache_T(kv_cache[0]) > 0:
-            ck, cv = kv_cache
-            k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
 
         scale = cfg.attention_multiplier or (1.0 / np.sqrt(dn + dr))
-        out = causal_attention(
-            q, k, v, scale=scale, window=cfg.window_size,
-            softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
-            kv_valid=kv_valid, segment_ids=segment_ids,
-        )
+        if kv_cache is not None and _cache_T(kv_cache[0]) > 0:
+            # LATENT KV cache with weight absorption (MLA's point — the
+            # reference runs this through HF/MCore deepseek attention;
+            # docstring above). Cache = (c_kv [B,T,1,r], roped k_pe
+            # [B,T,1,dr]) — r+dr floats/token instead of H·(dn+dr+dv).
+            # Exact: q_nope·k_nope = (W_uk q_nope)·c, and out_h =
+            # (Σ_t p_t c_t)·W_uv — so attend in latent space as MQA with
+            # head dim r+dr, absorb W_uk into q and W_uv after the sum.
+            ck, cv = kv_cache
+            _, _, kv_cache, kv_offset = _update_kv_cache(
+                ck, cv, c_kv[:, :, None, :], k_pe, decode_index)
+            c_all = _dequantize_kv(kv_cache[0], c_kv.dtype)  # [B,T,1,r]
+            pe_all = _dequantize_kv(kv_cache[1], c_kv.dtype)  # [B,T,1,dr]
+            w_up = kv_up.variables["params"]["kernel"]  # [r, H, dn+dv]
+            w_up = nn.meta.unbox(w_up).astype(dtype)
+            q_lat = jnp.einsum("bshd,rhd->bshr", q_nope, w_up[..., :dn])
+            q_cat = jnp.concatenate([q_lat, q_pe], axis=-1)  # [B,S,H,r+dr]
+            k_cat = jnp.concatenate([c_all, pe_all], axis=-1)  # [B,T,1,r+dr]
+            out_lat = causal_attention(
+                q_cat, k_cat, c_all, scale=scale, window=cfg.window_size,
+                softmax_fp32=cfg.attention_softmax_in_fp32,
+                kv_offset=kv_offset, kv_valid=kv_valid,
+                segment_ids=segment_ids,
+            )  # [B,S,H,r]
+            out = jnp.einsum("bshr,rhd->bshd", out_lat, w_up[..., dn:])
+        else:
+            k = jnp.concatenate(
+                [k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (dr,))],
+                axis=-1)
+            q = jnp.concatenate([q_nope, q_pe], axis=-1)
+            q = with_constraint(q, ("batch", "act_seq", "heads", None))
+            k = with_constraint(k, ("batch", "act_seq", "heads", None))
+            v = with_constraint(v, ("batch", "act_seq", "heads", None))
+            out = causal_attention(
+                q, k, v, scale=scale, window=cfg.window_size,
+                softmax_fp32=cfg.attention_softmax_in_fp32,
+                kv_valid=kv_valid, segment_ids=segment_ids,
+            )
         out = nn.DenseGeneral(
             features=cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=dtype,
             param_dtype=_dtype(cfg.params_dtype),
@@ -1148,9 +1175,11 @@ def init_kv_caches(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     (token,head) scale [L,B,T,G,1]} — half the bf16 KV bytes in HBM and
     per decode-step read; writes quantize, reads dequantize
     (see _update_kv_cache). Engines pass cache_dtype=jnp.int8."""
-    if cfg.kv_lora_rank:  # MLA: full-head K (nope+rope) and V
-        G = cfg.num_attention_heads
-        Dk, Dv = cfg.qk_head_dim + cfg.qk_pos_emb_head_dim, cfg.v_head_dim
+    if cfg.kv_lora_rank:
+        # MLA latent cache: side 0 = c_kv latents, side 1 = shared roped
+        # k_pe — (r + dr) floats/token vs H·(dn+dr+dv) for full K/V
+        # (deepseek-v3: 576 vs 57344 — the MLA memory win, exact)
+        G, Dk, Dv = 1, cfg.kv_lora_rank, cfg.qk_pos_emb_head_dim
     else:
         G, Dk, Dv = cfg.n_kv_heads, cfg.head_dim, cfg.head_dim
     if dtype == jnp.int8:

@@ -144,3 +144,31 @@ def test_gemma2_parity():
     cfg = _parity(m)
     assert cfg.attn_logit_softcapping == 50.0
     assert cfg.sandwich_norms and cfg.layernorm_zero_centered_gamma
+
+
+def test_mla_latent_cache_engine_and_int8():
+    """MLA latent cache through GenerationEngine: cache stores (r + dr)
+    floats/token (not H·(dn+dr+dv)), greedy decode runs, and the int8
+    cache variant composes."""
+    import jax
+
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.models.llm.generate import GenerationEngine, SamplingParams
+    from nemo_tpu.models.llm.gpt import init_kv_caches
+
+    cfg = tiny_test(kv_lora_rank=16, q_lora_rank=24, qk_head_dim=16,
+                    qk_pos_emb_head_dim=8, v_head_dim=16)
+    k, v = init_kv_caches(cfg, 1, 8, dtype=jnp.float32)
+    assert k.shape == (cfg.num_layers, 1, 8, 1, 16)   # latents
+    assert v.shape == (cfg.num_layers, 1, 8, 1, 8)    # shared roped k_pe
+
+    import flax.linen as nn
+    model = GPTModel(cfg)
+    params = nn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"])
+    p = SamplingParams(greedy=True, max_new_tokens=4, eos_id=-1)
+    ref = GenerationEngine(cfg, params, cache_dtype=jnp.float32).generate_tokens(
+        [[5, 6, 7]], p)
+    q8 = GenerationEngine(cfg, params, cache_dtype=jnp.int8).generate_tokens(
+        [[5, 6, 7]], p)
+    assert len(ref[0]) == len(q8[0]) == 4
