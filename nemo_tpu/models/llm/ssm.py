@@ -127,12 +127,19 @@ def ssd_chunked(x, dt, A, B, C, D, chunk: int, prev_state=None):
 
 class Mamba2Mixer(nn.Module):
     """HF-parity Mamba2 mixer; one fused in_proj → [z | x,B,C | dt],
-    causal depthwise conv+silu on [x,B,C], chunked SSD, gated RMSNorm."""
+    causal depthwise conv+silu on [x,B,C], chunked SSD, gated RMSNorm.
+
+    Decode (reference: the mamba inference wrapper's recurrent mode):
+    pass `state=(conv_buf [b,K-1,conv_dim], h [b,H,p,n])` — T==1 runs the
+    O(1) single-step recurrence h_t = exp(dt·A)·h_{t-1} + (dt·x_t)⊗B_t,
+    T>1 (prefill) runs the chunked SSD and hands back the final state.
+    `mask` [b,T] zeroes dt/x at left-pad rows so padded prompts leave the
+    state untouched. With `state`, returns (y, new_state)."""
 
     cfg: SSMConfig
 
     @nn.compact
-    def __call__(self, u):
+    def __call__(self, u, state=None, mask=None):
         cfg = self.cfg
         bsz, T, Dm = u.shape
         di, g, n, H, p = cfg.d_inner, cfg.n_groups, cfg.state_size, cfg.num_heads, cfg.head_dim
@@ -141,24 +148,38 @@ class Mamba2Mixer(nn.Module):
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.normal(cfg.init_method_std), ("embed", "mlp")),
             name="in_proj")(u)
-        z, xBC, dt = jnp.split(proj, [di, di + cfg.conv_dim], axis=-1)
+        z, xBC_raw, dt = jnp.split(proj, [di, di + cfg.conv_dim], axis=-1)
+        if mask is not None:
+            xBC_raw = xBC_raw * mask[..., None].astype(xBC_raw.dtype)
 
-        # causal depthwise conv over time (conv state = last K-1 inputs)
+        # causal depthwise conv over time (conv state = last K-1 raw inputs)
         K = cfg.conv_kernel
         w = self.param("conv_kernel",
                        nn.with_logical_partitioning(
                            nn.initializers.lecun_normal(), (None, "mlp")),
                        (K, cfg.conv_dim), jnp.float32)
-        xBC_pad = jnp.pad(xBC, ((0, 0), (K - 1, 0), (0, 0)))
-        conv = jax.lax.conv_general_dilated(
-            xBC_pad.astype(jnp.float32), w[:, None, :],
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=cfg.conv_dim)
+        cb = None
         if cfg.use_conv_bias:
             cb = self.param("conv_bias",
                             nn.with_logical_partitioning(nn.initializers.zeros, ("mlp",)),
                             (cfg.conv_dim,), jnp.float32)
+        step = state is not None and T == 1
+        if step:
+            conv_buf, h_prev = state
+            win = jnp.concatenate(
+                [conv_buf.astype(xBC_raw.dtype), xBC_raw], axis=1)  # [b,K,c]
+            conv = jnp.einsum("bkc,kc->bc", win.astype(jnp.float32), w)[:, None]
+            new_conv_buf = win[:, 1:]
+        else:
+            xBC_pad = jnp.pad(xBC_raw, ((0, 0), (K - 1, 0), (0, 0)))
+            if state is not None:
+                new_conv_buf = xBC_pad[:, T:, :]  # last K-1 raw inputs
+            conv = jax.lax.conv_general_dilated(
+                xBC_pad.astype(jnp.float32), w[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=cfg.conv_dim)
+        if cb is not None:
             conv = conv + cb
         xBC = nn.silu(conv).astype(u.dtype)
 
@@ -185,18 +206,35 @@ class Mamba2Mixer(nn.Module):
         lo, hi = cfg.time_step_limit
         if lo > 0.0 or np.isfinite(hi):
             dt = jnp.clip(dt, lo, hi)
+        if mask is not None:
+            # pad rows: no decay, no input
+            dt = dt * mask[..., None].astype(jnp.float32)
         A = -jnp.exp(A_log)
 
-        # pad T to a chunk multiple (masked tail contributes nothing to y[:T])
-        Q = cfg.chunk_size
-        pad = (-T) % Q
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
-            B = jnp.pad(B, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        y, _ = ssd_chunked(x, dt, A, B, C, Dskip, Q)
-        y = y[:, :T].reshape(bsz, T, di)
+        if step:
+            # h_t = exp(dt·A) h_{t-1} + (dt·x)⊗B ; y = C·h_t + D·x
+            dt1 = dt[:, 0]  # [b,H]
+            dA = jnp.exp(dt1 * A)  # [b,H]
+            xd = x[:, 0] * dt1[..., None]  # [b,H,p]
+            h_new = (h_prev * dA[..., None, None]
+                     + xd[..., None] * B[:, 0, :, None, :])  # [b,H,p,n]
+            y = jnp.einsum("bhn,bhpn->bhp", C[:, 0], h_new)
+            y = (y + x[:, 0] * Dskip[None, :, None]).reshape(bsz, 1, di)
+            new_state = (new_conv_buf, h_new)
+        else:
+            # pad T to a chunk multiple (dt=0 tail: no decay, no state input)
+            Q = cfg.chunk_size
+            pad = (-T) % Q
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+                B = jnp.pad(B, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            prev = state[1] if state is not None else None
+            y, final = ssd_chunked(x, dt, A, B, C, Dskip, Q, prev_state=prev)
+            y = y[:, :T].reshape(bsz, T, di)
+            if state is not None:
+                new_state = (new_conv_buf, final)
 
         # gated RMSNorm: norm(y * silu(z)) * scale
         scale = self.param("norm_scale",
@@ -206,11 +244,14 @@ class Mamba2Mixer(nn.Module):
         var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
         y = (y * jax.lax.rsqrt(var + 1e-5) * scale).astype(u.dtype)
 
-        return nn.DenseGeneral(
+        out = nn.DenseGeneral(
             features=Dm, use_bias=False, dtype=u.dtype,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.normal(cfg.init_method_std), ("mlp", "embed")),
             name="out_proj")(y)
+        if state is not None:
+            return out, new_state
+        return out
 
 
 class _RMS(nn.Module):
@@ -230,12 +271,21 @@ class SSMModel(nn.Module):
     """Pure-mamba2 or hybrid (pattern) causal LM.
 
     'M' layers: pre-norm Mamba2Mixer residual. '*': pre-norm GPT attention.
-    '-': pre-norm GPT MLP. Attention/MLP blocks read cfg.attn (a GPTConfig)."""
+    '-': pre-norm GPT MLP. Attention/MLP blocks read cfg.attn (a GPTConfig).
+
+    Stateful generation (the mamba serving win — O(1) memory and FLOPs
+    per decoded token instead of re-running the prefix): pass
+    `states=init_ssm_states(cfg, B, total)`; 'M' entries carry
+    (conv_buf, h), '*' entries carry a KV cache written at decode_index
+    (kv_valid masks attendable slots), '-' entries are None. Returns
+    (logits, new_states). `mask` [B,S] marks real prompt tokens during a
+    left-padded prefill."""
 
     cfg: SSMConfig
 
     @nn.compact
-    def __call__(self, tokens, positions=None, *, train=False):
+    def __call__(self, tokens, positions=None, *, train=False, states=None,
+                 decode_index=None, kv_valid=None, mask=None):
         from nemo_tpu.models.llm.gpt import MLP, Attention
 
         cfg = self.cfg
@@ -252,16 +302,30 @@ class SSMModel(nn.Module):
         pat = cfg.pattern()
         assert len(pat) == cfg.num_layers, "pattern length must equal num_layers"
         acfg = cfg.attn
+        new_states = [] if states is not None else None
         for i, ch in enumerate(pat):
             h = _RMS(cfg.layernorm_epsilon, name=f"norm{i}")(x)
             if ch == "M":
-                x = x + Mamba2Mixer(cfg, name=f"mixer{i}")(h)
+                mixer = Mamba2Mixer(cfg, name=f"mixer{i}")
+                if states is not None:
+                    out, st = mixer(h, state=states[i], mask=mask)
+                    new_states.append(st)
+                else:
+                    out = mixer(h)
+                x = x + out
             elif ch == "*":
-                out, _ = Attention(acfg, name=f"attention{i}")(
-                    h, positions, train=train)
+                out, kv = Attention(acfg, name=f"attention{i}")(
+                    h, positions,
+                    kv_cache=None if states is None else states[i],
+                    decode_index=decode_index, kv_valid=kv_valid,
+                    train=train)
+                if states is not None:
+                    new_states.append(kv)
                 x = x + out
             elif ch == "-":
                 x = x + MLP(acfg, name=f"mlp{i}")(h, train=train)
+                if states is not None:
+                    new_states.append(None)
             else:
                 raise ValueError(f"unknown pattern char {ch!r}")
         x = _RMS(cfg.layernorm_epsilon, name="norm_f")(x)
@@ -273,7 +337,10 @@ class SSMModel(nn.Module):
                 kernel_init=nn.with_logical_partitioning(
                     nn.initializers.normal(cfg.init_method_std), ("embed", "vocab")),
                 name="lm_head")(x)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if states is not None:
+            return logits, tuple(new_states)
+        return logits
 
 
 # --------------------------------------------------------------------------
@@ -302,3 +369,104 @@ def nemotron_h_8b(**kw) -> SSMConfig:
                             position_embedding_type="none"))
     d.update(kw)
     return SSMConfig(**d)
+
+
+# --------------------------------------------------------------------------
+# stateful generation (O(1)/token decode — the SSM serving advantage;
+# reference: megatron mamba inference wrapper used by llm.generate)
+# --------------------------------------------------------------------------
+
+
+def init_ssm_states(cfg: SSMConfig, batch: int, total_len: int,
+                    dtype=jnp.float32):
+    """Per-layer decode states: 'M' → (conv_buf [B,K-1,conv_dim],
+    h [B,H,p,n] fp32); '*' → KV cache pair [B,total,G,D]; '-' → None."""
+    acfg = cfg.attn
+    states = []
+    for ch in cfg.pattern():
+        if ch == "M":
+            states.append((
+                jnp.zeros((batch, cfg.conv_kernel - 1, cfg.conv_dim), dtype),
+                jnp.zeros((batch, cfg.num_heads, cfg.head_dim,
+                           cfg.state_size), jnp.float32)))
+        elif ch == "*":
+            G, D = acfg.n_kv_heads, acfg.head_dim
+            states.append((
+                jnp.zeros((batch, total_len, G, D), dtype),
+                jnp.zeros((batch, total_len, G, D), dtype)))
+        else:
+            states.append(None)
+    return tuple(states)
+
+
+class SSMGenerationEngine:
+    """Batched prefill + jitted recurrent decode loop for SSM/hybrid LMs.
+
+    Same surface as GenerationEngine (left-padded prompts, one compiled
+    program per (B, S_pad, max_new)), but per-step cost is O(state), not
+    O(prefix): mamba layers advance their recurrence, hybrid attention
+    layers read a KV cache."""
+
+    def __init__(self, cfg: SSMConfig, params):
+        self.cfg = cfg
+        self.model = SSMModel(cfg)
+        self.params = params
+        self._jit = {}
+
+    def _build(self, B: int, S: int, max_new: int, eos: int):
+        cfg, model = self.cfg, self.model
+        total = S + max_new
+
+        def run(params, tokens, plen):
+            pad = S - plen
+            slots = jnp.arange(S)[None, :]
+            positions = jnp.maximum(slots - pad[:, None], 0)
+            valid = slots >= pad[:, None]
+            kv_valid = jnp.zeros((B, total), bool).at[:, :S].set(valid)
+            states = init_ssm_states(cfg, B, total)
+            logits, states = model.apply(
+                {"params": params}, tokens, positions, states=states,
+                decode_index=0, kv_valid=kv_valid, mask=valid)
+            last = logits[:, -1]
+
+            def step(carry, i):
+                states, prev_logits, done, kv_valid = carry
+                tok = jnp.argmax(prev_logits, -1).astype(jnp.int32)
+                tok = jnp.where(done, 0, tok)
+                slot = S + i
+                kv_valid = kv_valid.at[:, slot].set(~done)
+                pos = (slot - pad)[:, None]
+                logits, states = model.apply(
+                    {"params": params}, tok[:, None], pos, states=states,
+                    decode_index=slot, kv_valid=kv_valid)
+                new_done = done | (tok == eos)
+                out_tok = jnp.where(done, -1, tok)
+                return (states, logits[:, 0], new_done, kv_valid), out_tok
+
+            init = (states, last, jnp.zeros(B, bool), kv_valid)
+            _, out = jax.lax.scan(step, init, jnp.arange(max_new))
+            return jnp.transpose(out)
+
+        return jax.jit(run)
+
+    def generate_tokens(self, prompt_ids, max_new_tokens: int = 32,
+                        eos_id: int = -1):
+        B = len(prompt_ids)
+        S = max(8, int(2 ** np.ceil(np.log2(max(len(p) for p in prompt_ids)))))
+        key = (B, S, max_new_tokens, int(eos_id))
+        if key not in self._jit:
+            self._jit[key] = self._build(B, S, max_new_tokens, int(eos_id))
+        tokens = np.zeros((B, S), np.int32)
+        plen = np.zeros(B, np.int32)
+        for b, p in enumerate(prompt_ids):
+            tokens[b, S - len(p):] = p
+            plen[b] = len(p)
+        out = np.asarray(self._jit[key](
+            self.params, jnp.asarray(tokens), jnp.asarray(plen)))
+        results = []
+        for b in range(B):
+            ids = [int(t) for t in out[b] if t >= 0]
+            if eos_id >= 0 and eos_id in ids:
+                ids = ids[: ids.index(eos_id)]
+            results.append(ids)
+        return results
