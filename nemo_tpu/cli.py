@@ -156,11 +156,94 @@ def _asr_align(cfg: ConfigDict) -> int:
     return 0
 
 
+def _asr_eval(cfg: ConfigDict) -> int:
+    """WER/CER over a manifest (reference: speech_to_text_eval.py —
+    transcribe the manifest's audio, score against its `text` fields)."""
+    import json as _json
+
+    from nemo_tpu.interop.nemo_import import import_ctc_model
+    from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+    from nemo_tpu.models.asr.metrics import word_error_rate
+
+    ckpt = str(cfg.get("model", ""))
+    model = (import_ctc_model(ckpt) if ckpt.endswith(".nemo")
+             else EncDecCTCModel.restore_from(ckpt))
+    manifest = str(cfg.get("manifest", ""))
+    if not manifest:
+        logging.error("asr eval requires manifest=<path.jsonl>")
+        return 2
+    paths, refs = [], []
+    with open(manifest) as f:
+        for line in f:
+            if line.strip():
+                e = _json.loads(line)
+                paths.append(e["audio_filepath"])
+                refs.append(e.get("text", ""))
+    hyps = model.transcribe(paths, batch_size=int(cfg.get("batch_size", 4)))
+    use_cer = bool(cfg.get("use_cer", False))
+    score = word_error_rate(hyps, refs, use_cer=use_cer)
+    if cfg.get("output"):
+        with open(str(cfg.output), "w") as f:
+            for p, h, r in zip(paths, hyps, refs):
+                f.write(_json.dumps(
+                    {"audio_filepath": p, "pred_text": h, "text": r}) + "\n")
+    print(_json.dumps({("cer" if use_cer else "wer"): round(score, 4),
+                       "utterances": len(paths)}))
+    return 0
+
+
+def _llm_finetune(cfg: ConfigDict) -> int:
+    """Fine-tune a recipe on a jsonl dataset (reference api.py finetune)."""
+    from nemo_tpu.data.fine_tuning import FineTuningDataModule
+    from nemo_tpu.llm.recipes import RECIPES
+
+    model = str(cfg.get("model", "tiny_test"))
+    if model not in RECIPES:
+        logging.error(f"unknown recipe {model!r}; available: {sorted(RECIPES)}")
+        return 2
+    recipe = RECIPES[model]()
+    trainer_cfg = cfg.get("trainer", ConfigDict())
+    data_cfg = cfg.get("data", ConfigDict())
+    max_steps = int(trainer_cfg.get("max_steps", 100))
+    data = None
+    if "path" in data_cfg:
+        from nemo_tpu.data.text_tokenizers import HFTokenizer
+
+        data = FineTuningDataModule(
+            str(data_cfg.path),
+            tokenizer=HFTokenizer(str(data_cfg.get("tokenizer", "gpt2"))),
+            seq_length=int(data_cfg.get("seq_length", recipe.model.seq_length)),
+            global_batch_size=int(
+                data_cfg.get("global_batch_size", recipe.global_batch_size)),
+        )
+    peft = str(cfg.get("peft", "")) or None
+    module, data, trainer = recipe.build(
+        data=data, max_steps=max_steps, log_dir=cfg.get("log_dir"))
+    if peft:
+        # adapter-only finetune from the recipe's (fresh or restored) base
+        from nemo_tpu import llm as llm_api
+        from nemo_tpu.llm.peft import CanonicalLoRA, LoRA
+
+        transform = {"lora": LoRA(), "dora": LoRA(dora=True),
+                     "canonical_lora": CanonicalLoRA()}[peft]
+        import flax.linen as nn
+
+        base = nn.meta.unbox(module.init_state(seed=0).params)
+        _, _, metrics = llm_api.finetune(
+            recipe.model, base, data, trainer=trainer, peft=transform)
+    else:
+        metrics = trainer.fit(module, data)
+    logging.info(f"done: {metrics}")
+    return 0
+
+
 _COMMANDS = {
     ("llm", "pretrain"): _llm_pretrain,
+    ("llm", "finetune"): _llm_finetune,
     ("llm", "generate"): _llm_generate,
     ("llm", "serve"): _serve,
     ("asr", "transcribe"): _asr_transcribe,
+    ("asr", "eval"): _asr_eval,
     ("asr", "diarize"): _asr_diarize,
     ("asr", "align"): _asr_align,
     ("tts", "synthesize"): _tts_synthesize,

@@ -43,3 +43,37 @@ def test_asr_diarize_command(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "SPEAKER" in out or out.strip() == ""  # RTTM lines (random model)
+
+
+def test_asr_eval_command(tmp_path, capsys):
+    """`asr eval manifest=...` scores WER over a manifest
+    (speech_to_text_eval.py analog) and writes a predictions file."""
+    import json
+
+    from nemo_tpu.data.audio_io import write_wav
+    from nemo_tpu.models.asr.configs import quartznet_tiny
+    from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+
+    m = EncDecCTCModel(quartznet_tiny())
+    ckpt = str(tmp_path / "m.ntpu")
+    m.save_to(ckpt)
+    rng = np.random.RandomState(0)
+    manifest = tmp_path / "eval.jsonl"
+    with open(manifest, "w") as f:
+        for i in range(2):
+            wav = str(tmp_path / f"a{i}.wav")
+            write_wav(wav, (rng.randn(8000) * 0.1).astype(np.float32), 16000)
+            f.write(json.dumps({"audio_filepath": wav, "text": "a b"}) + "\n")
+    outfile = str(tmp_path / "preds.jsonl")
+    rc = main(["asr", "eval", f"model={ckpt}", f"manifest={manifest}",
+               f"output={outfile}", "batch_size=2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["utterances"] == 2 and "wer" in res
+    assert len(open(outfile).read().strip().splitlines()) == 2
+
+
+def test_llm_finetune_command(tmp_path, capsys):
+    """`llm finetune` runs the tiny recipe a few steps (mock data path)."""
+    rc = main(["llm", "finetune", "model=tiny_test", "trainer.max_steps=2"])
+    assert rc == 0
