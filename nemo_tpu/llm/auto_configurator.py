@@ -93,6 +93,48 @@ def estimate_hbm_gb(cfg: GPTConfig, tp: int, fsdp: int, cp: int,
     return (state + grads + acts + logits) / 1e9 + 0.8  # + runtime overhead
 
 
+def serving_memory_plan(cfg: GPTConfig, *, max_slots: int, max_len: int,
+                        quantize_weights: bool = False,
+                        quantize_kv_cache: bool = False,
+                        hbm_gb: float = 15.75) -> dict:
+    """Analytic HBM plan for the continuous-batching serving engine
+    (reference: the TRT-LLM engine-build memory estimator role).
+
+    Accounts for the round-3 serving memory features: int8 weight-resident
+    PTQ (1 byte + per-channel scales vs 2 bf16), int8 KV cache (1 byte +
+    per-(token,head) scale vs 2), and the MLA latent cache (r+dr per token
+    instead of H·(dn+dr+dv), picked automatically for kv_lora_rank
+    configs). Returns component GiB, the max slots that fit, and fits."""
+    n = _param_count(cfg)
+    if quantize_weights:
+        weights = n * 1.0  # int8 (+ scales: ~1/contract_dim, negligible)
+    else:
+        weights = n * 2.0  # bf16
+    if cfg.kv_lora_rank:
+        per_tok = cfg.kv_lora_rank + cfg.qk_pos_emb_head_dim  # latent cache
+        heads = 1
+    else:
+        per_tok = 2 * cfg.n_kv_heads * cfg.head_dim
+        heads = cfg.n_kv_heads
+    bytes_per = 1 + 4.0 * heads / max(per_tok, 1) if quantize_kv_cache else 2
+    kv = cfg.num_layers * max_slots * max_len * per_tok * bytes_per
+    # decode working set: one token per slot of activations + logits rows
+    work = max_slots * (cfg.hidden_size * cfg.num_layers * 2
+                        + cfg.vocab_size * 4)
+    total = (weights + kv + work) / 1e9 + 0.8
+    work_per_slot = (cfg.hidden_size * cfg.num_layers * 2
+                     + cfg.vocab_size * 4) / 1e9
+    per_slot = cfg.num_layers * max_len * per_tok * bytes_per / 1e9 + work_per_slot
+    budget = hbm_gb - weights / 1e9 - 0.8
+    return {
+        "weights_gb": round(weights / 1e9, 3),
+        "kv_cache_gb": round(kv / 1e9, 3),
+        "total_gb": round(total, 3),
+        "fits": total <= hbm_gb,
+        "max_slots_at_len": int(max(0, budget // max(per_slot, 1e-12))),
+    }
+
+
 def generate_configs(
     cfg: GPTConfig,
     num_chips: int,
