@@ -88,6 +88,12 @@ class GPTTrainModule:
     kd_alpha: float = 0.5
 
     def __post_init__(self):
+        if self.cfg.quantization == "int8_ptq":
+            raise ValueError(
+                "quantization='int8_ptq' is the weight-resident SERVING "
+                "path (ptq(algorithm='int8_serve')); its int8 params have "
+                "no useful gradients. Train with quantization in "
+                "{'fp8','fp8_e4m3','int8'} instead.")
         if self.mesh is None:
             self.mesh = make_mesh(self.mesh_cfg)
         cp = self.mesh.shape.get("cp", 1)

@@ -88,3 +88,32 @@ def test_tts_synthesize_export_round_trip(tmp_path):
     assert audio.shape == (1, 64 * hop)
     n = int(mel_len[0]) * hop
     assert np.abs(np.asarray(audio)[0, :n]).max() > 0
+
+
+def test_quantized_decode_export(tmp_path):
+    """StableHLO export of the int8-resident PTQ decode step (the
+    quantized-engine artifact: int8 weights baked into the program)."""
+    from nemo_tpu.llm.api import ptq
+    from nemo_tpu.models.llm.gpt import init_kv_caches
+
+    cfg, model, params = _tiny()
+    cfg_q, params_q = ptq(cfg, params, algorithm="int8_serve")
+    path = export_gpt_decode(cfg_q, params_q, str(tmp_path / "qdec"),
+                             batch=1, max_len=8)
+    prog = load_exported(path)
+    k, v = init_kv_caches(cfg_q, 1, 8, dtype=jnp.float32)
+    logits, k, v = prog(jnp.zeros((1, 1), jnp.int32),
+                        jnp.zeros((1, 1), jnp.int32),
+                        k, v, jnp.zeros((), jnp.int32))
+    assert logits.shape == (1, 1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_module_rejects_int8_ptq():
+    import pytest as _pytest
+
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.models.llm.train import GPTTrainModule
+
+    with _pytest.raises(ValueError, match="int8_ptq"):
+        GPTTrainModule(tiny_test(quantization="int8_ptq"))
