@@ -470,3 +470,136 @@ class SSMGenerationEngine:
                 ids = ids[: ids.index(eos_id)]
             results.append(ids)
         return results
+
+
+class SSMContinuousBatchingEngine:
+    """Continuous batching on a fixed slot pool for SSM/hybrid LMs —
+    the ContinuousBatchingEngine surface (prefill_slot / decode_step /
+    free_slot) so LLMServer can serve mamba2/nemotron-H checkpoints.
+
+    Per-slot state instead of per-slot KV: 'M' layers keep
+    (conv_buf, h) with the slot as axis 0; hybrid '*' layers keep a KV
+    pool written at per-slot depths. One jitted decode program advances
+    every active slot; prefill runs chunked with a left-padded first
+    chunk (mask keeps pad rows out of the recurrence)."""
+
+    def __init__(self, cfg: SSMConfig, params, *, max_slots: int = 4,
+                 max_len: int = 512, prefill_buckets=(32, 64, 128),
+                 cache_dtype=jnp.float32, **_ignored):
+        self.cfg = cfg
+        self.model = SSMModel(cfg)
+        self.params = params
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.bucket = max(prefill_buckets)
+        self.states = init_ssm_states(cfg, max_slots, max_len, cache_dtype)
+        self.cur_len = np.zeros(max_slots, np.int64)
+        self.pad = np.zeros(max_slots, np.int64)
+        self._prefill_jit = None
+        self._decode_jit = None
+        model, pattern = self.model, cfg.pattern()
+
+        def slot_slice(states, slot):
+            return jax.tree.map(
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0),
+                states)
+
+        def slot_put(states, sub, slot):
+            return jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice_in_dim(
+                    c, u.astype(c.dtype), slot, axis=0),
+                states, sub)
+
+        def prefill(params, states, slot, tokens, start, pad, rng,
+                    temperature, top_k, top_p):
+            """tokens [1, Sb]: chunk of the prompt, LEFT-padded overall so
+            every chunk ends on a real token; chunk 0 carries the `pad`
+            zeros (masked out of the recurrence). Samples from the chunk's
+            last row (callers keep only the final chunk's sample)."""
+            Sb = tokens.shape[1]
+            sub = slot_slice(states, slot)
+            positions = jnp.maximum(start + jnp.arange(Sb)[None, :] - pad, 0)
+            mask = (start + jnp.arange(Sb)[None, :]) >= pad
+            kv_valid = ((jnp.arange(self.max_len) >= pad)
+                        & (jnp.arange(self.max_len) < start + Sb))[None, :]
+            logits, sub = model.apply(
+                {"params": params}, tokens, positions, states=sub,
+                decode_index=start, kv_valid=kv_valid, mask=mask)
+            states = slot_put(states, sub, slot)
+            from nemo_tpu.models.llm.generate import _temp_sample
+
+            tok = _temp_sample(logits[0, -1][None], rng,
+                               temperature, top_k, top_p)[0]
+            return states, tok
+
+        def decode(params, states, tok, cur_len, pad, rng,
+                   temperature, top_k, top_p):
+            positions = (cur_len - pad)[:, None].astype(jnp.int32)
+            kv_valid = ((jnp.arange(self.max_len)[None, :] >= pad[:, None])
+                        & (jnp.arange(self.max_len)[None, :] <= cur_len[:, None]))
+            logits, states = model.apply(
+                {"params": params}, tok[:, None], positions, states=states,
+                decode_index=cur_len.astype(jnp.int32), kv_valid=kv_valid)
+            from nemo_tpu.models.llm.generate import _temp_sample
+
+            nxt = _temp_sample(logits[:, 0], rng, temperature, top_k, top_p)
+            return states, nxt
+
+        self._prefill_fn = prefill
+        self._decode_fn = decode
+
+    def register_prefix(self, prefix_ids):
+        raise ValueError("prefix caching requires a KV-cache model; "
+                         "SSM states are not prefix-sliceable")
+
+    def prefill_slot(self, slot: int, prompt_ids, temperature: float = 0.0,
+                     seed: int = 0, top_k: int = 0, top_p: float = 0.0) -> int:
+        ids = list(prompt_ids)
+        if len(ids) >= self.max_len:
+            ids = ids[-(self.max_len - 1):]
+        Bk = self.bucket
+        n = max(1, -(-len(ids) // Bk))
+        if n * Bk >= self.max_len:  # keep decode room
+            n = max(1, (self.max_len - 1) // Bk)
+            ids = ids[-(n * Bk):]
+        padded = n * Bk
+        pad = padded - len(ids)
+        toks = np.zeros((1, padded), np.int32)
+        toks[0, pad:] = ids
+        if self._prefill_jit is None:
+            self._prefill_jit = jax.jit(self._prefill_fn)
+        tok = None
+        for c in range(n):
+            chunk = toks[:, c * Bk:(c + 1) * Bk]
+            self.states, tok = self._prefill_jit(
+                self.params, self.states, jnp.asarray(slot),
+                jnp.asarray(chunk), jnp.asarray(c * Bk), jnp.asarray(pad),
+                jax.random.PRNGKey(seed),
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32))
+        self.cur_len[slot] = padded
+        self.pad[slot] = pad
+        return int(tok)
+
+    def decode_step(self, feed_tokens, active, temperature=0.0,
+                    seed: int = 0, top_k=0, top_p=0.0):
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(self._decode_fn)
+        self.states, nxt = self._decode_jit(
+            self.params, self.states, jnp.asarray(feed_tokens, jnp.int32),
+            jnp.asarray(self.cur_len), jnp.asarray(self.pad),
+            jax.random.PRNGKey(seed),
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32))
+        self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
+        return np.asarray(nxt)
+
+    def free_slot(self, slot: int):
+        # zero the slot's recurrent states so a new request starts clean
+        def zero_slot(c):
+            return jax.lax.dynamic_update_slice_in_dim(
+                c, jnp.zeros((1,) + c.shape[1:], c.dtype), slot, axis=0)
+
+        self.states = jax.tree.map(zero_slot, self.states)
+        self.cur_len[slot] = 0
+        self.pad[slot] = 0

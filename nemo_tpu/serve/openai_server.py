@@ -62,16 +62,27 @@ class LLMServer:
                  auto_prefix_min_tokens: int = 16,
                  quantize_weights: bool = False,
                  quantize_kv_cache: bool = False):
-        if quantize_weights and cfg.quantization != "int8_ptq":
-            # int8-resident PTQ serving (docs/serving.md "Quantized serving")
-            from nemo_tpu.llm.api import ptq
-
-            cfg, params = ptq(cfg, params, algorithm="int8_serve")
         import jax.numpy as jnp
 
-        self.engine = ContinuousBatchingEngine(
-            cfg, params, max_slots=max_slots, max_len=max_len,
-            cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16)
+        from nemo_tpu.models.llm.ssm import (
+            SSMConfig, SSMContinuousBatchingEngine)
+
+        if isinstance(cfg, SSMConfig):
+            # mamba2 / nemotron-H hybrids: per-slot recurrent states
+            if quantize_weights or quantize_kv_cache:
+                raise ValueError("quantized serving is GPT-family only")
+            self.engine = SSMContinuousBatchingEngine(
+                cfg, params, max_slots=max_slots, max_len=max_len)
+            enable_prefix_caching = False  # states are not prefix-sliceable
+        else:
+            if quantize_weights and cfg.quantization != "int8_ptq":
+                # int8-resident PTQ serving (docs/serving.md)
+                from nemo_tpu.llm.api import ptq
+
+                cfg, params = ptq(cfg, params, algorithm="int8_serve")
+            self.engine = ContinuousBatchingEngine(
+                cfg, params, max_slots=max_slots, max_len=max_len,
+                cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16)
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.chat_template = chat_template
