@@ -54,13 +54,41 @@ def _sample(logits: jnp.ndarray, rng, p: SamplingParams) -> jnp.ndarray:
 
 
 class GenerationEngine:
-    """Owns the jitted prefill+decode program for one (B, S_pad, max_new)."""
+    """Owns the jitted prefill+decode program for one (B, S_pad, max_new).
 
-    def __init__(self, cfg: GPTConfig, params, cache_dtype=jnp.bfloat16):
+    Pass `mesh` (or `mesh_cfg`) for SHARDED serving — the reference's
+    TP/PP inference (llm.generate runs under MegatronStrategy with
+    TP collectives per token, SURVEY §3.4). Params are placed by the
+    training logical-axis rules (heads/mlp/vocab → tp, embed → fsdp);
+    the KV cache inherits the kv_heads→tp sharding from the writes, and
+    GSPMD inserts the per-token collectives. Serve models bigger than
+    one chip's HBM with the same engine."""
+
+    def __init__(self, cfg: GPTConfig, params, cache_dtype=jnp.bfloat16,
+                 mesh=None, mesh_cfg=None):
         self.cfg = cfg
         self.model = GPTModel(cfg)
-        self.params = params
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
+        if mesh is None and mesh_cfg is not None:
+            from nemo_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(mesh_cfg)
+        self._param_shardings = None
+        if self.mesh is not None:
+            import flax.linen as nn
+            from nemo_tpu.parallel.mesh import default_axis_rules
+
+            tokens = jnp.zeros((1, 8), jnp.int32)
+            abstract = jax.eval_shape(
+                lambda r: self.model.init(r, tokens)["params"],
+                jax.random.PRNGKey(0))
+            specs = nn.get_partition_spec(abstract)
+            self._param_shardings = nn.logical_to_mesh_sharding(
+                specs, self.mesh, default_axis_rules())
+            with jax.set_mesh(self.mesh):
+                params = jax.device_put(params, self._param_shardings)
+        self.params = params
         self._jit = {}
 
     def _build(self, B: int, S: int, sampling: SamplingParams):
@@ -101,6 +129,10 @@ class GenerationEngine:
             _, out_tokens = jax.lax.scan(step, init, jnp.arange(sampling.max_new_tokens))
             return jnp.transpose(out_tokens)  # [B, max_new]
 
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                return jax.jit(
+                    run, in_shardings=(self._param_shardings, None, None, None))
         return jax.jit(run)
 
     def generate_tokens(
@@ -119,9 +151,15 @@ class GenerationEngine:
         for b, p in enumerate(prompt_ids):
             tokens[b, S - len(p):] = p  # left padding
             plen[b] = len(p)
-        out = self._jit[key](
-            self.params, jnp.asarray(tokens), jnp.asarray(plen), jax.random.PRNGKey(seed)
-        )
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                out = self._jit[key](
+                    self.params, jnp.asarray(tokens), jnp.asarray(plen),
+                    jax.random.PRNGKey(seed))
+        else:
+            out = self._jit[key](
+                self.params, jnp.asarray(tokens), jnp.asarray(plen),
+                jax.random.PRNGKey(seed))
         out = np.asarray(out)
         results = []
         for b in range(B):
@@ -147,9 +185,31 @@ class ContinuousBatchingEngine:
 
     def __init__(self, cfg: GPTConfig, params, *, max_slots: int = 4,
                  max_len: int = 512, prefill_buckets: Sequence[int] = (32, 64, 128),
-                 cache_dtype=jnp.bfloat16, max_prefixes: int = 8):
+                 cache_dtype=jnp.bfloat16, max_prefixes: int = 8,
+                 mesh=None, mesh_cfg=None):
         self.cfg = cfg
         self.model = GPTModel(cfg)
+        self.mesh = mesh
+        if mesh is None and mesh_cfg is not None:
+            from nemo_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(mesh_cfg)
+        self._param_shardings = None
+        if self.mesh is not None:
+            # TP/FSDP-sharded serving: params placed by the training
+            # logical-axis rules; cache shardings propagate from the
+            # kv_heads→tp-constrained writes (see GenerationEngine)
+            import flax.linen as nn
+            from nemo_tpu.parallel.mesh import default_axis_rules
+
+            abstract = jax.eval_shape(
+                lambda r: self.model.init(r, jnp.zeros((1, 8), jnp.int32))["params"],
+                jax.random.PRNGKey(0))
+            specs = nn.get_partition_spec(abstract)
+            self._param_shardings = nn.logical_to_mesh_sharding(
+                specs, self.mesh, default_axis_rules())
+            with jax.set_mesh(self.mesh):
+                params = jax.device_put(params, self._param_shardings)
         self.params = params
         self.max_slots = max_slots
         self.max_len = max_len
@@ -213,6 +273,12 @@ class ContinuousBatchingEngine:
                 return b
         return self.buckets[-1]
 
+    def _ctx(self):
+        import contextlib
+
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
+
     def register_prefix(self, prefix_ids: Sequence[int]) -> None:
         """Prefill a shared prompt prefix ONCE and cache its KV; later
         admissions whose prompt starts with it skip those tokens entirely
@@ -241,8 +307,9 @@ class ContinuousBatchingEngine:
             self._prefix_jit[Tpad] = jax.jit(prefix_fn)
         toks = np.zeros((1, Tpad), np.int32)
         toks[0, :P] = key
-        kc, vc = self._prefix_jit[Tpad](
-            self.params, jnp.asarray(toks), jnp.asarray(P))
+        with self._ctx():
+            kc, vc = self._prefix_jit[Tpad](
+                self.params, jnp.asarray(toks), jnp.asarray(P))
         # trim the time axis (axis 2 of [L, 1, T, ...]) to the exact length
         kc = jax.tree.map(lambda c: jax.lax.slice_in_dim(c, 0, P, axis=2), kc)
         vc = jax.tree.map(lambda c: jax.lax.slice_in_dim(c, 0, P, axis=2), vc)
@@ -286,8 +353,9 @@ class ContinuousBatchingEngine:
                     return (jax.tree.map(put, k_cache, kc),
                             jax.tree.map(put, v_cache, vc))
                 self._inject_jit = jax.jit(inject)
-            self.caches = self._inject_jit(
-                self.caches[0], self.caches[1], kc, vc, jnp.asarray(slot))
+            with self._ctx():
+                self.caches = self._inject_jit(
+                    self.caches[0], self.caches[1], kc, vc, jnp.asarray(slot))
             start = P
         tok = None
         rest = ids[start:]
@@ -299,12 +367,13 @@ class ContinuousBatchingEngine:
                 self._prefill_jit[Sb] = jax.jit(self._prefill_fn)
             toks = np.zeros((1, Sb), np.int32)
             toks[0, : len(piece)] = piece
-            k, v, tok = self._prefill_jit[Sb](
-                self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
-                jnp.asarray(toks), jnp.asarray(start), jnp.asarray(len(piece)),
-                jnp.asarray(temperature, jnp.float32),
-                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-                jax.random.PRNGKey(seed))
+            with self._ctx():
+                k, v, tok = self._prefill_jit[Sb](
+                    self.params, self.caches[0], self.caches[1], jnp.asarray(slot),
+                    jnp.asarray(toks), jnp.asarray(start), jnp.asarray(len(piece)),
+                    jnp.asarray(temperature, jnp.float32),
+                    jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                    jax.random.PRNGKey(seed))
             self.caches = (k, v)
             start += len(piece)
         self.cur_len[slot] = start
@@ -320,12 +389,13 @@ class ContinuousBatchingEngine:
         batching)."""
         if self._decode_jit is None:
             self._decode_jit = jax.jit(self._decode_fn)
-        k, v, nxt = self._decode_jit(
-            self.params, self.caches[0], self.caches[1],
-            jnp.asarray(feed_tokens, jnp.int32), jnp.asarray(self.cur_len),
-            jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-            jax.random.PRNGKey(seed))
+        with self._ctx():
+            k, v, nxt = self._decode_jit(
+                self.params, self.caches[0], self.caches[1],
+                jnp.asarray(feed_tokens, jnp.int32), jnp.asarray(self.cur_len),
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                jax.random.PRNGKey(seed))
         self.caches = (k, v)
         self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
         return np.asarray(nxt)

@@ -339,3 +339,35 @@ def test_server_quantized_flags(setup):
         assert isinstance(out, str) and len(out) > 0
     finally:
         srv.shutdown()
+
+
+def test_sharded_continuous_batching(setup):
+    """TP/FSDP-sharded continuous batching equals the unsharded engine
+    (greedy, staggered slots) on the 8-virtual-device mesh."""
+    from nemo_tpu.parallel.mesh import MeshConfig
+
+    cfg, params = setup
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 9, 3)]
+    ref = _run_continuous(cfg, params, prompts, 5)
+
+    def run_sharded(prompts, max_new):
+        eng = ContinuousBatchingEngine(
+            cfg, params, max_slots=4, max_len=64, prefill_buckets=(8, 16),
+            cache_dtype=jnp.float32, mesh_cfg=MeshConfig(tp=2, fsdp=2))
+        outs = []
+        feed = np.zeros(4, np.int32)
+        for i, p in enumerate(prompts):
+            t = eng.prefill_slot(i, p)
+            outs.append([t])
+            feed[i] = t
+        active = np.asarray([i < len(prompts) for i in range(4)])
+        for _ in range(max_new - 1):
+            nxt = eng.decode_step(feed, active)
+            for i in range(len(prompts)):
+                outs[i].append(int(nxt[i]))
+                feed[i] = nxt[i]
+        return outs
+
+    got = run_sharded(prompts, 5)
+    assert got == ref

@@ -202,3 +202,27 @@ def test_mtp_head_trains_and_is_optional():
     rst = ref.init_state(seed=0)
     _, rm = ref.train_step(rst, batch, jax.random.PRNGKey(0))
     assert float(mm["loss"]) == pytest.approx(float(rm["loss"]), rel=1e-5)
+
+
+def test_sharded_generation_matches_unsharded():
+    """TP/FSDP-sharded serving (GenerationEngine(mesh_cfg=...)): greedy
+    tokens equal the single-device engine on the 8-virtual-device mesh —
+    GSPMD inserts the per-token collectives (reference: llm.generate under
+    MegatronStrategy TP, SURVEY §3.4)."""
+    import flax.linen as nn
+
+    from nemo_tpu.models.llm.config import tiny_test
+    from nemo_tpu.models.llm.generate import GenerationEngine, SamplingParams
+    from nemo_tpu.parallel.mesh import MeshConfig
+
+    cfg = tiny_test(seq_length=64)
+    model = GPTModel(cfg)
+    params = nn.meta.unbox(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"])
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 3)]
+    p = SamplingParams(greedy=True, max_new_tokens=6, eos_id=-1)
+    ref = GenerationEngine(cfg, params, cache_dtype=jnp.float32).generate_tokens(prompts, p)
+    tp = GenerationEngine(cfg, params, cache_dtype=jnp.float32,
+                          mesh_cfg=MeshConfig(tp=2, fsdp=2)).generate_tokens(prompts, p)
+    assert tp == ref
