@@ -277,3 +277,57 @@ class NanGuardCallback(Callback):
             trainer.should_stop = True
         else:
             logging.warning(f"NanGuard: {msg}")
+
+
+class SpeedMonitor(Callback):
+    """Samples/sec + tokens/sec from the step timer (reference
+    SpeedMonitor callback)."""
+
+    def __init__(self, tokens_per_step: Optional[int] = None,
+                 samples_per_step: Optional[int] = None):
+        self.tokens = tokens_per_step
+        self.samples = samples_per_step
+
+    def on_step_end(self, trainer, step, metrics):
+        dt = metrics.get("step_time")
+        if not dt:
+            return
+        if self.tokens:
+            metrics["tokens_per_sec"] = self.tokens / dt
+        if self.samples:
+            metrics["samples_per_sec"] = self.samples / dt
+
+
+class RuntimeEstimator(Callback):
+    """Logs remaining wall-time estimate (reference RuntimeEstimator)."""
+
+    def __init__(self, log_every: int = 50):
+        self.log_every = log_every
+
+    def on_step_end(self, trainer, step, metrics):
+        avg = metrics.get("step_time_avg")
+        if avg and step and step % self.log_every == 0:
+            remaining = (trainer.max_steps - step) * avg
+            metrics["eta_minutes"] = remaining / 60.0
+            logging.info(f"ETA: {remaining / 60.0:.1f} min "
+                         f"({trainer.max_steps - step} steps × {avg:.3f}s)")
+
+
+class OptimizerMonitor(Callback):
+    """Param/update norm stats every N steps (reference OptimizerMonitor —
+    grad-norm is already in metrics; this adds the param-side view)."""
+
+    def __init__(self, every_n_steps: int = 50):
+        self.every = every_n_steps
+
+    def on_step_end(self, trainer, step, metrics):
+        if step % self.every or trainer.state is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
+                  for x in jax.tree.leaves(trainer.state.params)
+                  if hasattr(x, "dtype")]
+        if leaves:
+            metrics["param_norm"] = float(jnp.sqrt(sum(leaves)))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Union
 
+import jax.numpy as jnp
 import optax
 
 ScalarOrSchedule = Union[float, Callable]
@@ -134,3 +135,42 @@ def build_optimizer(
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
 
+
+
+def layer_freeze(schedule) -> optax.GradientTransformation:
+    """Step-scheduled layer freezing (reference: LayerFreezer callback,
+    nemo/lightning/pytorch/callbacks — freeze modules for given step
+    ranges). `schedule` maps a path glob (over '/'-joined param paths,
+    fnmatch syntax) to the step until which it stays frozen (-1 =
+    forever). Chain BEFORE the optimizer so frozen subtrees see zero
+    gradients (their moments stay untouched too when chained first)."""
+    import fnmatch
+
+    from flax import traverse_util
+
+    def init(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        step = state.count
+        flat = traverse_util.flatten_dict(
+            updates, sep="/") if isinstance(updates, dict) else None
+        if flat is None:
+            return updates, optax.ScaleByScheduleState(count=step + 1)
+        out = {}
+        for path, u in flat.items():
+            frozen = None
+            for pat, until in schedule.items():
+                if fnmatch.fnmatch(path, pat):
+                    frozen = until
+                    break
+            if frozen is None:
+                out[path] = u
+            elif frozen < 0:
+                out[path] = jnp.zeros_like(u)
+            else:
+                out[path] = jnp.where(step < frozen, jnp.zeros_like(u), u)
+        return (traverse_util.unflatten_dict(out, sep="/"),
+                optax.ScaleByScheduleState(count=step + 1))
+
+    return optax.GradientTransformation(init, update)

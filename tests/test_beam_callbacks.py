@@ -114,3 +114,52 @@ def test_nan_guard_callback():
     g3.on_step_end(t3, 1, {"loss": 1.0})
     g3.on_step_end(t3, 2, {"loss": float("nan")})
     assert not t3.should_stop
+
+
+def test_speed_runtime_optimizer_monitors():
+    """SpeedMonitor/RuntimeEstimator/OptimizerMonitor enrich step metrics."""
+    from nemo_tpu.core.callbacks import (
+        OptimizerMonitor, RuntimeEstimator, SpeedMonitor, TimingCallback)
+
+    class FakeState:
+        params = {"w": jnp.ones((4, 4))}
+
+    class FakeTrainer:
+        max_steps = 100
+        state = FakeState()
+
+    cbs = [TimingCallback(), SpeedMonitor(tokens_per_step=1000),
+           RuntimeEstimator(log_every=50), OptimizerMonitor(every_n_steps=50)]
+    tr = FakeTrainer()
+    metrics = {}
+    for cb in cbs:
+        cb.on_step_start(tr, 50)
+    import time as _time
+    _time.sleep(0.01)
+    for cb in cbs:
+        cb.on_step_end(tr, 50, metrics)
+    assert metrics["tokens_per_sec"] > 0
+    assert "eta_minutes" in metrics
+    assert abs(metrics["param_norm"] - 4.0) < 1e-5
+
+
+def test_layer_freeze_schedule():
+    """layer_freeze zeroes updates for matching paths until the scheduled
+    step (-1 = forever); other params train normally."""
+    import optax
+
+    from nemo_tpu.core.optim import layer_freeze
+
+    params = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    opt = optax.chain(layer_freeze({"encoder/*": 2, "head/*": -1}),
+                      optax.sgd(1.0))
+    state = opt.init(params)
+    g = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    p = params
+    for step in range(4):
+        updates, state = opt.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+    # encoder frozen for steps 0,1 → moved for steps 2,3 only
+    np.testing.assert_allclose(np.asarray(p["encoder"]["w"]), 1.0 - 2.0)
+    # head frozen forever
+    np.testing.assert_allclose(np.asarray(p["head"]["w"]), 1.0)
