@@ -61,7 +61,8 @@ class LLMServer:
                  enable_prefix_caching: bool = True,
                  auto_prefix_min_tokens: int = 16,
                  quantize_weights: bool = False,
-                 quantize_kv_cache: bool = False):
+                 quantize_kv_cache: bool = False,
+                 mesh_cfg=None):
         import jax.numpy as jnp
 
         from nemo_tpu.models.llm.ssm import (
@@ -82,7 +83,8 @@ class LLMServer:
                 cfg, params = ptq(cfg, params, algorithm="int8_serve")
             self.engine = ContinuousBatchingEngine(
                 cfg, params, max_slots=max_slots, max_len=max_len,
-                cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16)
+                cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16,
+                mesh_cfg=mesh_cfg)
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.chat_template = chat_template
