@@ -118,3 +118,46 @@ def test_frozen_base_adapter_finetune_on_ctc():
             assert same, f"frozen base param changed: {'/'.join(p)}"
             unmoved += 1
     assert moved > 0 and unmoved > 0
+
+
+def test_generic_lora_on_ssm_model():
+    """GenericLoRA targets mamba in_proj/out_proj kernels — PEFT works on
+    the SSM collection with the same tree-level machinery."""
+    import flax.linen as nn
+    import optax
+
+    from nemo_tpu.core.adapters import (
+        GenericLoRA, adapter_trainable, frozen_base_optimizer)
+    from nemo_tpu.models.llm.ssm import SSMConfig, SSMModel
+
+    cfg = SSMConfig(num_layers=2, hidden_size=32, vocab_size=100, num_heads=4,
+                    head_dim=8, n_groups=2, state_size=8, chunk_size=8)
+    model = SSMModel(cfg)
+    tok = jnp.asarray(np.random.RandomState(0).randint(0, 100, (2, 16)))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), tok)["params"])
+
+    lora = GenericLoRA(targets=("in_proj", "out_proj"), dim=4)
+    adapters = lora.init({"params": params})
+    assert len(adapters) == 2 * cfg.num_layers  # in+out per mixer
+    # identity at init
+    merged = lora.merge({"params": params}, adapters)["params"]
+    np.testing.assert_allclose(
+        np.asarray(model.apply({"params": merged}, tok)),
+        np.asarray(model.apply({"params": params}, tok)), atol=1e-6)
+
+    # one adapter-only step moves loss, base stays frozen
+    opt = frozen_base_optimizer({"adapters": adapters}, 1e-2,
+                                adapter_trainable)
+    ostate = opt.init({"adapters": adapters})
+
+    def loss_fn(ad):
+        m = lora.merge({"params": params}, ad["adapters"])["params"]
+        logits = model.apply({"params": m}, tok)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, tok[..., None], -1))
+
+    l0, g = jax.value_and_grad(loss_fn)({"adapters": adapters})
+    updates, _ = opt.update(g, ostate, {"adapters": adapters})
+    new = optax.apply_updates({"adapters": adapters}, updates)
+    l1 = loss_fn(new)
+    assert float(l1) < float(l0)
