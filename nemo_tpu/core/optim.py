@@ -153,10 +153,12 @@ def layer_freeze(schedule) -> optax.GradientTransformation:
 
     def update(updates, state, params=None):
         step = state.count
-        flat = traverse_util.flatten_dict(
-            updates, sep="/") if isinstance(updates, dict) else None
-        if flat is None:
-            return updates, optax.ScaleByScheduleState(count=step + 1)
+        try:
+            flat = traverse_util.flatten_dict(updates, sep="/")
+        except Exception:
+            raise TypeError(
+                "layer_freeze needs a dict-like param tree to address "
+                f"paths; got {type(updates).__name__}")
         out = {}
         for path, u in flat.items():
             frozen = None
