@@ -237,16 +237,71 @@ def _llm_finetune(cfg: ConfigDict) -> int:
     return 0
 
 
+def _audio_serve(cfg: ConfigDict) -> int:
+    """Serve ASR/TTS behind the OpenAI audio API (audio_server.py)."""
+    from nemo_tpu.serve.audio_server import AudioServer
+
+    asr = tts = None
+    if cfg.get("asr"):
+        from nemo_tpu.interop.nemo_import import import_ctc_model
+        from nemo_tpu.models.asr.ctc_models import EncDecCTCModel
+
+        p = str(cfg.asr)
+        asr = (import_ctc_model(p) if p.endswith(".nemo")
+               else EncDecCTCModel.restore_from(p))
+    if cfg.get("vits"):
+        from nemo_tpu.models.tts import VitsModel
+
+        tts = VitsModel.restore_from(str(cfg.vits))
+    elif cfg.get("spec_model"):
+        from nemo_tpu.models.tts import FastPitchModel, HifiGanModel
+
+        tts = (FastPitchModel.restore_from(str(cfg.spec_model)),
+               HifiGanModel.restore_from(str(cfg.vocoder)))
+    if asr is None and tts is None:
+        logging.error("audio serve requires asr=<ckpt> and/or "
+                      "vits=<ckpt> | spec_model=<ckpt> vocoder=<ckpt>")
+        return 2
+    AudioServer(asr=asr, tts=tts).serve(port=int(cfg.get("port", 8001)))
+    return 0
+
+
+def _llm_ptq(cfg: ConfigDict) -> int:
+    """Quantize a checkpoint for serving (reference api.py ptq)."""
+    import dataclasses
+
+    from nemo_tpu import llm
+    from nemo_tpu.core.checkpoint import CheckpointIO
+
+    src = str(cfg.get("checkpoint", ""))
+    out = str(cfg.get("out", ""))
+    if not src or not out:
+        logging.error("llm ptq requires checkpoint=hf://<id>|<dir> out=<dir>")
+        return 2
+    model_cfg, params = llm.import_ckpt(src)
+    algo = str(cfg.get("algorithm", "int8_serve"))
+    cfg_q, params_q = llm.ptq(model_cfg, params, algorithm=algo)
+    io = CheckpointIO(out)
+    io.save({"params": params_q}, 0,
+            context={"config": dataclasses.asdict(cfg_q), "algorithm": algo})
+    io.wait()
+    logging.info(f"wrote quantized checkpoint to {out}")
+    return 0
+
+
 _COMMANDS = {
     ("llm", "pretrain"): _llm_pretrain,
     ("llm", "finetune"): _llm_finetune,
     ("llm", "generate"): _llm_generate,
     ("llm", "serve"): _serve,
+    ("llm", "ptq"): _llm_ptq,
     ("asr", "transcribe"): _asr_transcribe,
     ("asr", "eval"): _asr_eval,
     ("asr", "diarize"): _asr_diarize,
     ("asr", "align"): _asr_align,
+    ("asr", "serve"): _audio_serve,
     ("tts", "synthesize"): _tts_synthesize,
+    ("tts", "serve"): _audio_serve,
 }
 
 
