@@ -278,3 +278,64 @@ def exponential_decay(max_steps, lr=1e-3, decay_rate=0.9, decay_steps=1000, warm
 # Common aliases used in reference configs
 AVAILABLE_SCHEDULERS["WarmupLinear"] = AVAILABLE_SCHEDULERS["WarmupAnnealing"]
 AVAILABLE_SCHEDULERS["CosineAnnealingParams"] = AVAILABLE_SCHEDULERS["CosineAnnealing"]
+
+
+@register_scheduler("SquareRootConstantPolicy")
+def square_root_constant_policy(max_steps=None, lr=1e-3, constant_steps=None,
+                                constant_ratio=None, min_lr=0.0, **_):
+    """lr = 1/sqrt(constant_steps) while step < constant_steps, then
+    1/sqrt(step) (reference lr_scheduler.py:93 — T5-style inverse-sqrt
+    with a flat head; `lr` scales the curve)."""
+    if constant_steps is None:
+        constant_steps = (constant_ratio or 0.0) * (max_steps or 0)
+    c = float(max(constant_steps, 1))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        val = lr * jnp.where(step < c, 1.0 / jnp.sqrt(c),
+                             1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        return jnp.maximum(val, min_lr).astype(jnp.float32)
+
+    return schedule
+
+
+def _warmup_hold_anneal(lr, max_steps, warmup, hold, min_lr, anneal_fn):
+    """warmup → hold at lr → anneal_fn(progress∈[0,1]) three-phase shape."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * (step + 1.0) / (warmup + 1.0)
+        p = jnp.clip((step - hold) / jnp.maximum(max_steps - hold, 1.0), 0.0, 1.0)
+        ann = anneal_fn(p)
+        out = jnp.where(step < warmup, warm, jnp.where(step < hold, lr, ann))
+        return jnp.maximum(out, min_lr).astype(jnp.float32)
+
+    return schedule
+
+
+@register_scheduler("WarmupHoldAnnealOneMinusSquareRoot")
+def warmup_hold_anneal_one_minus_sqrt(
+        max_steps, lr=1e-3, warmup_steps=None, warmup_ratio=None,
+        hold_steps=None, hold_ratio=None, min_lr=0.0, **_):
+    """Warmup → hold → lr·(1−sqrt(progress)) (reference :230; the
+    MiniCPM/WSD-family decay, arXiv 2408.11029)."""
+    warmup = _warmup_steps(max_steps, warmup_steps, warmup_ratio)
+    hold = warmup + _hold_steps(max_steps, hold_steps, hold_ratio)
+    return _warmup_hold_anneal(
+        lr, max_steps, warmup, hold, min_lr, lambda p: lr * (1.0 - jnp.sqrt(p)))
+
+
+@register_scheduler("WarmupHoldAnnealLinear")
+def warmup_hold_anneal_linear(
+        max_steps, lr=1e-3, warmup_steps=None, warmup_ratio=None,
+        hold_steps=None, hold_ratio=None, min_lr=0.0, **_):
+    """Warmup → hold → linear decay to min_lr (reference :253; the
+    warmup-stable-decay / WSD schedule, arXiv 2404.06395)."""
+    warmup = _warmup_steps(max_steps, warmup_steps, warmup_ratio)
+    hold = warmup + _hold_steps(max_steps, hold_steps, hold_ratio)
+    return _warmup_hold_anneal(
+        lr, max_steps, warmup, hold, min_lr,
+        lambda p: lr - (lr - min_lr) * p)
+
+
+# modern alias: warmup-stable-decay
+register_scheduler("WSD")(warmup_hold_anneal_linear)
