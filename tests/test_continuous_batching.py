@@ -30,9 +30,11 @@ def setup():
     return cfg, params
 
 
-def _run_continuous(cfg, params, prompts, max_new, stagger=False):
+def _run_continuous(cfg, params, prompts, max_new, stagger=False,
+                    cache_dtype=None):
+    kw = {"cache_dtype": cache_dtype} if cache_dtype is not None else {}
     eng = ContinuousBatchingEngine(cfg, params, max_slots=4, max_len=64,
-                                   prefill_buckets=(8, 16))
+                                   prefill_buckets=(8, 16), **kw)
     outs = {i: [] for i in range(len(prompts))}
     slots = {}
     feed = np.zeros(4, np.int32)
@@ -349,7 +351,7 @@ def test_sharded_continuous_batching(setup):
     cfg, params = setup
     rng = np.random.RandomState(7)
     prompts = [list(rng.randint(1, 100, n)) for n in (5, 9, 3)]
-    ref = _run_continuous(cfg, params, prompts, 5)
+    ref = _run_continuous(cfg, params, prompts, 5, cache_dtype=jnp.float32)
 
     def run_sharded(prompts, max_new):
         eng = ContinuousBatchingEngine(
