@@ -110,6 +110,27 @@ def main():
         print(json.dumps(llm_line))
     except Exception as e:
         print(f"llm bench failed: {e}", file=sys.stderr)
+    try:
+        print(json.dumps(bench_decode()))
+    except Exception as e:
+        print(f"decode bench failed: {e}", file=sys.stderr)
+
+
+def bench_decode():
+    """Serving decode throughput (secondary): continuous-batching tokens/sec
+    on a ~1B-shape GPT, int8 weight-resident PTQ + int8 KV
+    (scripts/decode_throughput.py measures the full A/B)."""
+    import scripts.decode_throughput as dt
+
+    r = dt.run(True, layers=16, slots=8, max_len=1024, steps=64,
+               kv_int8=True)
+    return {
+        "metric": "gpt1b_decode_tokens_per_sec_chip",
+        "value": r["tokens_per_sec"],
+        "unit": f"tokens/sec/chip int8+kv8 serving ({r['ms_per_step']} ms/step, "
+                f"{r['slots']} slots)",
+        "vs_baseline": 0.0,
+    }
 
 
 def bench_tts():
