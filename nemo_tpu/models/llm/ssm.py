@@ -492,6 +492,10 @@ class SSMContinuousBatchingEngine:
         self.max_slots = max_slots
         self.max_len = max_len
         self.bucket = max(prefill_buckets)
+        if self.bucket >= max_len:
+            raise ValueError(
+                f"largest prefill bucket ({self.bucket}) must be < max_len "
+                f"({max_len}) to leave decode room")
         self.states = init_ssm_states(cfg, max_slots, max_len, cache_dtype)
         self.cur_len = np.zeros(max_slots, np.int64)
         self.pad = np.zeros(max_slots, np.int64)
