@@ -12,6 +12,7 @@ from nemo_tpu.llm.api import (  # noqa: F401
     pretrain,
     prune,
     ptq,
+    qat,
     validate,
     validate_config,
 )

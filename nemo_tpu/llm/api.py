@@ -123,7 +123,10 @@ def _cast_like(src, ref, module):
     shardings = module.state_shardings().params
 
     def put(s, r, sh):
-        arr = jnp.asarray(s, dtype=r.dtype)
+        # never alias the caller's arrays into the train state: the jitted
+        # step donates its state, which would delete them out from under
+        # the caller (device_put can return a view over the same buffers)
+        arr = jnp.array(s, dtype=r.dtype, copy=True)
         return jax.device_put(arr, sh)
 
     return jax.tree.map(put, src, ref, shardings)
@@ -187,6 +190,43 @@ def ptq(cfg: GPTConfig, params, *, algorithm: str = "int8_weight_only",
     if algorithm != "int8_weight_only":
         raise ValueError(f"unknown ptq algorithm: {algorithm}")
     return cfg, quantize_params_int8(params, min_size=min_size)
+
+
+def qat(
+    cfg: GPTConfig,
+    params,
+    data,
+    *,
+    algorithm: str = "int8",
+    mesh: Optional[MeshConfig] = None,
+    max_steps: int = 100,
+    trainer: Optional[Trainer] = None,
+    log_dir: Optional[str] = None,
+):
+    """Quantization-aware training (reference: modelopt QAT flow surfaced
+    through `ptq(..., quantization_aware_training)` — nemo/collections/llm/
+    modelopt/quantization/quantizer.py).
+
+    Finetunes with fake-quantized GEMMs: every large matmul runs through
+    `ops.quant.quant_matmul` in the forward (the exact arithmetic the
+    int8/fp8 serving engines execute) while the backward is a
+    straight-through estimator against the dequantized operands, so the
+    weights learn to sit where the quantizer will put them. The param tree
+    is unchanged (same `kernel` leaves), so the result drops straight into
+    `ptq(algorithm="int8_serve")` for deployment.
+
+    algorithm: "int8" | "fp8" | "fp8_e4m3" (the training fake-quant modes).
+    Returns (qat_cfg, module, state, metrics); `state.params` are the
+    quantization-aware weights in the original layout.
+    """
+    if algorithm not in ("int8", "fp8", "fp8_e4m3"):
+        raise ValueError(f"unknown qat algorithm: {algorithm}")
+    qcfg = dataclasses.replace(cfg, quantization=algorithm)
+    module, state, metrics = finetune(
+        qcfg, params, data, mesh=mesh, max_steps=max_steps,
+        trainer=trainer, log_dir=log_dir,
+    )
+    return qcfg, module, state, metrics
 
 
 class _TeacherData:
