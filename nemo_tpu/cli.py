@@ -289,12 +289,38 @@ def _llm_ptq(cfg: ConfigDict) -> int:
     return 0
 
 
+def _llm_preprocess(cfg: ConfigDict) -> int:
+    """jsonl → .bin/.idx token dataset (reference:
+    scripts/nlp_language_modeling/preprocess_data_for_megatron.py)."""
+    from nemo_tpu.data.preprocess import (
+        preprocess_jsonl, tokenizer_factory_from_spec)
+
+    inputs = cfg.get("input")
+    out = cfg.get("output_prefix")
+    if not inputs or not out:
+        logging.error(
+            "llm preprocess requires input=<a.jsonl[,b.jsonl]> "
+            "output_prefix=<path> [tokenizer=hf://...|char|byte] "
+            "[json_keys=text] [workers=N] [append_eod=true]")
+        return 2
+    stats = preprocess_jsonl(
+        str(inputs).split(","), str(out),
+        tokenizer_factory_from_spec(str(cfg.get("tokenizer", "byte"))),
+        json_keys=str(cfg.get("json_keys", "text")).split(","),
+        append_eod=bool(cfg.get("append_eod", True)),
+        workers=int(cfg.get("workers", 1)),
+    )
+    print(stats)
+    return 0
+
+
 _COMMANDS = {
     ("llm", "pretrain"): _llm_pretrain,
     ("llm", "finetune"): _llm_finetune,
     ("llm", "generate"): _llm_generate,
     ("llm", "serve"): _serve,
     ("llm", "ptq"): _llm_ptq,
+    ("llm", "preprocess"): _llm_preprocess,
     ("asr", "transcribe"): _asr_transcribe,
     ("asr", "eval"): _asr_eval,
     ("asr", "diarize"): _asr_diarize,
