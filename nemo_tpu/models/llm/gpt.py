@@ -487,18 +487,26 @@ class Attention(nn.Module):
             and no_cache
             and plain
             and kv_valid is None
-            and segment_ids is None
             and q.shape[1] % 128 == 0
         ):
-            from nemo_tpu.ops.flash_attention import flash_attention
+            from nemo_tpu.ops.flash_attention import (
+                flash_attention, flash_attention_packed)
 
             qT = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
             kT = jnp.transpose(k, (0, 2, 1, 3))
             vT = jnp.transpose(v, (0, 2, 1, 3))
             bq = min(512, qT.shape[2])
-            out = flash_attention(
-                qT, kT, vT, float(scale), True, window, bq, bq, 0
-            )
+            if segment_ids is None:
+                out = flash_attention(
+                    qT, kT, vT, float(scale), True, window, bq, bq, 0
+                )
+            else:
+                # packed sequences ride the same kernel family with
+                # per-row segment masking (pads = id 0 attend nothing)
+                out = flash_attention_packed(
+                    qT, kT, vT, segment_ids.astype(jnp.int32),
+                    float(scale), True, window, bq, bq,
+                )
             out = jnp.transpose(out, (0, 2, 1, 3))
         else:
             out = causal_attention(

@@ -788,3 +788,364 @@ def xla_attention_positions(q, k, v, qpos, kpos, scale=1.0, causal=True, window=
         o.reshape(B, H, Tq, dh).astype(q.dtype),
         lse.reshape(B, H, Tq, 1),
     )
+
+
+# --------------------------------------------------------------------------
+# packed-sequence variant (per-row segment ids)
+#
+# Masks attention to within-segment pairs so several short documents packed
+# into one row train as if they were separate sequences (reference: TE fused
+# attention with THD/packed qkv_format driven by PackedSeqParams,
+# gpt/model/base.py:775). Segment ids are [B, S] int32, 0 = padding,
+# monotonically laid out by the packer; masked-out rows get o = 0.
+# --------------------------------------------------------------------------
+
+
+def _seg_mask(s, qs, ks):
+    """qs: [bq,1] i32, ks: [1,bkv] i32 — keep same-nonzero-segment pairs."""
+    return jnp.where((qs == ks) & (ks > 0), s, NEG_INF)
+
+
+def _seg_overlap(qs, ks):
+    """Sound superset test: segment id ranges intersect. Never skips a
+    block containing a needed pair (ids equal → ranges overlap)."""
+    return jnp.logical_and(
+        jnp.min(ks) <= jnp.max(qs), jnp.max(ks) >= jnp.min(qs)
+    )
+
+
+def _fwd_seg_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale, causal, window, n_kv, block_q, block_kv,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    q_start = i * block_q
+    kv_start = j * block_kv
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qs = qseg_ref[0]  # [bq, 1]
+    ks = kseg_ref[0]  # [1, bkv]
+    run = _block_active(q_start, kv_start, block_q, block_kv, causal, window)
+    run = jnp.logical_and(run, _seg_overlap(qs, ks))
+
+    @pl.when(run)
+    def _step():
+        q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal or window is not None:
+            s = _mask_block(s, q_start, kv_start, causal, window)
+        s = _seg_mask(s, qs, ks)
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.maximum(m_new, NEG_INF / 2)
+        p = jnp.exp(s - m_safe)
+        alpha = jnp.exp(jnp.maximum(m_prev, NEG_INF / 2) - m_safe)
+        m_scr[:] = m_new
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = jnp.where(
+            m_scr[:] <= NEG_INF / 2, 0.0, acc_scr[:] / l
+        ).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(
+            m_scr[:] <= NEG_INF / 2, NEG_INF,
+            jnp.maximum(m_scr[:], NEG_INF / 2) + jnp.log(l),
+        ).astype(jnp.float32)
+
+
+def _dq_seg_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dq_ref, dq_scr, *, scale, causal, window, n_kv, block_q, block_kv,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    q_start = i * block_q
+    kv_start = j * block_kv
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qs = qseg_ref[0]
+    ks = kseg_ref[0]
+    run = _block_active(q_start, kv_start, block_q, block_kv, causal, window)
+    run = jnp.logical_and(run, _seg_overlap(qs, ks))
+
+    @pl.when(run)
+    def _step():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, delta = lse_ref[0, 0], delta_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal or window is not None:
+            s = _mask_block(s, q_start, kv_start, causal, window)
+        s = _seg_mask(s, qs, ks)
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_seg_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, causal, window, n_q, block_q, block_kv,
+):
+    j = pl.program_id(2)
+    r = pl.program_id(3)
+    i = pl.program_id(4)
+    q_start = i * block_q
+    kv_start = j * block_kv
+
+    @pl.when(jnp.logical_and(r == 0, i == 0))
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qs = qseg_ref[0]
+    ks = kseg_ref[0]
+    run = _block_active(q_start, kv_start, block_q, block_kv, causal, window)
+    run = jnp.logical_and(run, _seg_overlap(qs, ks))
+
+    @pl.when(run)
+    def _step():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, delta = lse_ref[0, 0], delta_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal or window is not None:
+            s = _mask_block(s, q_start, kv_start, causal, window)
+        s = _seg_mask(s, qs, ks)
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_and(r == pl.num_programs(3) - 1, i == n_q - 1))
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _seg_operands(segments, Tq, Tkv):
+    """[B, S] int32 → ([B, Tq, 1], [B, 1, Tkv]) block-friendly carriers."""
+    seg = segments.astype(jnp.int32)
+    return seg[:, :, None], seg[:, None, :]
+
+
+def _flash_forward_seg(q, k, v, segments, scale, causal, window,
+                       block_q, block_kv):
+    B, H, Tq, d = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    dv = v.shape[-1]
+    bq, bkv = min(block_q, Tq), min(block_kv, Tkv)
+    assert Tq % bq == 0 and Tkv % bkv == 0
+    n_q, n_kv = Tq // bq, Tkv // bkv
+    qs3, ks3 = _seg_operands(segments, Tq, Tkv)
+
+    kv_map = functools.partial(
+        _kv_index_map(causal, window, bq, bkv, 0, n_kv), G=G, H=H)
+
+    def kseg_map(b, h, i, j):
+        _, _, jj, _ = kv_map(b, h, i, j)
+        return (b, 0, jj)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_seg_kernel, scale=scale, causal=causal, window=window,
+            n_kv=n_kv, block_q=bq, block_kv=bkv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tq, dv), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+        ),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, h, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv), kseg_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, dv), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * H * Tq * Tkv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int((2 * q.size + k.size + v.size) * q.dtype.itemsize),
+            transcendentals=int(B * H * Tq * Tkv * (0.5 if causal else 1.0)),
+        ),
+    )(q, k, v, qs3, ks3)
+    return out, lse
+
+
+def _flash_backward_seg(q, k, v, o, lse, segments, g, scale, causal, window,
+                        block_q, block_kv):
+    B, H, Tq, d = q.shape
+    G, Tkv = k.shape[1], k.shape[2]
+    dv_dim = v.shape[-1]
+    rep = H // G
+    bq, bkv = min(block_q, Tq), min(block_kv, Tkv)
+    n_q, n_kv = Tq // bq, Tkv // bkv
+    qs3, ks3 = _seg_operands(segments, Tq, Tkv)
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+
+    kv_map = functools.partial(
+        _kv_index_map(causal, window, bq, bkv, 0, n_kv), G=G, H=H)
+
+    def kseg_map(b, h, i, j):
+        _, _, jj, _ = kv_map(b, h, i, j)
+        return (b, 0, jj)
+
+    q_map = lambda b, h, i, j: (b, h, i, 0)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_seg_kernel, scale=scale, causal=causal, window=window,
+            n_kv=n_kv, block_q=bq, block_kv=bkv,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, h, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv), kseg_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(q, k, v, g, lse, delta, qs3, ks3)
+
+    # dk/dv: grid (B, G, n_kv, rep, n_q) with causal q-block clamping
+    def q_map_kv(b, gh, j, r, i):
+        ii = i
+        kv_start = j * bkv
+        if causal:
+            ii = jnp.maximum(ii, jnp.maximum(kv_start, 0) // bq)
+        if window is not None:
+            ii = jnp.minimum(
+                ii,
+                jnp.minimum(
+                    jnp.maximum(kv_start + bkv - 1 + window - 1, 0) // bq,
+                    n_q - 1,
+                ),
+            )
+        return (b, gh * rep + r, ii, 0)
+
+    def row_map_kv(b, gh, j, r, i):
+        b_, h_, i_, _ = q_map_kv(b, gh, j, r, i)
+        return (b_, h_, i_, 0)
+
+    def qseg_map_kv(b, gh, j, r, i):
+        b_, h_, i_, _ = q_map_kv(b, gh, j, r, i)
+        return (b_, i_, 0)
+
+    kv_map2 = lambda b, gh, j, r, i: (b, gh, j, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_seg_kernel, scale=scale, causal=causal, window=window,
+            n_q=n_q, block_q=bq, block_kv=bkv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(B, G, n_kv, rep, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dv_dim), q_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), row_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), qseg_map_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv), lambda b, gh, j, r, i: (b, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bkv, d), kv_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, dv_dim), kv_map2, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+    )(q, k, v, g, lse, delta, qs3, ks3)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_attention_packed(
+    q, k, v, segments,
+    scale: float = 1.0,
+    causal: bool = True,
+    window: Optional[int] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+):
+    """Flash attention over packed sequences: [B,H,T,dh] with [B,T]
+    segment ids (0 = pad); attention stays within same-id spans."""
+    out, _ = _flash_forward_seg(
+        q, k, v, segments, scale, causal, window, block_q, block_kv)
+    return out
+
+
+def _seg_fwd(q, k, v, segments, scale, causal, window, block_q, block_kv):
+    out, lse = _flash_forward_seg(
+        q, k, v, segments, scale, causal, window, block_q, block_kv)
+    return out, (q, k, v, out, lse, segments)
+
+
+def _seg_bwd(scale, causal, window, block_q, block_kv, res, g):
+    q, k, v, o, lse, segments = res
+    dq, dk, dv = _flash_backward_seg(
+        q, k, v, o, lse, segments, g, scale, causal, window, block_q, block_kv)
+    return dq, dk, dv, None
+
+
+flash_attention_packed.defvjp(_seg_fwd, _seg_bwd)
