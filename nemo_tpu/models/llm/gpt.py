@@ -1071,7 +1071,9 @@ class GPTModel(nn.Module):
                 )
             ScanLayers = nn.scan(
                 layer,
-                variable_axes={"params": 0, "losses": 0},
+                # intermediates: stacked per layer so debug capture
+                # (utils/debug_hook.py) sees inside the scanned stack
+                variable_axes={"params": 0, "losses": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers // period,
