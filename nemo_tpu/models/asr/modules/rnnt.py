@@ -339,6 +339,77 @@ def rnnt_greedy_decode_label_looping(
     return out[3], out[1]
 
 
+def rnnt_greedy_decode_with_alignments(
+    joint_logits_fn,
+    pred_step_fn,
+    initial_state,
+    enc: jnp.ndarray,  # [B, T, H_e]
+    enc_len: jnp.ndarray,  # [B]
+    blank: int,
+    max_symbols: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Label-looping greedy decode that also returns per-token alignment:
+    the frame each token was emitted at and its joint log-probability —
+    the timestamps/confidence payload of the reference's greedy decoding
+    (`rnnt_greedy_decoding.py` preserve_alignments / preserve_
+    frame_confidence). Token-exact with rnnt_greedy_decode_label_looping.
+
+    Returns (tokens [B, T*max_symbols], counts [B],
+             frames [B, T*max_symbols], logps [B, T*max_symbols] f32).
+    """
+    B, T, _ = enc.shape
+    max_total = T * max_symbols
+    buf0 = jnp.full((B, max_total), -1, jnp.int32)
+    frames0 = jnp.full((B, max_total), -1, jnp.int32)
+    logp0 = jnp.zeros((B, max_total), jnp.float32)
+
+    pred_out0, state0 = pred_step_fn(jnp.full((B,), -1, jnp.int32), initial_state)
+    iters_cap = T * (max_symbols + 1) + 1
+
+    def cond(c):
+        t = c[0]
+        return jnp.any(t < enc_len) & (c[-1] < iters_cap)
+
+    def body(c):
+        t, counts, sym_count, buf, frames, logps, pred_out, state, it = c
+        t_c = jnp.minimum(t, T - 1)
+        enc_t = jnp.take_along_axis(
+            enc, t_c[:, None, None].repeat(enc.shape[2], 2), axis=1
+        )[:, 0]
+        logits = joint_logits_fn(enc_t, pred_out)  # [B, V+1]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        k_lp = jnp.take_along_axis(lp, k[:, None], axis=1)[:, 0]
+        active = t < enc_len
+        force_blank = sym_count >= max_symbols
+        is_blank = (k == blank) | force_blank
+        emit = active & ~is_blank
+        rows = jnp.arange(B)
+        buf = buf.at[rows, counts].set(jnp.where(emit, k, buf[rows, counts]))
+        frames = frames.at[rows, counts].set(
+            jnp.where(emit, t_c, frames[rows, counts]))
+        logps = logps.at[rows, counts].set(
+            jnp.where(emit, k_lp, logps[rows, counts]))
+        counts = counts + emit.astype(jnp.int32)
+        new_out, new_state = pred_step_fn(jnp.where(emit, k, 0), state)
+        pred_out = jnp.where(emit[:, None], new_out, pred_out)
+        state = jax.tree.map(
+            lambda n, o: jnp.where(emit[:, None], n, o), new_state, state
+        )
+        advance = active & is_blank
+        t = t + advance.astype(jnp.int32)
+        sym_count = jnp.where(advance, 0, sym_count + emit.astype(jnp.int32))
+        return (t, counts, sym_count, buf, frames, logps, pred_out, state,
+                it + 1)
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+         jnp.zeros(B, jnp.int32), buf0, frames0, logp0, pred_out0, state0, 0),
+    )
+    return out[3], out[1], out[4], out[5]
+
+
 def rnnt_beam_decode(
     joint_logits_fn,
     pred_step_fn,

@@ -279,6 +279,72 @@ class EncDecRNNTModel(Model):
             )
         return tokens, counts
 
+    def _decode_aligned_fn(self, variables, signal, length):
+        """Greedy decode that also returns per-token (frame, logp)."""
+        from nemo_tpu.models.asr.modules.rnnt import (
+            rnnt_greedy_decode_with_alignments)
+
+        feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg,
+                                          training=False)
+        enc, enc_len = self.net.apply(
+            variables, feats, feat_len, train=False, method=_RNNTNet.encode)
+
+        def joint_fn(enc_t, pred_out):
+            return self.net.apply(
+                variables, enc_t, pred_out, method=_RNNTNet.joint_logits)
+
+        def pred_step_fn(token, state):
+            return self.net.apply(variables, token, state,
+                                  method=_RNNTNet.pred_step)
+
+        B = enc.shape[0]
+        zeros = jnp.zeros((B, self.net.pred_hidden), jnp.float32)
+        state0 = tuple((zeros, zeros) for _ in range(self.net.pred_rnn_layers))
+        return rnnt_greedy_decode_with_alignments(
+            joint_fn, pred_step_fn, state0, enc, enc_len, self.blank_id,
+            self.max_symbols)
+
+    def transcribe_with_timestamps(
+        self, audio: Sequence[Union[str, np.ndarray]], batch_size: int = 4
+    ) -> List[dict]:
+        """Greedy transcription with per-token encoder-frame timestamps
+        and confidence (joint softmax prob of the emitted token) —
+        reference: rnnt_greedy_decoding.py preserve_alignments /
+        preserve_frame_confidence hypotheses."""
+        if not hasattr(self, "_jit_decode_aligned"):
+            self._jit_decode_aligned = jax.jit(self._decode_aligned_fn)
+        results: List[dict] = []
+        for start in range(0, len(audio), batch_size):
+            batch = audio[start : start + batch_size]
+            sigs = []
+            for a in batch:
+                if isinstance(a, str):
+                    x, _ = read_wav(a, target_sr=self.sample_rate)
+                else:
+                    x = np.asarray(a, np.float32)
+                sigs.append(x)
+            lens = np.array([len(s) for s in sigs], np.int32)
+            pad_len = _bucket(int(lens.max()))
+            padded = np.zeros((batch_size, pad_len), np.float32)
+            for i, s in enumerate(sigs):
+                padded[i, : len(s)] = s
+            full_lens = np.ones(batch_size, np.int32)
+            full_lens[: len(sigs)] = lens
+            tokens, counts, frames, logps = self._jit_decode_aligned(
+                self.variables, jnp.asarray(padded), jnp.asarray(full_lens))
+            tokens, counts = np.asarray(tokens), np.asarray(counts)
+            frames, logps = np.asarray(frames), np.asarray(logps)
+            for b in range(len(sigs)):
+                n = int(counts[b])
+                ids = tokens[b, :n]
+                results.append({
+                    "text": "".join(self.labels[i] for i in ids),
+                    "tokens": ids.tolist(),
+                    "timestamps": frames[b, :n].tolist(),
+                    "confidence": np.exp(logps[b, :n]).tolist(),
+                })
+        return results
+
     def transcribe(
         self, audio: Sequence[Union[str, np.ndarray]], batch_size: int = 4
     ) -> List[str]:

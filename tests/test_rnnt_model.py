@@ -118,3 +118,20 @@ def test_fused_train_step_decreases_loss(model):
         if first is None:
             first = float(loss)
     assert float(loss) < first, (first, float(loss))
+
+
+def test_rnnt_transcribe_with_timestamps(model):
+    """Aligned greedy is token-exact with plain greedy and carries
+    monotonic frame timestamps + (0,1] confidences."""
+    audio = [np.random.RandomState(2).randn(8000).astype(np.float32) * 0.3,
+             np.random.RandomState(3).randn(6000).astype(np.float32) * 0.3]
+    plain = model.transcribe(audio, batch_size=2)
+    rich = model.transcribe_with_timestamps(audio, batch_size=2)
+    assert [r["text"] for r in rich] == plain
+    for r in rich:
+        n = len(r["tokens"])
+        assert len(r["timestamps"]) == n and len(r["confidence"]) == n
+        if n:
+            ts = r["timestamps"]
+            assert all(b >= a for a, b in zip(ts, ts[1:]))  # monotonic
+            assert all(0.0 < c <= 1.0 for c in r["confidence"])
