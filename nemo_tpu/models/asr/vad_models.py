@@ -91,6 +91,37 @@ class EncDecClassificationModel(Model):
         k = int(np.argmax(probs))
         return self.labels[k], float(probs[k])
 
+    def predict_segments_postprocessed(
+        self, audio: Union[str, np.ndarray], window: float = 0.63,
+        shift: float = 0.16, **binarize_kw,
+    ) -> List[dict]:
+        """Sliding-window speech probs → hysteresis binarization
+        (reference vad_utils binarization/filtering parameters)."""
+        probs, starts = self._window_probs(audio, window, shift)
+        return binarize_speech_probs(
+            probs, frame_shift=shift, frame_window=window, **binarize_kw)
+
+    def _window_probs(self, audio, window: float, shift: float):
+        if isinstance(audio, str):
+            x, _ = read_wav(audio, target_sr=self.sample_rate)
+        else:
+            x = np.asarray(audio, np.float32)
+        sr = self.sample_rate
+        win, hop = int(window * sr), int(shift * sr)
+        wins, starts = [], []
+        for s in range(0, max(len(x) - win + 1, 1), hop):
+            seg = x[s : s + win]
+            if len(seg) < win:
+                seg = np.pad(seg, (0, win - len(seg)))
+            wins.append(seg)
+            starts.append(s / sr)
+        sig = jnp.asarray(np.stack(wins))
+        logits = self._jit(self.variables, sig,
+                           jnp.full((len(wins),), win, jnp.int32))
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[
+            :, self.labels.index("speech")]
+        return probs, starts
+
     def predict_segments(
         self, audio: Union[str, np.ndarray], window: float = 0.63, shift: float = 0.16,
         threshold: float = 0.5,
@@ -121,3 +152,52 @@ class EncDecClassificationModel(Model):
             else:
                 segments.append({"start": t0, "end": t0 + window, "prob": float(p)})
         return segments
+
+
+def binarize_speech_probs(
+    probs: np.ndarray,
+    frame_shift: float,
+    frame_window: float = 0.0,
+    *,
+    onset: float = 0.5,
+    offset: float = 0.3,
+    min_duration_on: float = 0.2,
+    min_duration_off: float = 0.2,
+    pad_onset: float = 0.0,
+    pad_offset: float = 0.0,
+) -> List[dict]:
+    """Hysteresis binarization of per-frame speech probabilities
+    (reference: asr/parts/utils/vad_utils.py binarization + filtering —
+    the pyannote-style onset/offset dual-threshold postprocessor).
+
+    A segment opens when prob rises above `onset` and closes when it
+    falls below `offset`; gaps shorter than `min_duration_off` are
+    bridged, segments shorter than `min_duration_on` are dropped, and
+    boundaries are padded by pad_onset/pad_offset seconds.
+    """
+    segs: List[dict] = []
+    active = False
+    start = 0.0
+    for i, p in enumerate(np.asarray(probs, np.float32)):
+        t = i * frame_shift
+        if not active and p >= onset:
+            active, start = True, t
+        elif active and p < offset:
+            segs.append({"start": start, "end": t + frame_window})
+            active = False
+    if active:
+        segs.append(
+            {"start": start, "end": (len(probs) - 1) * frame_shift + frame_window})
+    # pad boundaries
+    for s in segs:
+        s["start"] = max(0.0, s["start"] - pad_onset)
+        s["end"] = s["end"] + pad_offset
+    # bridge short gaps
+    merged: List[dict] = []
+    for s in segs:
+        if merged and s["start"] - merged[-1]["end"] < min_duration_off:
+            merged[-1]["end"] = max(merged[-1]["end"], s["end"])
+        else:
+            merged.append(dict(s))
+    # drop short segments
+    return [s for s in merged if s["end"] - s["start"] >= min_duration_on]
