@@ -52,7 +52,9 @@ def main():
 
     model = EncDecCTCModel(conformer_ctc("large", compute_dtype="bfloat16"))
 
-    B = 16
+    # B=32 is the measured-best batch at 30 s clips (chip A/B this round:
+    # B=16 3041, B=32 3346, B=64 2942 RTFx — HBM pressure past 32)
+    B = 32
     secs = 30.0
     T = int(16000 * secs)
     rng = np.random.RandomState(0)
@@ -97,21 +99,21 @@ def main():
         "value": round(rtfx, 1),
         "unit": "x realtime per chip (full transcribe incl. decode; PCM staged on TPU host)",
         "vs_baseline": round(rtfx / baseline, 3),
-    }))
+    }), flush=True)
 
     # ---- secondary BASELINE.json metrics (TTS + LLM), one JSON line each
     try:
         tts_line = bench_tts()
-        print(json.dumps(tts_line))
+        print(json.dumps(tts_line), flush=True)
     except Exception as e:  # secondary metrics must not sink the primary
         print(f"tts bench failed: {e}", file=sys.stderr)
     try:
         llm_line = bench_llm()
-        print(json.dumps(llm_line))
+        print(json.dumps(llm_line), flush=True)
     except Exception as e:
         print(f"llm bench failed: {e}", file=sys.stderr)
     try:
-        print(json.dumps(bench_decode()))
+        print(json.dumps(bench_decode()), flush=True)
     except Exception as e:
         print(f"decode bench failed: {e}", file=sys.stderr)
 

@@ -17,3 +17,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: most of the suite's wall time is CPU
+# compiles of conv/transformer graphs that are identical run-to-run (the
+# 1-CPU gate host recompiles everything otherwise). Safe to share — keys
+# include jaxlib version + flags.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
