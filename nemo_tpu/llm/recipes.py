@@ -454,6 +454,92 @@ def baichuan2_7b(**kw) -> Recipe:
                   MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
 
 
+# ---------------------------------------------------------------------------
+# Finetune recipes (reference: every recipes/<model>.py also exports
+# `finetune_recipe(peft_scheme='lora'|'dora'|'none')` — packed-squad SFT
+# defaults, LoRA lr 1e-4 / full-FT lr 5e-6, GBS 128 MBS 1,
+# recipes/finetune_default.py default_finetune_recipe).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FinetuneRecipe:
+    """Tuned finetuning config derived from a pretrain recipe.
+
+    `.run(params, data)` executes llm.finetune with these defaults; with
+    `peft` set, only adapter weights train (llm/peft.py)."""
+
+    name: str
+    model: C.GPTConfig
+    mesh: MeshConfig
+    global_batch_size: int
+    micro_batch_size: Optional[int]
+    peft: Optional[Any] = None
+    lr: float = 1e-4
+    min_lr: float = 0.0
+    warmup_steps: int = 50
+    max_steps: int = 1000
+    packed: bool = True
+
+    def lr_schedule(self):
+        return get_scheduler(
+            "CosineAnnealing", max_steps=self.max_steps, lr=self.lr,
+            warmup_steps=self.warmup_steps, min_lr=self.min_lr,
+        )
+
+    def run(self, params, data, *, max_steps: Optional[int] = None,
+            log_dir=None, trainer=None):
+        from nemo_tpu.llm.api import finetune
+
+        return finetune(
+            self.model, params, data, mesh=self.mesh, peft=self.peft,
+            max_steps=max_steps or self.max_steps, trainer=trainer,
+            log_dir=log_dir,
+        )
+
+
+def _peft_for(scheme: Optional[str]):
+    from nemo_tpu.llm.peft import CanonicalLoRA, LoRA
+
+    if scheme in (None, "none"):
+        return None
+    if scheme == "lora":
+        return LoRA()
+    if scheme == "dora":
+        return LoRA(dora=True)
+    if scheme == "canonical_lora":
+        return CanonicalLoRA()
+    raise ValueError(
+        f"unknown peft_scheme {scheme!r} (lora|dora|canonical_lora|none)")
+
+
+def finetune_recipe(name: str, peft_scheme: Optional[str] = "lora",
+                    seq_length: int = 2048, **kw) -> FinetuneRecipe:
+    """Derive the finetune recipe from the registered pretrain recipe
+    `name` (reference: default_finetune_recipe + per-model overrides).
+
+    SFT sequences are short (squad/dolly ~2k); the pretrain mesh is kept
+    (weights dominate HBM, activations shrink) but GBS drops to the
+    reference's SFT default and the LR follows the peft scheme."""
+    base = RECIPES[name]()
+    model = dataclasses.replace(
+        base.model, seq_length=min(seq_length, base.model.seq_length))
+    peft = _peft_for(peft_scheme)
+    # reference finetune_default.py: lora lr 1e-4; full SFT lr 5e-6
+    lr = 1e-4 if peft is not None else 5e-6
+    defaults = dict(
+        name=f"{name}_finetune",
+        model=model,
+        mesh=base.mesh,
+        global_batch_size=min(128, base.global_batch_size),
+        micro_batch_size=base.micro_batch_size,
+        peft=peft,
+        lr=lr,
+    )
+    defaults.update(kw)
+    return FinetuneRecipe(**defaults)
+
+
 def _resolved_or_default(self: MeshConfig) -> MeshConfig:
     """Resolve against the actual device count, collapsing axes that don't
     fit (so recipes remain runnable on any mesh, incl. 1 chip)."""

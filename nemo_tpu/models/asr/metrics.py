@@ -143,3 +143,82 @@ def diarization_error_rate(
     return {"der": float(der), "miss": float(miss / total),
             "false_alarm": float(fa / total),
             "confusion": float(conf / total)}
+
+
+def _ngram_counts(toks: Sequence, n: int):
+    from collections import Counter
+
+    return Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+
+def corpus_bleu(
+    hypotheses: List[str],
+    references,  # List[str] or List[List[str]] (multi-reference)
+    max_order: int = 4,
+    smooth: bool = False,
+    tokenizer=None,
+) -> float:
+    """Corpus BLEU (Papineni et al. 2002): clipped n-gram precision
+    geometric mean × brevity penalty.
+
+    Reference parity: `nemo/collections/asr/metrics/bleu.py` (BLEU
+    torchmetric wrapping SacreBLEU, used by AED/Canary translation
+    validation) — here a self-contained implementation; `smooth` applies
+    Lin & Och add-1 smoothing to orders > 1 (sacrebleu's 'floor'-style
+    behavior for sentence-level use)."""
+    tok = tokenizer or (lambda s: s.split())
+    clipped = [0] * max_order
+    totals = [0] * max_order
+    hyp_len = 0
+    ref_len = 0
+    for h, refs in zip(hypotheses, references):
+        if isinstance(refs, str):
+            refs = [refs]
+        h_toks = tok(h)
+        r_toks = [tok(r) for r in refs]
+        hyp_len += len(h_toks)
+        # closest reference length (sacrebleu convention)
+        ref_len += min((abs(len(r) - len(h_toks)), len(r)) for r in r_toks)[1]
+        for n in range(1, max_order + 1):
+            h_ng = _ngram_counts(h_toks, n)
+            best = {}
+            for r in r_toks:
+                for g, c in _ngram_counts(r, n).items():
+                    best[g] = max(best.get(g, 0), c)
+            clipped[n - 1] += sum(min(c, best.get(g, 0)) for g, c in h_ng.items())
+            totals[n - 1] += max(len(h_toks) - n + 1, 0)
+    import math
+
+    log_p = 0.0
+    for n in range(max_order):
+        num, den = clipped[n], totals[n]
+        if smooth and n > 0:
+            num, den = num + 1, den + 1
+        if num == 0 or den == 0:
+            return 0.0
+        log_p += math.log(num / den)
+    geo = math.exp(log_p / max_order)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / max(hyp_len, 1))
+    return bp * geo
+
+
+class BLEU:
+    """Accumulating corpus-BLEU metric (reference: BLEU torchmetric)."""
+
+    def __init__(self, max_order: int = 4, smooth: bool = False, tokenizer=None):
+        self.max_order = max_order
+        self.smooth = smooth
+        self.tokenizer = tokenizer
+        self.reset()
+
+    def reset(self):
+        self._hyps: List[str] = []
+        self._refs: list = []
+
+    def update(self, hypotheses: List[str], references):
+        self._hyps.extend(hypotheses)
+        self._refs.extend(references)
+
+    def compute(self) -> float:
+        return corpus_bleu(self._hyps, self._refs, self.max_order,
+                           self.smooth, self.tokenizer)

@@ -152,3 +152,43 @@ def test_squad_dolly_hf_datamodules(tmp_path):
         map_fn=lambda r: {"input": r["q"], "output": r["a"]})
     batch = next(dm.train_batches(0))
     assert batch["tokens"].shape == (2, 64)
+
+
+def test_finetune_recipe_derivation():
+    """finetune_recipe derives SFT defaults from every pretrain recipe
+    (reference: recipes/finetune_default.py default_finetune_recipe +
+    per-model finetune_recipe factories)."""
+    from nemo_tpu.llm.peft import LoRA
+    from nemo_tpu.llm.recipes import finetune_recipe
+
+    for name in ("llama3_8b", "mixtral_8x7b", "tiny_test"):
+        fr = finetune_recipe(name)
+        assert isinstance(fr.peft, LoRA) and not fr.peft.dora
+        assert fr.lr == 1e-4
+        assert fr.model.seq_length <= 2048
+        assert fr.global_batch_size <= 128
+
+    full = finetune_recipe("llama3_8b", peft_scheme="none")
+    assert full.peft is None and full.lr == 5e-6
+    dora = finetune_recipe("llama3_8b", peft_scheme="dora")
+    assert dora.peft.dora
+
+    with pytest.raises(ValueError):
+        finetune_recipe("llama3_8b", peft_scheme="qlora")
+
+
+def test_finetune_recipe_runs_lora(jsonl_file):
+    """End-to-end: tiny recipe → LoRA SFT on a jsonl datamodule."""
+    from nemo_tpu.llm.recipes import RECIPES, finetune_recipe
+    from nemo_tpu.models.llm.train import GPTTrainModule
+
+    gbs = jax.device_count()
+    fr = finetune_recipe("tiny_test", peft_scheme="lora",
+                         global_batch_size=gbs, max_steps=2, warmup_steps=1)
+    base = GPTTrainModule(fr.model, mesh_cfg=fr.mesh)
+    params = base.init_state(seed=0).params
+    dm = FineTuningDataModule(jsonl_file, ByteTok(),
+                              seq_length=fr.model.seq_length,
+                              global_batch_size=gbs)
+    module, state, metrics = fr.run(params, dm, max_steps=2)
+    assert np.isfinite(float(metrics["loss"]))
