@@ -348,11 +348,38 @@ class SSMModel(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def mamba2_2_7b(**kw) -> SSMConfig:
-    d = dict(num_layers=64, hidden_size=2560, vocab_size=50288, seq_length=4096,
-             num_heads=80, head_dim=64, n_groups=1, state_size=128, chunk_size=256)
+def _mamba2(layers, hidden, heads, **kw) -> SSMConfig:
+    d = dict(num_layers=layers, hidden_size=hidden, vocab_size=50288,
+             seq_length=4096, num_heads=heads, head_dim=64, n_groups=1,
+             state_size=128, chunk_size=256)
     d.update(kw)
     return SSMConfig(**d)
+
+
+def mamba2_130m(**kw) -> SSMConfig:
+    """(reference: recipes/mamba2_130m.py / ssm.py BaseMambaConfig130M)"""
+    return _mamba2(24, 768, 24, **kw)
+
+
+def mamba2_370m(**kw) -> SSMConfig:
+    return _mamba2(48, 1024, 32, **kw)
+
+
+def mamba2_780m(**kw) -> SSMConfig:
+    return _mamba2(48, 1536, 48, **kw)
+
+
+def mamba2_1_3b(**kw) -> SSMConfig:
+    return _mamba2(48, 2048, 64, **kw)
+
+
+def mamba2_2_7b(**kw) -> SSMConfig:
+    return _mamba2(64, 2560, 80, **kw)
+
+
+def mamba2_8b(**kw) -> SSMConfig:
+    """(reference: NVIDIAMambaConfig8B — pure-mamba nemotron tokenizer/width)"""
+    return _mamba2(56, 4096, 128, vocab_size=256000, n_groups=8, **kw)
 
 
 def nemotron_h_8b(**kw) -> SSMConfig:
@@ -375,6 +402,40 @@ def nemotron_h_8b(**kw) -> SSMConfig:
 # stateful generation (O(1)/token decode — the SSM serving advantage;
 # reference: megatron mamba inference wrapper used by llm.generate)
 # --------------------------------------------------------------------------
+
+
+def _nemotron_h(pat: str, hidden: int, heads: int, attn_heads: int,
+                kv_groups: int, ffn: int, **kw) -> SSMConfig:
+    d = dict(num_layers=len(pat), hidden_size=hidden, vocab_size=131072,
+             seq_length=8192, num_heads=heads, head_dim=64, n_groups=8,
+             state_size=128, chunk_size=256, hybrid_override_pattern=pat,
+             attn=GPTConfig(hidden_size=hidden, num_attention_heads=attn_heads,
+                            num_query_groups=kv_groups, ffn_hidden_size=ffn,
+                            gated_linear_unit=False, activation="squared_relu",
+                            position_embedding_type="none"))
+    d.update(kw)
+    return SSMConfig(**d)
+
+
+def nemotron_h_4b(**kw) -> SSMConfig:
+    """(reference: gpt/model/ssm.py NemotronHConfig4B — same M/*/- hybrid
+    family as the 8B at 3072 width)"""
+    pat = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    return _nemotron_h(pat, 3072, 96, 32, 8, 12288, **kw)
+
+
+def nemotron_h_47b(**kw) -> SSMConfig:
+    """(reference: NemotronHConfig47B — 8192 width, 98-block hybrid)"""
+    unit = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-"
+    pat = (unit * 2)[:98]
+    return _nemotron_h(pat, 8192, 256, 64, 8, 30720, **kw)
+
+
+def nemotron_h_56b(**kw) -> SSMConfig:
+    """(reference: NemotronHConfig56B — 8192 width, 118-block hybrid)"""
+    unit = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-"
+    pat = (unit * 3)[:118]
+    return _nemotron_h(pat, 8192, 256, 64, 8, 32768, **kw)
 
 
 def init_ssm_states(cfg: SSMConfig, batch: int, total_len: int,

@@ -41,6 +41,22 @@ def t5_220m(**kw) -> T5Config:
     return T5Config(**d)
 
 
+def t5_3b(**kw) -> T5Config:
+    """(reference: t5/model/t5.py T5Config3B / recipes/t5_3b.py)"""
+    d = dict(num_layers=24, hidden_size=2048, ffn_hidden_size=5120,
+             num_attention_heads=32, kv_channels=64, gated_gelu=True)
+    d.update(kw)
+    return T5Config(**d)
+
+
+def t5_11b(**kw) -> T5Config:
+    """(reference: t5/model/t5.py T5Config11B / recipes/t5_11b.py)"""
+    d = dict(num_layers=24, hidden_size=4096, ffn_hidden_size=10240,
+             num_attention_heads=64, kv_channels=64, gated_gelu=True)
+    d.update(kw)
+    return T5Config(**d)
+
+
 def _rel_bucket(rel, bidirectional, num_buckets, max_dist):
     ret = 0
     n = -rel

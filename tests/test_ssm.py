@@ -266,3 +266,26 @@ def test_llm_server_serves_ssm():
         assert isinstance(out, str) and len(out) > 0
     finally:
         srv.shutdown()
+
+
+def test_ssm_and_t5_preset_tables():
+    """Size-family presets construct coherent configs (reference:
+    ssm.py BaseMambaConfig*/NemotronHConfig*, t5.py T5Config3B/11B)."""
+    from nemo_tpu.models.llm import ssm as S
+    from nemo_tpu.models.llm.t5 import t5_3b, t5_11b, t5_220m
+
+    for f in (S.mamba2_130m, S.mamba2_370m, S.mamba2_780m, S.mamba2_1_3b,
+              S.mamba2_2_7b, S.mamba2_8b):
+        cfg = f()
+        assert cfg.pattern() == "M" * cfg.num_layers
+        assert cfg.d_inner == 2 * cfg.hidden_size  # mamba2 expand=2
+    for f in (S.nemotron_h_4b, S.nemotron_h_8b, S.nemotron_h_47b,
+              S.nemotron_h_56b):
+        cfg = f()
+        assert len(cfg.pattern()) == cfg.num_layers
+        assert set(cfg.pattern()) <= {"M", "*", "-"}
+        assert "*" in cfg.pattern() and cfg.attn is not None
+        assert cfg.attn.hidden_size == cfg.hidden_size
+    assert t5_3b().hidden_size == 2048
+    assert t5_11b().ffn_hidden_size == 10240
+    assert t5_220m().num_layers == 12
