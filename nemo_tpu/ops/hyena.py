@@ -141,3 +141,25 @@ class HyenaLM(nn.Module):
         x = nn.RMSNorm(name="final_norm")(x)
         emb = self.variables["params"]["embed"]["embedding"]
         return x @ emb.T.astype(x.dtype)
+
+
+def evo2_1b(**kw) -> HyenaLM:
+    """Evo2-1B-class pure-hyena column (reference: llm/recipes/hyena_1b.py /
+    gpt/model/hyena.py Hyena1bConfig; byte-level vocab)."""
+    d = dict(vocab_size=512, d_model=1920, n_layers=25, order=2)
+    d.update(kw)
+    return HyenaLM(**d)
+
+
+def evo2_7b(**kw) -> HyenaLM:
+    """(reference: recipes/hyena_7b.py — 4096×32 striped stack)"""
+    d = dict(vocab_size=512, d_model=4096, n_layers=32, order=2)
+    d.update(kw)
+    return HyenaLM(**d)
+
+
+def evo2_40b(**kw) -> HyenaLM:
+    """(reference: recipes/hyena_40b.py — 8192×50 striped stack)"""
+    d = dict(vocab_size=512, d_model=8192, n_layers=50, order=2)
+    d.update(kw)
+    return HyenaLM(**d)

@@ -60,3 +60,21 @@ def test_hyena_lm_trains():
         losses.append(float(l))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_evo2_presets():
+    """Evo2 size presets construct and a tiny-ified instance runs
+    (reference: recipes/hyena_{1b,7b,40b}.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.ops.hyena import evo2_1b, evo2_7b, evo2_40b
+
+    assert evo2_1b().d_model == 1920 and evo2_1b().n_layers == 25
+    assert evo2_7b().d_model == 4096
+    assert evo2_40b().n_layers == 50
+    tiny = evo2_1b(d_model=32, n_layers=2, vocab_size=64)
+    toks = jnp.zeros((1, 16), jnp.int32)
+    v = tiny.init(jax.random.PRNGKey(0), toks)
+    out = tiny.apply(v, toks)
+    assert out.shape == (1, 16, 64)
