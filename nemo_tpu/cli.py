@@ -187,8 +187,14 @@ def _asr_eval(cfg: ConfigDict) -> int:
             for p, h, r in zip(paths, hyps, refs):
                 f.write(_json.dumps(
                     {"audio_filepath": p, "pred_text": h, "text": r}) + "\n")
-    print(_json.dumps({("cer" if use_cer else "wer"): round(score, 4),
-                       "utterances": len(paths)}))
+    out = {("cer" if use_cer else "wer"): round(score, 4),
+           "utterances": len(paths)}
+    if bool(cfg.get("bleu", False)):
+        # translation-task scoring (reference: Canary AED validation BLEU)
+        from nemo_tpu.models.asr.metrics import corpus_bleu
+
+        out["bleu"] = round(corpus_bleu(hyps, refs), 4)
+    print(_json.dumps(out))
     return 0
 
 

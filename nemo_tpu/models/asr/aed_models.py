@@ -421,3 +421,26 @@ class EncDecMultiTaskModel(Model):
                 ids = [int(t) for t in out[b] if t != self.pad_id]
                 results.append(self.ids_to_text(ids))
         return results
+
+    def evaluate(
+        self,
+        audio: Sequence[Union[str, np.ndarray]],
+        references: Sequence[str],
+        *,
+        task: str = "transcribe",
+        lang: str = None,
+        batch_size: int = 4,
+        max_len: int = 128,
+    ) -> dict:
+        """Task-appropriate scoring (reference: Canary multitask validation —
+        WER for `transcribe`, corpus BLEU for `translate`/AST)."""
+        from nemo_tpu.models.asr.metrics import corpus_bleu, word_error_rate
+
+        hyps = self.transcribe(audio, batch_size=batch_size, lang=lang,
+                               task=task, max_len=max_len)
+        out = {"hypotheses": hyps}
+        if task == "translate":
+            out["bleu"] = corpus_bleu(hyps, list(references))
+        else:
+            out["wer"] = word_error_rate(hyps, list(references))
+        return out

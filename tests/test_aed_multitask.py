@@ -196,3 +196,17 @@ def test_tiktoken_style_bpe_roundtrip():
     assert tok.ids_to_text(ids2) == "a<|endoftext|>b"
     # non-ascii round-trips through utf-8 bytes
     assert tok.ids_to_text(tok.text_to_ids("héllo ß")) == "héllo ß"
+
+
+def test_aed_evaluate_task_metrics():
+    """evaluate() scores WER for transcribe and BLEU for translate
+    (reference: Canary multitask validation metric routing)."""
+    m = EncDecMultiTaskModel(_tiny_cfg())
+    rng = np.random.RandomState(1)
+    audio = [rng.randn(8000).astype(np.float32) * 0.1 for _ in range(2)]
+    refs = ["ab ab", "ba"]
+    out = m.evaluate(audio, refs, task="transcribe", batch_size=2, max_len=8)
+    assert "wer" in out and np.isfinite(out["wer"])
+    assert len(out["hypotheses"]) == 2
+    out_t = m.evaluate(audio, refs, task="translate", batch_size=2, max_len=8)
+    assert "bleu" in out_t and 0.0 <= out_t["bleu"] <= 1.0
