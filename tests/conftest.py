@@ -18,10 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache: most of the suite's wall time is CPU
-# compiles of conv/transformer graphs that are identical run-to-run (the
-# 1-CPU gate host recompiles everything otherwise). Safe to share — keys
-# include jaxlib version + flags.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent XLA compilation cache. Round 3 enabled one to speed up the
+# suite; it was the root cause of the flaky SIGABRT in test_pipeline.py:
+# XLA:CPU entries are AOT machine code whose cache key does NOT include the
+# host CPU feature set, so entries compiled on a different gate host (the
+# fleet is heterogeneous) execute illegal instructions → silent abort.
+# Even same-host reloads trip cpu_aot_loader feature-mismatch errors on
+# this jaxlib (XLA annotates compile features with +prefer-no-gather /
+# +prefer-no-scatter, which never appear in host CPUID). Correctness over
+# compile time: every run compiles fresh.
