@@ -403,3 +403,201 @@ def model_from_reference_yaml(path: str, labels=None, overrides=None):
             node = node[p]
         node[parts[-1]] = v
     return EncDecCTCModel(cfg)
+
+
+# ---------------------------------------------------------------------------
+# TTS: FastPitch conversion (reference tts/models/fastpitch.py:169 — the
+# module tree lives under the `fastpitch.` prefix; layer layouts per
+# tts/modules/transformer.py + tts/modules/fastpitch.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_fastpitch_config(nemo_cfg: ConfigDict, sd) -> ConfigDict:
+    """Reference FastPitch YAML (examples/tts/conf/fastpitch_align_v1.05.yaml
+    model node: input_fft/output_fft/duration_predictor/pitch_predictor) →
+    FastPitchModel ConfigDict in reference-compat mode (post-norm FFT blocks,
+    concatenated sin|cos positions, decoupled d_head)."""
+    in_fft = nemo_cfg.get("input_fft", ConfigDict())
+    out_fft = nemo_cfg.get("output_fft", ConfigDict())
+    dp = nemo_cfg.get("duration_predictor", ConfigDict())
+    d_model = int(nemo_cfg.get("symbols_embedding_dim",
+                               in_fft.get("d_model", 384)))
+    n_symbols = int(sd["fastpitch.encoder.word_emb.weight"].shape[0])
+    return ConfigDict(
+        n_symbols=n_symbols,
+        n_mels=int(nemo_cfg.get("n_mel_channels", 80)),
+        d_model=d_model,
+        n_heads=int(in_fft.get("n_head", 1)),
+        d_head=int(in_fft.get("d_head", 64)),
+        d_ff=int(in_fft.get("d_inner", 1536)),
+        enc_layers=int(in_fft.get("n_layer", 6)),
+        dec_layers=int(out_fft.get("n_layer", 6)),
+        kernel_size=int(in_fft.get("kernel_size", 3)),
+        pitch_embedding_kernel=int(
+            nemo_cfg.get("pitch_embedding_kernel_size", 3)),
+        max_token_duration=int(nemo_cfg.get("max_token_duration", 75)),
+        predictor_filter_size=int(dp.get("filter_size", 256)),
+        predictor_kernel_size=int(dp.get("kernel_size", 3)),
+        predictor_n_layers=int(dp.get("n_layers", 2)),
+        norm_style="post",
+        pos_concat=True,
+    )
+
+
+def _convert_fft_stack(tree: _Tree, sd, our_prefix: str, t_prefix: str,
+                       n_layers: int):
+    """FFTransformer{Encoder,Decoder} layers → our post-norm FFTBlocks.
+
+    Torch keys per layer (transformer.py:98-189): dec_attn.qkv_net
+    (fused [3·H·dh, D] + bias → split thirds into q/k/v), dec_attn.o_net
+    (no bias), dec_attn.layer_norm (post-attention), pos_ff.CoreNet.{0,2}
+    (two Conv1d), pos_ff.layer_norm (post-FF)."""
+    for i in range(n_layers):
+        t = f"{t_prefix}.layers.{i}"
+        o = f"{our_prefix}/layer{i}"
+        qkv_w = sd[f"{t}.dec_attn.qkv_net.weight"]
+        qkv_b = sd[f"{t}.dec_attn.qkv_net.bias"]
+        third = qkv_w.shape[0] // 3
+        for j, name in enumerate(("q", "k", "v")):
+            tree.p(f"{o}/{name}/kernel",
+                   t2f_linear(qkv_w[j * third:(j + 1) * third]))
+            tree.p(f"{o}/{name}/bias", qkv_b[j * third:(j + 1) * third])
+        tree.p(f"{o}/o/kernel", t2f_linear(sd[f"{t}.dec_attn.o_net.weight"]))
+        tree.ln(f"{o}/norm1", sd, f"{t}.dec_attn.layer_norm")
+        tree.p(f"{o}/ff1/kernel", t2f_conv1d(sd[f"{t}.pos_ff.CoreNet.0.weight"]))
+        tree.p(f"{o}/ff1/bias", sd[f"{t}.pos_ff.CoreNet.0.bias"])
+        tree.p(f"{o}/ff2/kernel", t2f_conv1d(sd[f"{t}.pos_ff.CoreNet.2.weight"]))
+        tree.p(f"{o}/ff2/bias", sd[f"{t}.pos_ff.CoreNet.2.bias"])
+        tree.ln(f"{o}/norm2", sd, f"{t}.pos_ff.layer_norm")
+
+
+def _convert_temporal_predictor(tree: _Tree, sd, our_prefix: str,
+                                t_prefix: str, n_layers: int = 2):
+    """TemporalPredictor (fastpitch.py:107): ConvReLUNorm layers + fc."""
+    for i in range(n_layers):
+        tree.p(f"{our_prefix}/conv{i}/kernel",
+               t2f_conv1d(sd[f"{t_prefix}.layers.{i}.conv.weight"]))
+        tree.p(f"{our_prefix}/conv{i}/bias", sd[f"{t_prefix}.layers.{i}.conv.bias"])
+        tree.ln(f"{our_prefix}/norm{i}", sd, f"{t_prefix}.layers.{i}.norm")
+    tree.dense(f"{our_prefix}/fc", sd, f"{t_prefix}.fc")
+
+
+def convert_fastpitch_state(cfg: ConfigDict, sd) -> Dict[str, Any]:
+    if any(k.startswith("fastpitch.speaker_emb") for k in sd):
+        logging.warning("multi-speaker FastPitch: speaker_emb ignored "
+                        "(imported as single-speaker)")
+    if any(k.startswith("fastpitch.energy_") for k in sd):
+        logging.warning("energy conditioning weights present but not "
+                        "imported (energy predictor unsupported)")
+    tree = _Tree()
+    tree.p("symbol_emb/embedding", sd["fastpitch.encoder.word_emb.weight"])
+    _convert_fft_stack(tree, sd, "encoder", "fastpitch.encoder",
+                       int(cfg.enc_layers))
+    _convert_fft_stack(tree, sd, "decoder", "fastpitch.decoder",
+                       int(cfg.dec_layers))
+    _convert_temporal_predictor(tree, sd, "duration_predictor",
+                                "fastpitch.duration_predictor",
+                                int(cfg.get("predictor_n_layers", 2)))
+    _convert_temporal_predictor(tree, sd, "pitch_predictor",
+                                "fastpitch.pitch_predictor",
+                                int(cfg.get("predictor_n_layers", 2)))
+    tree.p("pitch_emb/kernel", t2f_conv1d(sd["fastpitch.pitch_emb.weight"]))
+    tree.p("pitch_emb/bias", sd["fastpitch.pitch_emb.bias"])
+    tree.dense("mel_proj", sd, "fastpitch.proj")
+    return tree.variables()
+
+
+def import_fastpitch_model(path: str):
+    """`.nemo` FastPitch checkpoint → FastPitchModel (inference parity:
+    post-norm FFT stacks, duration clamp per modules/fastpitch.py:84)."""
+    from nemo_tpu.models.tts.fastpitch_model import FastPitchModel
+
+    nemo_cfg, sd = load_nemo_archive(path)
+    cfg = convert_fastpitch_config(nemo_cfg, sd)
+    model = FastPitchModel(cfg, init_params=True)
+    model.variables = convert_fastpitch_state(cfg, sd)
+    logging.info(f"Imported FastPitch .nemo checkpoint from {path}")
+    return model
+
+
+# ---------------------------------------------------------------------------
+# TTS: HiFi-GAN conversion (reference tts/models/hifigan.py — generator
+# under the `generator.` prefix; every conv is weight-normed)
+# ---------------------------------------------------------------------------
+
+
+def _wn_weight(sd, prefix: str) -> np.ndarray:
+    """Resolve a (possibly) weight-normed torch conv weight:
+    w = g · v / ‖v‖ with the norm over all dims except 0 (torch
+    weight_norm default dim=0). Plain `.weight` passes through."""
+    if f"{prefix}.weight" in sd:
+        return sd[f"{prefix}.weight"]
+    g = sd[f"{prefix}.weight_g"]
+    v = sd[f"{prefix}.weight_v"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g * (v / norm)).astype(v.dtype)
+
+
+def t2f_convtranspose1d(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose1d [in, out, k] → flax ConvTranspose [k, in, out]
+    (flax's default transpose_kernel=False applies the kernel mirrored
+    relative to torch's gradient-of-conv semantics, so flip taps)."""
+    return np.transpose(w, (2, 0, 1))[::-1]
+
+
+def convert_hifigan_state(gen_cfg: ConfigDict, sd) -> Dict[str, Any]:
+    tree = _Tree()
+    pre = _wn_weight(sd, "generator.conv_pre")
+    tree.p("pre/kernel", t2f_conv1d(pre))
+    tree.p("pre/bias", sd["generator.conv_pre.bias"])
+    rates = list(gen_cfg.get("upsample_rates", (8, 8, 2, 2)))
+    kernels = list(gen_cfg.get("resblock_kernel_sizes", (3, 7, 11)))
+    dils = list(gen_cfg.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
+    for i in range(len(rates)):
+        w = _wn_weight(sd, f"generator.ups.{i}")
+        tree.p(f"up{i}/kernel", t2f_convtranspose1d(w))
+        tree.p(f"up{i}/bias", sd[f"generator.ups.{i}.bias"])
+        for j in range(len(kernels)):
+            t = f"generator.resblocks.{i}.{j}"
+            for c in range(len(dils[j])):
+                tree.p(f"res{i}_{j}/c1_{c}/kernel",
+                       t2f_conv1d(_wn_weight(sd, f"{t}.convs1.{c}")))
+                tree.p(f"res{i}_{j}/c1_{c}/bias", sd[f"{t}.convs1.{c}.bias"])
+                tree.p(f"res{i}_{j}/c2_{c}/kernel",
+                       t2f_conv1d(_wn_weight(sd, f"{t}.convs2.{c}")))
+                tree.p(f"res{i}_{j}/c2_{c}/bias", sd[f"{t}.convs2.{c}.bias"])
+    post = _wn_weight(sd, "generator.conv_post")
+    tree.p("post/kernel", t2f_conv1d(post))
+    tree.p("post/bias", sd["generator.conv_post.bias"])
+    return tree.variables()
+
+
+def import_hifigan_model(path: str):
+    """`.nemo` HiFi-GAN checkpoint → HifiGanModel (generator weights;
+    discriminators are training-only and skipped)."""
+    from nemo_tpu.models.tts.hifigan_model import HifiGanModel
+
+    nemo_cfg, sd = load_nemo_archive(path)
+    gen_cfg = ConfigDict(nemo_cfg.get("generator", {}))
+    cfg = ConfigDict(
+        sample_rate=int(nemo_cfg.get("sample_rate", 22050)),
+        generator=dict(
+            upsample_rates=tuple(gen_cfg.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(
+                gen_cfg.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+            upsample_initial_channel=int(
+                gen_cfg.get("upsample_initial_channel", 512)),
+            resblock_kernel_sizes=tuple(
+                gen_cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in gen_cfg.get("resblock_dilation_sizes",
+                                              ((1, 3, 5),) * 3)),
+        ),
+    )
+    model = HifiGanModel(cfg, init_params=False)
+    model.variables = {
+        "params": {"generator":
+                   convert_hifigan_state(cfg.generator, sd)["params"]}}
+    logging.info(f"Imported HiFi-GAN .nemo checkpoint from {path}")
+    return model

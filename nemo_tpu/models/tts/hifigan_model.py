@@ -37,6 +37,10 @@ class HifiGanModel(Model):
             upsample_rates=tuple(gen_cfg.get("upsample_rates", (8, 8, 2, 2))),
             upsample_kernel_sizes=tuple(gen_cfg.get("upsample_kernel_sizes", (16, 16, 4, 4))),
             upsample_initial_channel=int(gen_cfg.get("upsample_initial_channel", 512)),
+            resblock_kernel_sizes=tuple(gen_cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in gen_cfg.get("resblock_dilation_sizes",
+                                              ((1, 3, 5), (1, 3, 5), (1, 3, 5)))),
         )
         self.mpd = MultiPeriodDiscriminator()
         self.msd = MultiScaleDiscriminator()
