@@ -92,15 +92,23 @@ def finetune(
     peft=None,
     trainer: Optional[Trainer] = None,
     log_dir: Optional[str] = None,
+    optimizer=None,
+    lr_schedule=None,
 ):
     """Finetune from existing params (reference api.py:193); `peft` applies a
-    parameter-efficient transform (see nemo_tpu.llm.peft)."""
+    parameter-efficient transform (see nemo_tpu.llm.peft). `lr_schedule`
+    (a step→lr callable, e.g. FinetuneRecipe.lr_schedule()) or a full optax
+    `optimizer` sets the finetuning LR — without one the modules fall back
+    to their pretrain defaults (3e-4 full / 1e-4 LoRA), NOT the reference's
+    SFT lr 5e-6."""
     mesh = mesh or MeshConfig()
     validate_config(model, mesh, data.global_batch_size, data.micro_batch_size)
     if peft is not None:
-        module = peft.build_module(model, params, mesh)
+        module = peft.build_module(model, params, mesh, optimizer=optimizer,
+                                   lr_schedule=lr_schedule)
     else:
-        module = GPTTrainModule(model, mesh_cfg=mesh)
+        module = GPTTrainModule(model, mesh_cfg=mesh, optimizer=optimizer,
+                                lr_schedule=lr_schedule)
     state = module.init_state()
     if peft is None:
         state = state.replace(params=_cast_like(params, state.params, module))

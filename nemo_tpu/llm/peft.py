@@ -39,8 +39,10 @@ class LoRA:
     dropout: float = 0.0
     dora: bool = False  # DoRA: magnitude-normalized update (peft/dora.py)
 
-    def build_module(self, cfg: GPTConfig, base_params, mesh_cfg: MeshConfig):
-        return LoRATrainModule(cfg, base_params, self, mesh_cfg)
+    def build_module(self, cfg: GPTConfig, base_params, mesh_cfg: MeshConfig,
+                     optimizer=None, lr_schedule=None):
+        return LoRATrainModule(cfg, base_params, self, mesh_cfg,
+                               optimizer=optimizer, lr_schedule=lr_schedule)
 
 
 def _find_kernels(params: Dict, targets) -> Dict[str, Tuple]:
@@ -68,7 +70,8 @@ def _set_in(tree, path, value):
 class LoRATrainModule:
     """Duck-typed train module (Trainer protocol) training only adapters."""
 
-    def __init__(self, cfg: GPTConfig, base_params, lora: LoRA, mesh_cfg: MeshConfig):
+    def __init__(self, cfg: GPTConfig, base_params, lora: LoRA, mesh_cfg: MeshConfig,
+                 optimizer=None, lr_schedule=None):
         self.cfg = cfg
         self.lora = lora
         self.model = GPTModel(cfg)
@@ -77,7 +80,10 @@ class LoRATrainModule:
         self.targets = _find_kernels(base_params, set(lora.target_modules))
         if not self.targets:
             raise ValueError(f"no target modules {lora.target_modules} found")
-        self.optimizer = optax.adamw(1e-4)
+        # recipe-provided schedule/optimizer (reference finetune_default.py:
+        # LoRA lr 1e-4) — a FinetuneRecipe's lr/lr_schedule flows here
+        self.lr_schedule = lr_schedule
+        self.optimizer = optimizer or optax.adamw(lr_schedule or 1e-4)
         self._jit_step = jax.jit(self._step)
 
     # -- adapter params ------------------------------------------------------
@@ -179,8 +185,11 @@ class CanonicalLoRA(LoRA):
 
     dim_overrides: Optional[Dict[str, int]] = None  # module name → rank
 
-    def build_module(self, cfg: GPTConfig, base_params, mesh_cfg: MeshConfig):
-        return CanonicalLoRATrainModule(cfg, base_params, self, mesh_cfg)
+    def build_module(self, cfg: GPTConfig, base_params, mesh_cfg: MeshConfig,
+                     optimizer=None, lr_schedule=None):
+        return CanonicalLoRATrainModule(cfg, base_params, self, mesh_cfg,
+                                        optimizer=optimizer,
+                                        lr_schedule=lr_schedule)
 
 
 class CanonicalLoRATrainModule(LoRATrainModule):

@@ -491,10 +491,16 @@ class FinetuneRecipe:
             log_dir=None, trainer=None):
         from nemo_tpu.llm.api import finetune
 
+        if data.global_batch_size != self.global_batch_size:
+            raise ValueError(
+                f"data module global_batch_size {data.global_batch_size} != "
+                f"recipe's {self.global_batch_size} — pass a matching data "
+                f"module or override the recipe field")
         return finetune(
             self.model, params, data, mesh=self.mesh, peft=self.peft,
             max_steps=max_steps or self.max_steps, trainer=trainer,
             log_dir=log_dir,
+            lr_schedule=self.lr_schedule(),
         )
 
 

@@ -192,3 +192,43 @@ def test_finetune_recipe_runs_lora(jsonl_file):
                               global_batch_size=gbs)
     module, state, metrics = fr.run(params, dm, max_steps=2)
     assert np.isfinite(float(metrics["loss"]))
+    # ADVICE r3: the recipe's lr must reach the module's ACTUAL optimizer —
+    # the schedule instance flows through finetune() into the train module
+    sched = module.lr_schedule
+    assert sched is not None
+    assert float(sched(1)) == pytest.approx(fr.lr, rel=1e-6)  # warmup_steps=1
+
+
+def test_finetune_recipe_gbs_mismatch_raises(jsonl_file):
+    """A data module whose global_batch_size disagrees with the recipe's is
+    rejected instead of silently training at the data module's GBS."""
+    from nemo_tpu.llm.recipes import finetune_recipe
+
+    gbs = jax.device_count()
+    fr = finetune_recipe("tiny_test", peft_scheme="lora",
+                         global_batch_size=gbs * 2, max_steps=2)
+    dm = FineTuningDataModule(jsonl_file, ByteTok(),
+                              seq_length=fr.model.seq_length,
+                              global_batch_size=gbs)
+    with pytest.raises(ValueError, match="global_batch_size"):
+        fr.run(None, dm)
+
+
+def test_finetune_full_sft_lr_plumbed(jsonl_file):
+    """Full (non-PEFT) finetune: lr 5e-6 reaches GPTTrainModule's schedule
+    (the round-3 bug ran full SFT at the 3e-4 pretrain default)."""
+    from nemo_tpu.llm.recipes import finetune_recipe
+    from nemo_tpu.models.llm.train import GPTTrainModule
+
+    gbs = jax.device_count()
+    fr = finetune_recipe("tiny_test", peft_scheme=None,
+                         global_batch_size=gbs, max_steps=4, warmup_steps=1)
+    assert fr.lr == 5e-6
+    base = GPTTrainModule(fr.model, mesh_cfg=fr.mesh)
+    params = base.init_state(seed=0).params
+    dm = FineTuningDataModule(jsonl_file, ByteTok(),
+                              seq_length=fr.model.seq_length,
+                              global_batch_size=gbs)
+    module, state, metrics = fr.run(params, dm, max_steps=2)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(module.lr_schedule(1)) == pytest.approx(5e-6, rel=1e-6)
