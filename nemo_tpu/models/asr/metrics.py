@@ -157,15 +157,20 @@ def corpus_bleu(
     max_order: int = 4,
     smooth: bool = False,
     tokenizer=None,
+    scale: float = 100.0,
 ) -> float:
     """Corpus BLEU (Papineni et al. 2002): clipped n-gram precision
-    geometric mean × brevity penalty.
+    geometric mean × brevity penalty, reported on the SacreBLEU 0-100
+    scale (pass scale=1.0 for the 0-1 convention).
 
     Reference parity: `nemo/collections/asr/metrics/bleu.py` (BLEU
     torchmetric wrapping SacreBLEU, used by AED/Canary translation
     validation) — here a self-contained implementation; `smooth` applies
     Lin & Och add-1 smoothing to orders > 1 (sacrebleu's 'floor'-style
     behavior for sentence-level use)."""
+    if len(hypotheses) != len(references):
+        raise ValueError(
+            f"{len(hypotheses)} hypotheses vs {len(references)} references")
     tok = tokenizer or (lambda s: s.split())
     clipped = [0] * max_order
     totals = [0] * max_order
@@ -199,7 +204,7 @@ def corpus_bleu(
         log_p += math.log(num / den)
     geo = math.exp(log_p / max_order)
     bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / max(hyp_len, 1))
-    return bp * geo
+    return bp * geo * scale
 
 
 class BLEU:

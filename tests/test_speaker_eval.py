@@ -86,17 +86,23 @@ def test_corpus_bleu_hand_values():
     from nemo_tpu.models.asr.metrics import BLEU, corpus_bleu
 
     ref = "the cat is on the mat"
-    # identity
-    assert abs(corpus_bleu([ref], [ref]) - 1.0) < 1e-12
+    # identity — sacrebleu 0-100 scale (reference BLEU wraps SacreBLEU)
+    assert abs(corpus_bleu([ref], [ref]) - 100.0) < 1e-9
     # all-order partial match, no brevity penalty (hyp longer):
     # p = (6/7)(5/6)(4/5)(3/4) = 3/7 → BLEU = (3/7)^(1/4)
     hyp = "the cat is on the mat tonight"
-    expect = (3 / 7) ** 0.25
-    assert abs(corpus_bleu([hyp], [ref]) - expect) < 1e-12
+    expect = 100.0 * (3 / 7) ** 0.25
+    assert abs(corpus_bleu([hyp], [ref]) - expect) < 1e-9
+    # scale=1.0 restores the 0-1 convention
+    assert abs(corpus_bleu([hyp], [ref], scale=1.0) - expect / 100) < 1e-12
     # brevity penalty: perfect prefix of len 5 vs ref len 6 → exp(1-6/5)
     import math
     hyp2 = "the cat is on the"
-    assert abs(corpus_bleu([hyp2], [ref]) - math.exp(1 - 6 / 5)) < 1e-12
+    assert abs(corpus_bleu([hyp2], [ref]) - 100 * math.exp(1 - 6 / 5)) < 1e-9
+    # mismatched lengths raise instead of silently truncating
+    import pytest
+    with pytest.raises(ValueError):
+        corpus_bleu([hyp, hyp2], [ref])
     # clipping: "the the the ..." has 4-gram precision 0 → BLEU 0
     assert corpus_bleu(["the the the the the the the"], [ref]) == 0.0
     # accumulator == one-shot corpus score
@@ -105,4 +111,4 @@ def test_corpus_bleu_hand_values():
     m.update([hyp2], [ref])
     assert abs(m.compute() - corpus_bleu([hyp, hyp2], [ref, ref])) < 1e-12
     # multi-reference clipping picks the best per n-gram
-    assert corpus_bleu([ref], [[ref, "completely different words"]]) == 1.0
+    assert corpus_bleu([ref], [[ref, "completely different words"]]) == 100.0
