@@ -382,14 +382,19 @@ def mamba2_8b(**kw) -> SSMConfig:
     return _mamba2(56, 4096, 128, vocab_size=256000, n_groups=8, **kw)
 
 
+# literal reference pattern (gpt/model/ssm.py NemotronHConfig4B/8B:994,1009
+# — 52 blocks, attention every ~9th position, MLP interleave)
+_NEMOTRON_H_52 = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+
+
 def nemotron_h_8b(**kw) -> SSMConfig:
-    """52-layer hybrid: attention every 8th mamba block + interleaved MLPs
-    (reference: gpt/model/ssm.py NemotronHConfig8B pattern)."""
-    pat = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
-    d = dict(num_layers=len(pat), hidden_size=4096, vocab_size=131072,
-             seq_length=8192, num_heads=128, head_dim=64, n_groups=8,
-             state_size=128, chunk_size=256,
-             hybrid_override_pattern=pat,
+    """52-layer hybrid: the reference NemotronHConfig8B layout
+    (gpt/model/ssm.py:1006 — hidden 4096, mamba_state_dim 128,
+    ffn 21504, 32 attention heads / 8 KV groups)."""
+    d = dict(num_layers=len(_NEMOTRON_H_52), hidden_size=4096,
+             vocab_size=131072, seq_length=8192, num_heads=128, head_dim=64,
+             n_groups=8, state_size=128, chunk_size=256,
+             hybrid_override_pattern=_NEMOTRON_H_52,
              attn=GPTConfig(hidden_size=4096, num_attention_heads=32,
                             num_query_groups=8, ffn_hidden_size=21504,
                             gated_linear_unit=False, activation="squared_relu",
@@ -405,12 +410,15 @@ def nemotron_h_8b(**kw) -> SSMConfig:
 
 
 def _nemotron_h(pat: str, hidden: int, heads: int, attn_heads: int,
-                kv_groups: int, ffn: int, **kw) -> SSMConfig:
+                kv_groups: int, ffn: int, state_size: int = 128,
+                kv_channels=None, **kw) -> SSMConfig:
     d = dict(num_layers=len(pat), hidden_size=hidden, vocab_size=131072,
              seq_length=8192, num_heads=heads, head_dim=64, n_groups=8,
-             state_size=128, chunk_size=256, hybrid_override_pattern=pat,
+             state_size=state_size, chunk_size=256,
+             hybrid_override_pattern=pat,
              attn=GPTConfig(hidden_size=hidden, num_attention_heads=attn_heads,
                             num_query_groups=kv_groups, ffn_hidden_size=ffn,
+                            kv_channels=kv_channels,
                             gated_linear_unit=False, activation="squared_relu",
                             position_embedding_type="none"))
     d.update(kw)
@@ -418,24 +426,38 @@ def _nemotron_h(pat: str, hidden: int, heads: int, attn_heads: int,
 
 
 def nemotron_h_4b(**kw) -> SSMConfig:
-    """(reference: gpt/model/ssm.py NemotronHConfig4B — same M/*/- hybrid
-    family as the 8B at 3072 width)"""
-    pat = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
-    return _nemotron_h(pat, 3072, 96, 32, 8, 12288, **kw)
+    """(reference: gpt/model/ssm.py NemotronHConfig4B:991 — the same
+    52-block pattern as the 8B, hidden 3072, mamba_num_heads 112,
+    attention kv_channels 128, mamba_state_dim 128, ffn 12288)"""
+    return _nemotron_h(_NEMOTRON_H_52, 3072, 112, 32, 8, 12288,
+                       state_size=128, kv_channels=128, **kw)
+
+
+# literal reference patterns (gpt/model/ssm.py:1021,1035) — NOT periodic
+# repeats: the 47B has 8 attention blocks in an irregular arrangement
+# (incl. the 'MM' doublet near the end), the 56B has 10 evenly spread
+_NEMOTRON_H_47B = (
+    "M-M-M-M-M-M-M-M-M*-M-M-M-M-M-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-"
+    "M-M-M-M---MM---M-M*-M-M-M-M-M-"
+)
+_NEMOTRON_H_56B = (
+    "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-"
+    "M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+)
 
 
 def nemotron_h_47b(**kw) -> SSMConfig:
-    """(reference: NemotronHConfig47B — 8192 width, 98-block hybrid)"""
-    unit = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-"
-    pat = (unit * 2)[:98]
-    return _nemotron_h(pat, 8192, 256, 64, 8, 30720, **kw)
+    """(reference: NemotronHConfig47B:1018 — 98 blocks, hidden 8192,
+    mamba_state_dim 256, ffn 30720, 64 attention heads)"""
+    return _nemotron_h(_NEMOTRON_H_47B, 8192, 256, 64, 8, 30720,
+                       state_size=256, **kw)
 
 
 def nemotron_h_56b(**kw) -> SSMConfig:
-    """(reference: NemotronHConfig56B — 8192 width, 118-block hybrid)"""
-    unit = "M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-"
-    pat = (unit * 3)[:118]
-    return _nemotron_h(pat, 8192, 256, 64, 8, 32768, **kw)
+    """(reference: NemotronHConfig56B:1032 — 118 blocks, hidden 8192,
+    mamba_state_dim 256, ffn 32768, 64 attention heads)"""
+    return _nemotron_h(_NEMOTRON_H_56B, 8192, 256, 64, 8, 32768,
+                       state_size=256, **kw)
 
 
 def init_ssm_states(cfg: SSMConfig, batch: int, total_len: int,
@@ -552,10 +574,15 @@ class SSMContinuousBatchingEngine:
         self.params = params
         self.max_slots = max_slots
         self.max_len = max_len
-        self.bucket = max(prefill_buckets)
+        fitting = [b for b in prefill_buckets if b < max_len]
+        if not fitting:
+            # auto-clamp (LLMServer passes its own max_len with the default
+            # buckets): largest power-of-2 below max_len keeps decode room
+            fitting = [max(8, 1 << (max_len - 1).bit_length() - 1)]
+        self.bucket = max(fitting)
         if self.bucket >= max_len:
             raise ValueError(
-                f"largest prefill bucket ({self.bucket}) must be < max_len "
+                f"prefill bucket ({self.bucket}) must be < max_len "
                 f"({max_len}) to leave decode room")
         self.states = init_ssm_states(cfg, max_slots, max_len, cache_dtype)
         self.cur_len = np.zeros(max_slots, np.int64)

@@ -279,13 +279,22 @@ def test_ssm_and_t5_preset_tables():
         cfg = f()
         assert cfg.pattern() == "M" * cfg.num_layers
         assert cfg.d_inner == 2 * cfg.hidden_size  # mamba2 expand=2
-    for f in (S.nemotron_h_4b, S.nemotron_h_8b, S.nemotron_h_47b,
-              S.nemotron_h_56b):
+    # literal reference layouts (gpt/model/ssm.py NemotronHConfig4B/8B/47B/
+    # 56B): layer counts, attention-block counts, per-size state dims
+    ref_nh = {
+        S.nemotron_h_4b: (52, 4, 128), S.nemotron_h_8b: (52, 4, 128),
+        S.nemotron_h_47b: (98, 5, 256), S.nemotron_h_56b: (118, 10, 256),
+    }
+    for f, (n_layers, n_attn, state) in ref_nh.items():
         cfg = f()
-        assert len(cfg.pattern()) == cfg.num_layers
+        assert len(cfg.pattern()) == cfg.num_layers == n_layers
+        assert cfg.pattern().count("*") == n_attn
+        assert cfg.state_size == state
         assert set(cfg.pattern()) <= {"M", "*", "-"}
-        assert "*" in cfg.pattern() and cfg.attn is not None
+        assert cfg.attn is not None
         assert cfg.attn.hidden_size == cfg.hidden_size
+    assert S.nemotron_h_4b().num_heads == 112          # mamba_num_heads
+    assert S.nemotron_h_4b().attn.head_dim == 128      # kv_channels
     assert t5_3b().hidden_size == 2048
     assert t5_11b().ffn_hidden_size == 10240
     assert t5_220m().num_layers == 12
