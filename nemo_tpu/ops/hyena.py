@@ -84,11 +84,31 @@ class ShortConv(nn.Module):
 
 class HyenaOperator(nn.Module):
     """Order-N hyena recurrence: z ← x_o ⊙ (h_o * z) (reference
-    hyena_mixer.py). Input/output [B, T, D]."""
+    hyena_mixer.py). Input/output [B, T, D].
+
+    operator_type selects the Evo2 striped-stack mixer family
+    (reference megatron/hyena/hyena_config.py + hybrid_override_pattern):
+    - "long"   ('H'): implicit sine-MLP filter over the full sequence
+    - "medium" ('D'): explicit grouped taps, hyena_medium_conv_len=128
+    - "short"  ('S'): explicit grouped taps, hyena_short_conv_len=7
+    Grouped taps share one filter across D//groups channels."""
 
     d_model: int
     order: int = 2
     filter_order: int = 16
+    operator_type: str = "long"  # "long" | "medium" | "short"
+    groups: Optional[int] = None  # explicit-filter groups (medium/short)
+
+    def _filter(self, o: int, T: int) -> jnp.ndarray:
+        D = self.d_model
+        if self.operator_type == "long":
+            return ImplicitFilter(D, self.filter_order, name=f"filter{o}")(T)
+        L = 7 if self.operator_type == "short" else 128
+        G = self.groups or D
+        taps = self.param(f"taps{o}", nn.initializers.normal(0.02), (L, G))
+        taps = jnp.repeat(taps, D // G, axis=1)  # share across group
+        h = jnp.zeros((T, D), taps.dtype)
+        return h.at[: min(L, T)].set(taps[: min(L, T)])
 
     @nn.compact
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -100,9 +120,14 @@ class HyenaOperator(nn.Module):
         v, gates = splits[0], splits[1:]
         z = v
         for o, x_o in enumerate(gates):
-            h = ImplicitFilter(D, self.filter_order, name=f"filter{o}")(T)
-            z = x_o * fft_causal_conv(z, h)
+            z = x_o * fft_causal_conv(z, self._filter(o, T))
         return nn.Dense(D, name="out_proj")(z)
+
+
+def _gated_mlp(x, d_model: int, d_ff: int):
+    g = nn.Dense(d_ff, name="gate")(x)
+    up = nn.Dense(d_ff, name="up")(x)
+    return nn.Dense(d_model, name="down")(nn.silu(g) * up)
 
 
 class HyenaBlock(nn.Module):
@@ -111,55 +136,126 @@ class HyenaBlock(nn.Module):
     d_model: int
     ffn_mult: int = 4
     order: int = 2
+    operator_type: str = "long"
+    groups: Optional[int] = None
+    d_ff: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.RMSNorm(name="norm1")(x)
-        x = x + HyenaOperator(self.d_model, self.order, name="mixer")(h)
+        x = x + HyenaOperator(self.d_model, self.order,
+                              operator_type=self.operator_type,
+                              groups=self.groups, name="mixer")(h)
         h = nn.RMSNorm(name="norm2")(x)
-        g = nn.Dense(self.d_model * self.ffn_mult, name="gate")(h)
-        up = nn.Dense(self.d_model * self.ffn_mult, name="up")(h)
-        h = nn.silu(g) * up
-        return x + nn.Dense(self.d_model, name="down")(h)
+        h = _gated_mlp(h, self.d_model, self.d_ff or self.d_model * self.ffn_mult)
+        return x + h
+
+
+class HyenaAttentionBlock(nn.Module):
+    """'*' blocks of the Evo2 striped stack: pre-norm causal MHA with
+    rotary positions + the same gated MLP (reference hyena.py attention
+    layers in hybrid_override_pattern)."""
+
+    d_model: int
+    n_heads: int
+    d_ff: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, D = x.shape
+        H = self.n_heads
+        dh = D // H
+        h = nn.RMSNorm(name="norm1")(x)
+        q = nn.Dense(D, use_bias=False, name="q")(h).reshape(B, T, H, dh)
+        k = nn.Dense(D, use_bias=False, name="k")(h).reshape(B, T, H, dh)
+        v = nn.Dense(D, use_bias=False, name="v")(h).reshape(B, T, H, dh)
+        # rotary
+        half = dh // 2
+        inv = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+        ang = jnp.arange(T, dtype=jnp.float32)[:, None] * inv[None]
+        cos, sin = jnp.cos(ang)[None, :, None, :], jnp.sin(ang)[None, :, None, :]
+
+        def rope(t):
+            t1, t2 = t[..., :half], t[..., half:]
+            return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin], -1)
+
+        q, k = rope(q), rope(k)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(dh)
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        scores = jnp.where(causal[None, None], scores, -1e30)
+        att = jnp.einsum("bhij,bjhd->bihd",
+                         jax.nn.softmax(scores, -1).astype(v.dtype), v)
+        x = x + nn.Dense(D, use_bias=False, name="o")(att.reshape(B, T, D))
+        h = nn.RMSNorm(name="norm2")(x)
+        return x + _gated_mlp(h, self.d_model, self.d_ff or self.d_model * 4)
 
 
 class HyenaLM(nn.Module):
-    """Compact hyena language model (Evo2-style striped stack: hyena blocks
-    with optional interleaved attention handled by the hybrid ssm stack —
-    here the pure-hyena column; reference evo2 model family)."""
+    """Hyena/Evo2 language model. With `pattern` set this is the striped
+    SDH* hybrid of the reference (gpt/model/hyena.py Hyena{1b,7b,40b}Config
+    hybrid_override_pattern: S=short-explicit, D=medium-explicit, H=long-
+    implicit hyena mixers, *=rotary attention); without it, a pure
+    long-hyena column."""
 
     vocab_size: int
     d_model: int = 256
     n_layers: int = 4
     order: int = 2
+    pattern: Optional[str] = None  # e.g. "SDH*"; None → all 'H'
+    n_heads: int = 8
+    d_ff: Optional[int] = None
+    short_groups: Optional[int] = None
+    medium_groups: Optional[int] = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        pat = self.pattern or "H" * self.n_layers
+        if len(pat) != self.n_layers:
+            raise ValueError(f"pattern len {len(pat)} != n_layers {self.n_layers}")
         x = nn.Embed(self.vocab_size, self.d_model, name="embed")(tokens)
-        for i in range(self.n_layers):
-            x = HyenaBlock(self.d_model, order=self.order, name=f"block{i}")(x)
+        for i, ch in enumerate(pat):
+            if ch == "*":
+                x = HyenaAttentionBlock(self.d_model, self.n_heads,
+                                        d_ff=self.d_ff, name=f"block{i}")(x)
+            else:
+                op = {"S": "short", "D": "medium", "H": "long"}[ch]
+                groups = (self.short_groups if ch == "S"
+                          else self.medium_groups if ch == "D" else None)
+                x = HyenaBlock(self.d_model, order=self.order,
+                               operator_type=op, groups=groups,
+                               d_ff=self.d_ff, name=f"block{i}")(x)
         x = nn.RMSNorm(name="final_norm")(x)
         emb = self.variables["params"]["embed"]["embedding"]
         return x @ emb.T.astype(x.dtype)
 
 
 def evo2_1b(**kw) -> HyenaLM:
-    """Evo2-1B-class pure-hyena column (reference: llm/recipes/hyena_1b.py /
-    gpt/model/hyena.py Hyena1bConfig; byte-level vocab)."""
-    d = dict(vocab_size=512, d_model=1920, n_layers=25, order=2)
+    """Evo2-1B striped hybrid (reference gpt/model/hyena.py
+    Hyena1bConfig:349 — pattern SDH*…, 1920×25, ffn 5120, 15 heads,
+    medium/short groups 128; byte-level vocab)."""
+    d = dict(vocab_size=512, d_model=1920, n_layers=25, order=2,
+             pattern="SDH*SDHSDH*SDHSDH*SDHSDH*", n_heads=15, d_ff=5120,
+             short_groups=128, medium_groups=128)
     d.update(kw)
     return HyenaLM(**d)
 
 
 def evo2_7b(**kw) -> HyenaLM:
-    """(reference: recipes/hyena_7b.py — 4096×32 striped stack)"""
-    d = dict(vocab_size=512, d_model=4096, n_layers=32, order=2)
+    """(reference Hyena7bConfig:395 — 4096×32 striped, ffn 11008,
+    32 heads, groups 256)"""
+    d = dict(vocab_size=512, d_model=4096, n_layers=32, order=2,
+             pattern="SDH*SDHSDH*SDHSDH*SDHSDH*SDHSDH*", n_heads=32,
+             d_ff=11008, short_groups=256, medium_groups=256)
     d.update(kw)
     return HyenaLM(**d)
 
 
 def evo2_40b(**kw) -> HyenaLM:
-    """(reference: recipes/hyena_40b.py — 8192×50 striped stack)"""
-    d = dict(vocab_size=512, d_model=8192, n_layers=50, order=2)
+    """(reference Hyena40bConfig:444 — 8192×50 striped, ffn 21888,
+    64 heads, groups 512)"""
+    d = dict(vocab_size=512, d_model=8192, n_layers=50, order=2,
+             pattern="SDH*SDHSDH*SDHSDH*SDHSDH*SDHSDH*SDH*SDHSDH*SDHSDH*",
+             n_heads=64, d_ff=21888, short_groups=512, medium_groups=512)
     d.update(kw)
     return HyenaLM(**d)

@@ -70,11 +70,23 @@ def test_evo2_presets():
 
     from nemo_tpu.ops.hyena import evo2_1b, evo2_7b, evo2_40b
 
-    assert evo2_1b().d_model == 1920 and evo2_1b().n_layers == 25
-    assert evo2_7b().d_model == 4096
-    assert evo2_40b().n_layers == 50
-    tiny = evo2_1b(d_model=32, n_layers=2, vocab_size=64)
+    # literal reference striped patterns (gpt/model/hyena.py
+    # Hyena{1b,7b,40b}Config hybrid_override_pattern)
+    m1 = evo2_1b()
+    assert m1.d_model == 1920 and m1.n_layers == 25
+    assert m1.pattern == "SDH*SDHSDH*SDHSDH*SDHSDH*"
+    assert m1.n_heads == 15 and m1.d_ff == 5120 and m1.short_groups == 128
+    assert evo2_7b().pattern.count("*") == 5 and evo2_7b().d_model == 4096
+    m40 = evo2_40b()
+    assert m40.n_layers == 50 == len(m40.pattern)
+    assert m40.medium_groups == 512
+    # tiny striped instance covering every block type runs end-to-end
+    tiny = evo2_1b(d_model=32, n_layers=4, vocab_size=64, pattern="SDH*",
+                   n_heads=2, d_ff=64, short_groups=8, medium_groups=8)
     toks = jnp.zeros((1, 16), jnp.int32)
     v = tiny.init(jax.random.PRNGKey(0), toks)
     out = tiny.apply(v, toks)
     assert out.shape == (1, 16, 64)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(out)).all()
