@@ -33,6 +33,14 @@ class ViTConfig:
     layernorm_epsilon: float = 1e-5
     use_cls_token: bool = True
     compute_dtype: str = "float32"
+    # HF-CLIP-compat knobs (interop/vlm_import.py): OpenAI CLIP applies a
+    # LayerNorm right after the embeddings (pre_layrnorm), uses quick_gelu,
+    # and LLaVA consumes hidden states from layer -2 with no final LN
+    pre_layernorm: bool = False
+    hidden_act: str = "gelu"  # gelu (tanh approx) | gelu_exact | quick_gelu
+    drop_last_layers: int = 0  # >0: stop that many blocks early
+    final_layernorm: bool = True
+    patch_bias: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -57,7 +65,10 @@ class _Block(nn.Module):
         x = x + nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), name="o")(o)
         h = nn.LayerNorm(epsilon=cfg.layernorm_epsilon, name="ln2")(x)
         h = nn.Dense(cfg.ffn_hidden_size, name="fc1")(h)
-        h = nn.gelu(h, approximate=True)
+        act = {"gelu": lambda t: nn.gelu(t, approximate=True),
+               "gelu_exact": lambda t: nn.gelu(t, approximate=False),
+               "quick_gelu": lambda t: t * jax.nn.sigmoid(1.702 * t)}[cfg.hidden_act]
+        h = act(h)
         return x + nn.Dense(cfg.hidden_size, name="fc2")(h)
 
 
@@ -71,6 +82,7 @@ class ViT(nn.Module):
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
         x = nn.Conv(cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    use_bias=cfg.patch_bias,
                     dtype=dtype, name="patch_embed")(images.astype(dtype))
         B = x.shape[0]
         x = x.reshape(B, -1, cfg.hidden_size)
@@ -84,6 +96,10 @@ class ViT(nn.Module):
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, n_tok, cfg.hidden_size), jnp.float32)
         x = x + pos.astype(dtype)
-        for i in range(cfg.num_layers):
+        if cfg.pre_layernorm:  # OpenAI CLIP pre_layrnorm
+            x = nn.LayerNorm(epsilon=cfg.layernorm_epsilon, name="ln_pre")(x)
+        for i in range(cfg.num_layers - cfg.drop_last_layers):
             x = _Block(cfg, name=f"block{i}")(x, train=train)
+        if not cfg.final_layernorm:  # LLaVA feature layer -2: raw hidden
+            return x
         return nn.LayerNorm(epsilon=cfg.layernorm_epsilon, name="ln_final")(x)
