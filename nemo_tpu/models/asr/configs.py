@@ -117,6 +117,24 @@ def conformer_ctc(
     )
 
 
+def conformer_transducer(
+    size: str = "large",
+    labels: Optional[List[str]] = None,
+    compute_dtype: str = "float32",
+    decoding_strategy: str = "greedy_batch",
+) -> ConfigDict:
+    """Conformer-Transducer (reference examples/asr/conf/conformer/
+    conformer_transducer_bpe.yaml): the conformer_ctc encoder + LSTM
+    prediction network (pred_hidden 640, 1 layer) + additive joint
+    (joint_hidden 640), greedy label-looping decode by default."""
+    cfg = conformer_ctc(size, labels, compute_dtype=compute_dtype)
+    cfg.decoder = ConfigDict(pred_hidden=640, pred_rnn_layers=1,
+                             vocabulary=cfg.labels)
+    cfg.joint = ConfigDict(joint_hidden=640)
+    cfg.decoding = ConfigDict(strategy=decoding_strategy, max_symbols=10)
+    return cfg
+
+
 def fastconformer_ctc(size: str = "large", labels: Optional[List[str]] = None) -> ConfigDict:
     """FastConformer: ×8 depthwise-striding subsampling (fastconformer yamls)."""
     cfg = conformer_ctc(size, labels, subsampling="dw_striding", subsampling_factor=8)

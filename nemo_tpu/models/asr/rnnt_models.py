@@ -226,6 +226,9 @@ class EncDecRNNTModel(Model):
 
     # -- inference ----------------------------------------------------------
     def _decode_fn(self, variables, signal, length):
+        if signal.dtype == jnp.int16:
+            # raw 16-bit PCM (half the host→device bytes; exact)
+            signal = signal.astype(jnp.float32) / 32768.0
         feats, feat_len = mel_spectrogram(signal, length, self.mel_cfg, training=False)
         enc, enc_len = self.net.apply(
             variables, feats, feat_len, train=False, method=_RNNTNet.encode
@@ -373,4 +376,34 @@ class EncDecRNNTModel(Model):
             for b in range(len(sigs)):
                 ids = tokens[b, : counts[b]]
                 results.append("".join(self.labels[i] for i in ids))
+        return results
+
+    def transcribe_staged(self, staged) -> List[str]:
+        """Full RNNT transcription over device-resident PCM batches.
+
+        staged: sequence of (signal [B,T] int16/f32 jax.Array already on
+        device, lengths [B], n_valid). Identical pipeline to transcribe()
+        minus the host→device upload — the reference's local-disk harness
+        topology (transcribe_speech.py RTFx protocol); host text assembly
+        of batch i−1 overlaps the device decoding batch i."""
+        results: List[str] = []
+        pending = None
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            tokens, counts, n = pending
+            pending = None
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            for b in range(n):
+                ids = tokens[b, : counts[b]]
+                results.append("".join(self.labels[i] for i in ids))
+
+        for sig, lens, n in staged:
+            tokens, counts = self._jit_decode(self.variables, sig, lens)
+            drain()
+            pending = (tokens, counts, n)
+        drain()
         return results

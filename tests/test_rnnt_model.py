@@ -135,3 +135,37 @@ def test_rnnt_transcribe_with_timestamps(model):
             ts = r["timestamps"]
             assert all(b >= a for a, b in zip(ts, ts[1:]))  # monotonic
             assert all(0.0 < c <= 1.0 for c in r["confidence"])
+
+
+def test_rnnt_transcribe_staged_matches_transcribe(model):
+    """transcribe_staged (device-resident int16 PCM, the bench protocol)
+    must produce the same text as transcribe() on the same audio."""
+    import jax
+
+    rng = np.random.RandomState(4)
+    audio = [rng.randn(8000).astype(np.float32) * 0.3 for _ in range(2)]
+    ref = model.transcribe(audio, batch_size=2)
+    sig = np.stack([(np.clip(a, -1, 1) * 32767).astype(np.int16) for a in audio])
+    lens = jnp.full((2,), 8000, jnp.int32)
+    staged = [(jax.device_put(jnp.asarray(sig)), lens, 2)]
+    assert model.transcribe_staged(staged) == ref
+
+
+def test_conformer_transducer_preset_tiny_forward():
+    """conformer_transducer(): reference conformer_transducer_bpe.yaml
+    contract — conformer encoder + LSTM prediction + additive joint."""
+    from nemo_tpu.models.asr.configs import conformer_transducer
+
+    cfg = conformer_transducer("small")
+    assert cfg.decoder.pred_hidden == 640 and cfg.joint.joint_hidden == 640
+    assert cfg.encoder.d_model == 176
+    # tiny variant for an actual forward (compile cost)
+    cfg.encoder.n_layers = 1
+    cfg.encoder.d_model = 64
+    cfg.encoder.n_heads = 2
+    cfg.decoder.pred_hidden = 32
+    cfg.joint.joint_hidden = 32
+    m = EncDecRNNTModel(cfg)
+    out = m.transcribe([np.random.RandomState(5).randn(6000).astype(np.float32) * 0.1],
+                       batch_size=1)
+    assert len(out) == 1 and isinstance(out[0], str)
