@@ -186,6 +186,7 @@ class ContinuousBatchingEngine:
     def __init__(self, cfg: GPTConfig, params, *, max_slots: int = 4,
                  max_len: int = 512, prefill_buckets: Sequence[int] = (32, 64, 128),
                  cache_dtype=jnp.bfloat16, max_prefixes: int = 8,
+                 kv_len_buckets: Optional[Sequence[int]] = None,
                  mesh=None, mesh_cfg=None):
         self.cfg = cfg
         self.model = GPTModel(cfg)
@@ -214,6 +215,16 @@ class ContinuousBatchingEngine:
         self.max_slots = max_slots
         self.max_len = max_len
         self.buckets = sorted(prefill_buckets)
+        if kv_len_buckets is None:
+            # powers of two from 128 up to the pool size: each bucket is a
+            # separate compiled multi-step program; decode attends (and
+            # pays HBM reads) only over the live bucket, not the pool
+            kv_len_buckets = []
+            b = 128
+            while b < max_len:
+                kv_len_buckets.append(b)
+                b *= 2
+        self.kv_len_buckets = sorted(set(list(kv_len_buckets) + [max_len]))
         self.caches = init_kv_caches(cfg, max_slots, max_len, cache_dtype)
         self.cache_dtype = cache_dtype
         self.cur_len = np.zeros(max_slots, np.int64)  # next write index per slot
@@ -264,8 +275,60 @@ class ContinuousBatchingEngine:
             nxt = _temp_sample(logits[:, 0], rng, temperature, top_k, top_p)
             return k_cache, v_cache, nxt
 
+        def decode_multi(params, k_cache, v_cache, tok, cur_len, active,
+                         temperature, top_k, top_p, keys, eos_id,
+                         attend_len):
+            """N decode iterations in ONE device program (lax.scan over the
+            split rng keys) — the host round-trip (through the serving relay
+            it costs ms per dispatch) amortizes over N tokens instead of 1.
+            Per-slot EOS and max_len stops flip `active` ON DEVICE; frozen
+            slots hold their token and stop advancing cur_len.
+
+            `attend_len` (STATIC, a KV length bucket ≥ max(cur_len)+N+1) is
+            the decode-bandwidth lever: the whole scan runs on a prefix
+            slice of the cache pool (one slice in, one write-back out, both
+            amortized over N tokens), so per-step HBM read traffic scales
+            with the live KV length instead of the max_len pool — decode at
+            small batch is cache+weight bandwidth bound (TRT-LLM/vLLM page
+            the cache for the same reason; a static prefix is the XLA-
+            friendly form). Returns (caches, toks [N, B], emitted [N, B] —
+            was the slot live when that token was produced, cur_len [B],
+            active [B])."""
+            sliced = attend_len < self.max_len
+            k_sub = jax.tree.map(lambda c: c[:, :, :attend_len], k_cache) \
+                if sliced else k_cache
+            v_sub = jax.tree.map(lambda c: c[:, :, :attend_len], v_cache) \
+                if sliced else v_cache
+
+            def step(carry, r):
+                k, v, tok, cl, act = carry
+                positions = cl[:, None].astype(jnp.int32)
+                kv_valid = jnp.arange(attend_len)[None, :] <= cl[:, None]
+                logits, (k, v) = model.apply(
+                    {"params": params}, tok[:, None], positions,
+                    kv_caches=(k, v), decode_index=cl.astype(jnp.int32),
+                    kv_valid=kv_valid)
+                nxt = _temp_sample(logits[:, 0], r, temperature, top_k, top_p)
+                nxt = jnp.where(act, nxt, tok)
+                cl = jnp.where(act, cl + 1, cl)
+                new_act = act & (nxt != eos_id) & (cl < self.max_len - 1)
+                return (k, v, nxt, cl, new_act), (nxt, act)
+
+            (k_sub, v_sub, tok, cur_len, active), (toks, emitted) = \
+                jax.lax.scan(step, (k_sub, v_sub, tok, cur_len, active), keys)
+            if sliced:
+                wb = lambda full, sub: jax.lax.dynamic_update_slice(
+                    full, sub, (0,) * full.ndim)
+                k_cache = jax.tree.map(wb, k_cache, k_sub)
+                v_cache = jax.tree.map(wb, v_cache, v_sub)
+            else:
+                k_cache, v_cache = k_sub, v_sub
+            return k_cache, v_cache, toks, emitted, cur_len, active
+
         self._prefill_fn = prefill
         self._decode_fn = decode
+        self._decode_multi_fn = decode_multi
+        self._decode_multi_jit = {}  # attend_len bucket → jitted program
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -388,7 +451,7 @@ class ContinuousBatchingEngine:
         vectors (each request's own sampling params under continuous
         batching)."""
         if self._decode_jit is None:
-            self._decode_jit = jax.jit(self._decode_fn)
+            self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(1, 2))
         with self._ctx():
             k, v, nxt = self._decode_jit(
                 self.params, self.caches[0], self.caches[1],
@@ -399,6 +462,44 @@ class ContinuousBatchingEngine:
         self.caches = (k, v)
         self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
         return np.asarray(nxt)
+
+    def decode_steps(self, feed_tokens: np.ndarray, active: np.ndarray,
+                     n_steps: int = 8, temperature=0.0, seed: int = 0,
+                     top_k=0, top_p=0.0, eos_id=-1):
+        """Advance active slots `n_steps` tokens in ONE jitted program —
+        the serving hot loop (decode_step pays a host↔device round-trip per
+        token; at ms-class dispatch latency that dwarfs the ~1-2 ms
+        weight-bandwidth floor of a 1B int8 model). Per-slot EOS (`eos_id`
+        scalar or [slots] vector; -1 disables) and the max_len bound stop a
+        slot ON DEVICE; its later rows repeat the frozen token with
+        emitted=False. Returns (tokens [n_steps, slots], emitted
+        [n_steps, slots] bool, active_out [slots] bool); self.cur_len is
+        synced from the device."""
+        # KV length bucket: every write this dispatch lands below
+        # max(cur_len) + n_steps, so the scan can run on a static prefix
+        # slice of the pool (see decode_multi) — reads scale with live KV
+        need = int(self.cur_len.max()) + n_steps + 1
+        attend_len = next((b for b in self.kv_len_buckets if b >= need),
+                          self.max_len)
+        if attend_len not in self._decode_multi_jit:
+            # donate the KV pool: without it XLA copies the whole cache
+            # (hundreds of MB) at every dispatch entry
+            self._decode_multi_jit[attend_len] = jax.jit(
+                partial(self._decode_multi_fn, attend_len=attend_len),
+                donate_argnums=(1, 2))
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_steps)
+        with self._ctx():
+            k, v, toks, emitted, cur_len, act = self._decode_multi_jit[attend_len](
+                self.params, self.caches[0], self.caches[1],
+                jnp.asarray(feed_tokens, jnp.int32),
+                jnp.asarray(self.cur_len, jnp.int32),
+                jnp.asarray(active, bool),
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                keys, jnp.asarray(eos_id, jnp.int32))
+        self.caches = (k, v)
+        self.cur_len = np.asarray(cur_len).astype(np.int64)
+        return np.asarray(toks), np.asarray(emitted), np.asarray(act)
 
     def free_slot(self, slot: int):
         self.cur_len[slot] = 0
@@ -419,15 +520,23 @@ def _temp_sample(logits: jnp.ndarray, rng, temperature,
     k = (jnp.asarray(top_k, jnp.int32) * jnp.ones((B,), jnp.int32))
     p = (jnp.asarray(top_p, jnp.float32) * jnp.ones((B,), jnp.float32))
     scaled = logits / jnp.maximum(t_rows[:, None], 1e-6)
-    srt = jnp.sort(scaled, axis=-1)[:, ::-1]
-    kth = jnp.take_along_axis(srt, jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)
-    kth = jnp.where(k[:, None] > 0, kth, -jnp.inf)
-    cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
-    cut_idx = jnp.clip(jnp.sum(cum < p[:, None], axis=-1, keepdims=True),
-                       0, V - 1)
-    cutoff = jnp.take_along_axis(srt, cut_idx, axis=-1)
-    cutoff = jnp.where(p[:, None] > 0, cutoff, -jnp.inf)
-    masked = jnp.where(scaled < jnp.maximum(kth, cutoff), -1e30, scaled)
+
+    def filtered(scaled):
+        # top-k/top-p need a full vocab sort — EXPENSIVE on TPU (~ms at
+        # 32k vocab), so it runs under lax.cond only when some row asks
+        # for filtering; plain-temperature/greedy decode skips it
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        kth = jnp.take_along_axis(srt, jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)
+        kth = jnp.where(k[:, None] > 0, kth, -jnp.inf)
+        cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+        cut_idx = jnp.clip(jnp.sum(cum < p[:, None], axis=-1, keepdims=True),
+                           0, V - 1)
+        cutoff = jnp.take_along_axis(srt, cut_idx, axis=-1)
+        cutoff = jnp.where(p[:, None] > 0, cutoff, -jnp.inf)
+        return jnp.where(scaled < jnp.maximum(kth, cutoff), -1e30, scaled)
+
+    masked = jax.lax.cond(jnp.any(k > 0) | jnp.any(p > 0),
+                          filtered, lambda s: s, scaled)
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
     return jnp.where(t_rows > 0, sampled, greedy)

@@ -62,6 +62,7 @@ class LLMServer:
                  auto_prefix_min_tokens: int = 16,
                  quantize_weights: bool = False,
                  quantize_kv_cache: bool = False,
+                 decode_chunk: int = 8,
                  mesh_cfg=None):
         import jax.numpy as jnp
 
@@ -95,6 +96,11 @@ class LLMServer:
         # later requests skip re-prefilling those tokens
         self.enable_prefix_caching = enable_prefix_caching
         self.auto_prefix_min_tokens = auto_prefix_min_tokens
+        # tokens decoded per device dispatch (multi-step scan): amortizes
+        # the per-dispatch host latency; 1 = legacy per-token stepping.
+        # SSM engines have no multi-step path yet.
+        self.decode_chunk = (decode_chunk
+                             if hasattr(self.engine, "decode_steps") else 1)
         self._recent_prompts: "deque" = deque(maxlen=8)
         self._queue: "queue.Queue[_StreamRequest]" = queue.Queue()
         self._stop = threading.Event()
@@ -162,6 +168,26 @@ class LLMServer:
                 [r.top_k if r else 0 for r in slots], np.int32)
             top_ps = np.asarray(
                 [r.top_p if r else 0.0 for r in slots], np.float32)
+            if self.decode_chunk > 1:
+                # multi-step: N tokens per dispatch, on-device per-slot EOS;
+                # chunk is capped by the smallest remaining budget so no
+                # request overshoots max_new on device
+                budget = min(r.max_new - r.produced
+                             for r in slots if r is not None)
+                n = max(1, min(self.decode_chunk, budget))
+                eos = np.asarray(
+                    [r.eos_id if r else -1 for r in slots], np.int32)
+                toks, emitted, _ = self.engine.decode_steps(
+                    feed, active, n_steps=n, temperature=temps, seed=step,
+                    top_k=top_ks, top_p=top_ps, eos_id=eos)
+                step += n
+                for i in range(n):
+                    for s, req in enumerate(slots):
+                        if req is None or not emitted[i, s]:
+                            continue
+                        feed[s] = toks[i, s]
+                        self._emit(slots, feed, s)
+                continue
             nxt = self.engine.decode_step(feed, active, temps, seed=step,
                                           top_k=top_ks, top_p=top_ps)
             step += 1

@@ -21,7 +21,7 @@ import numpy as np
 
 
 def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
-        kv_int8: bool = False):
+        kv_int8: bool = False, chunk: int = 32):
     import jax
     import jax.numpy as jnp
 
@@ -61,20 +61,38 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
         eng.prefill_slot(s, rng.randint(1, 30000, 48).tolist())
     active = np.ones(slots, bool)
     feed = rng.randint(1, 30000, slots)
-    # warm the decode program, then time steps (distinct feeds beat relay
-    # caches; sync via a scalar fetch each chunk)
-    nxt = eng.decode_step(feed, active)
+    # Multi-step decode: `chunk` tokens per host dispatch (one jitted scan;
+    # decode_steps returns synced numpy, so each call is a full round-trip).
+    # Warm the program, then time whole chunks.
+    n_chunks = max(1, steps // chunk)
+    toks, _, _ = eng.decode_steps(feed, active, n_steps=chunk)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(n_chunks):
+        toks, _, _ = eng.decode_steps(toks[-1], active, n_steps=chunk,
+                                      seed=i)
+    dt = time.perf_counter() - t0
+    n_steps = n_chunks * chunk
+    tps = slots * n_steps / dt
+    # HBM roofline: every decode step reads all weight bytes once (small-
+    # batch decode is weight-bandwidth bound); v5e HBM ≈ 819 GB/s
+    wbytes = sum(p.nbytes for p in jax.tree.leaves(eng.params))
+    roofline_tps = slots / (wbytes / 819e9)
+    # single-step reference point (the legacy per-token path)
+    nxt = eng.decode_step(toks[-1], active)
+    t0 = time.perf_counter()
+    for i in range(16):
         nxt = eng.decode_step(np.asarray(nxt), active, seed=i)
     _ = int(np.asarray(nxt)[0])
-    dt = time.perf_counter() - t0
-    tps = slots * steps / dt
+    ms_single = (time.perf_counter() - t0) / 16 * 1e3
     return {
         "mode": label, "params_m": round(n_params / 1e6, 1),
-        "slots": slots, "steps": steps,
+        "slots": slots, "steps": n_steps, "chunk": chunk,
         "tokens_per_sec": round(tps, 1),
-        "ms_per_step": round(1e3 * dt / steps, 2),
+        "ms_per_step": round(1e3 * dt / n_steps, 2),
+        "ms_per_step_unchunked": round(ms_single, 2),
+        "weight_gb": round(wbytes / 1e9, 2),
+        "roofline_tokens_per_sec": round(roofline_tps, 1),
+        "vs_roofline": round(tps / roofline_tps, 3),
     }
 
 

@@ -88,6 +88,130 @@ def test_continuous_matches_batch_engine(setup):
     assert cont == ref
 
 
+def test_decode_steps_matches_single_steps(setup):
+    """decode_steps (N tokens per dispatch, one jitted scan) must produce
+    EXACTLY the per-token decode_step greedy stream — same caches, same
+    cur_len evolution."""
+    cfg, params = setup
+    rng = np.random.RandomState(5)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 9)]
+
+    def admit(eng):
+        feed = np.zeros(2, np.int32)
+        for s, p in enumerate(prompts):
+            feed[s] = eng.prefill_slot(s, p)
+        return feed
+
+    e1 = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                  prefill_buckets=(8, 16))
+    feed = admit(e1)
+    active = np.ones(2, bool)
+    single = []
+    cur = feed.copy()
+    for i in range(6):
+        cur = e1.decode_step(cur, active, seed=i)
+        single.append(cur.copy())
+
+    e2 = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                  prefill_buckets=(8, 16))
+    feed2 = admit(e2)
+    toks, emitted, act = e2.decode_steps(feed2, active, n_steps=6)
+    assert emitted.all() and act.all()
+    assert [list(r) for r in toks] == [list(r) for r in single]
+    assert list(e2.cur_len) == list(e1.cur_len)  # both advanced 6 from prefill
+
+
+def test_decode_steps_eos_freezes_slot(setup):
+    """On-device EOS: once a slot samples its eos_id it stops advancing —
+    emitted goes False, cur_len freezes, the other slot continues."""
+    cfg, params = setup
+    rng = np.random.RandomState(6)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 7)]
+    eng = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                   prefill_buckets=(8,))
+    feed = np.zeros(2, np.int32)
+    for s, p in enumerate(prompts):
+        feed[s] = eng.prefill_slot(s, p)
+    active = np.ones(2, bool)
+    # find what slot 0 would greedily emit at step 0, then declare THAT
+    # token its eos: the whole rest of its stream must freeze
+    probe = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                     prefill_buckets=(8,))
+    for s, p in enumerate(prompts):
+        probe.prefill_slot(s, p)
+    first = probe.decode_step(feed, active, seed=0)
+    eos = np.asarray([first[0], -1], np.int32)
+    len_before = eng.cur_len.copy()
+    toks, emitted, act = eng.decode_steps(feed, active, n_steps=5, eos_id=eos)
+    assert toks[0, 0] == first[0] and emitted[0, 0]
+    assert not emitted[1:, 0].any()          # slot 0 froze after eos
+    assert emitted[:, 1].all() and act[1]    # slot 1 ran all 5 steps
+    assert not act[0]
+    assert eng.cur_len[0] == len_before[0] + 1
+    assert eng.cur_len[1] == len_before[1] + 5
+
+
+def test_decode_steps_kv_bucketing_exact(setup):
+    """KV length bucketing (scan on a static prefix slice of the cache
+    pool, write-back at dispatch end) must be bit-exact vs the full pool,
+    including across a bucket-boundary crossing and with int8 caches."""
+    cfg, params = setup
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(1, 100, n)) for n in (5, 9)]
+
+    def drive(kvb, cache_dtype, split):
+        eng = ContinuousBatchingEngine(cfg, params, max_slots=2, max_len=64,
+                                       prefill_buckets=(8, 16),
+                                       kv_len_buckets=kvb,
+                                       cache_dtype=cache_dtype)
+        feed = np.zeros(2, np.int32)
+        for s, p in enumerate(prompts):
+            feed[s] = eng.prefill_slot(s, p)
+        active = np.ones(2, bool)
+        out = []
+        for n in split:
+            toks, emitted, _ = eng.decode_steps(feed, active, n_steps=n)
+            assert emitted.all()
+            out.extend(list(r) for r in toks)
+            feed = toks[-1].copy()
+        return out
+
+    for dt in (jnp.bfloat16, jnp.int8):
+        full = drive((64,), dt, (8,))
+        bucketed = drive((16, 32), dt, (8,))       # sliced scan, one dispatch
+        crossing = drive((8, 16, 32), dt, (4, 4))  # bucket grows mid-stream
+        assert bucketed == full
+        assert crossing == full
+
+
+def test_server_decode_chunk_matches_unchunked():
+    """LLMServer with decode_chunk>1 must stream the same greedy tokens as
+    the per-token scheduler (budget-capped chunks, no overshoot)."""
+    from nemo_tpu.serve.openai_server import LLMServer, SamplingParams as SP
+
+    class ByteTok:
+        def text_to_ids(self, t):
+            return [b % 120 for b in t.encode()] or [1]
+
+        def ids_to_text(self, ids):
+            return bytes(max(32, min(126, i + 32)) for i in ids).decode(errors="replace")
+
+    cfg = tiny_test()
+    model = GPTModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    outs = {}
+    for chunk in (1, 4):
+        srv = LLMServer(cfg, variables["params"], ByteTok(), max_slots=2,
+                        max_len=64, decode_chunk=chunk)
+        srv._worker.start()
+        try:
+            outs[chunk] = srv.submit(
+                "hello world", SP(greedy=True, max_new_tokens=7, eos_id=-1))
+        finally:
+            srv.shutdown()
+    assert outs[1] == outs[4] and len(outs[1]) > 0
+
+
 def test_continuous_staggered_admission(setup):
     """Requests joining mid-decode must not perturb earlier slots."""
     cfg, params = setup
