@@ -52,9 +52,16 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
 
     if kv_int8:
         label += "+kv8"
+    # pin ONE kv-length bucket covering the whole run (prefill 48 + warmup
+    # + timed steps): a bucket-boundary crossing mid-run recompiles inside
+    # the timed region and poisons the number
+    kv_bucket = 128
+    while kv_bucket < min(48 + chunk + steps + chunk + 2, max_len):
+        kv_bucket *= 2
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=slots, max_len=max_len,
         prefill_buckets=(64,),
+        kv_len_buckets=(min(kv_bucket, max_len),),
         cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16)
     rng = np.random.RandomState(0)
     for s in range(slots):
@@ -63,14 +70,17 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     feed = rng.randint(1, 30000, slots)
     # Multi-step decode: `chunk` tokens per host dispatch (one jitted scan;
     # decode_steps returns synced numpy, so each call is a full round-trip).
-    # Warm the program, then time whole chunks.
-    n_chunks = max(1, steps // chunk)
+    # Warm the program, then time whole chunks; report the MEDIAN chunk
+    # (host-load spikes and stray compiles show up as outliers).
+    n_chunks = max(3, steps // chunk)
     toks, _, _ = eng.decode_steps(feed, active, n_steps=chunk)
-    t0 = time.perf_counter()
+    chunk_ts = []
     for i in range(n_chunks):
+        t0 = time.perf_counter()
         toks, _, _ = eng.decode_steps(toks[-1], active, n_steps=chunk,
                                       seed=i)
-    dt = time.perf_counter() - t0
+        chunk_ts.append(time.perf_counter() - t0)
+    dt = float(np.median(chunk_ts)) * n_chunks
     n_steps = n_chunks * chunk
     tps = slots * n_steps / dt
     # HBM roofline: every decode step reads all weight bytes once (small-
