@@ -56,6 +56,9 @@ class GPTConfig:
     logit_softcapping: Optional[float] = None  # gemma2
     attn_logit_softcapping: Optional[float] = None  # gemma2 attn scores
     window_size: Optional[int] = None  # sliding-window attention (mistral)
+    # False → bidirectional attention (NV-Embed-style encoders built on a
+    # decoder stack; reference llama_embedding.py get_nv_embedding_layer_spec)
+    causal: bool = True
     # per-layer heterogeneity (cyclic patterns over layer index; reference
     # gemma3 interleaved_attn_pattern, gpt_oss window_attn_skip_freq,
     # llama4 moe_layer_freq/nope_layer_interval). When the cycle period
@@ -392,6 +395,101 @@ def deepseek_v2_lite(**kw) -> GPTConfig:
     ), kw)
 
 
+def deepseek_v2(**kw) -> GPTConfig:
+    """reference gpt/model/deepseek.py:136 DeepSeekV2Config (full V2: MLA
+    with q-lora 1536, 160-expert top-6, 2 shared experts, first layer
+    dense)."""
+    return _preset(dict(
+        num_layers=60, hidden_size=5120, ffn_hidden_size=12288,
+        num_attention_heads=128, vocab_size=102400, seq_length=4096,
+        kv_lora_rank=512, q_lora_rank=1536, qk_head_dim=128,
+        qk_pos_emb_head_dim=64, v_head_dim=128,
+        num_moe_experts=160, moe_router_topk=6, moe_ffn_hidden_size=1536,
+        moe_shared_expert_intermediate_size=3072, moe_first_k_dense=1,
+        moe_aux_loss_coeff=0.003, scan_layers=False,
+    ), kw)
+
+
+def qwen2_500m(**kw) -> GPTConfig:
+    """reference gpt/model/qwen2.py:60 Qwen2Config500M."""
+    return _preset(dict(num_layers=24, hidden_size=896, ffn_hidden_size=4864, num_attention_heads=14, num_query_groups=2, vocab_size=151936, seq_length=4096, add_qkv_bias=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen2_1p5b(**kw) -> GPTConfig:
+    """reference gpt/model/qwen2.py:82 Qwen2Config1P5B."""
+    return _preset(dict(num_layers=28, hidden_size=1536, ffn_hidden_size=8960, num_attention_heads=12, num_query_groups=2, vocab_size=151936, seq_length=4096, add_qkv_bias=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def qwen2_72b(**kw) -> GPTConfig:
+    """reference gpt/model/qwen2.py:174 Qwen2Config72B."""
+    return _preset(dict(num_layers=80, hidden_size=8192, ffn_hidden_size=29568, num_attention_heads=64, num_query_groups=8, vocab_size=152064, seq_length=4096, add_qkv_bias=True, rotary_base=1000000.0), kw)
+
+
+def qwen3_600m(**kw) -> GPTConfig:
+    """reference gpt/model/qwen3.py:69 Qwen3Config600M."""
+    return _preset(dict(num_layers=28, hidden_size=1024, ffn_hidden_size=3072, num_attention_heads=16, num_query_groups=8, kv_channels=128, vocab_size=151936, seq_length=40960, qk_layernorm=True, rotary_base=1000000.0, share_embeddings_and_output_weights=True), kw)
+
+
+def gemma2_2b(**kw) -> GPTConfig:
+    """reference gpt/model/gemma2.py:124 Gemma2Config2B
+    (query_pre_attn_scalar 256 → attention_multiplier 1/16)."""
+    return _preset(dict(num_layers=26, hidden_size=2304, ffn_hidden_size=9216, num_attention_heads=8, num_query_groups=4, kv_channels=256, vocab_size=256000, seq_length=8192, activation='gelu', share_embeddings_and_output_weights=True, layernorm_zero_centered_gamma=True, embedding_multiplier=2304**0.5, logit_softcapping=30.0, attn_logit_softcapping=50.0, attention_multiplier=256 ** -0.5, sandwich_norms=True, window_pattern=(4096, None)), kw)
+
+
+def mistral_nemo_12b(**kw) -> GPTConfig:
+    """reference gpt/model/mistral.py:68 MistralNeMoConfig12B (no sliding
+    window, kv_channels 128, theta 1e6)."""
+    return _preset(dict(num_layers=40, hidden_size=5120, ffn_hidden_size=14336, num_attention_heads=32, num_query_groups=8, kv_channels=128, vocab_size=131072, seq_length=4096, rotary_base=1000000.0), kw)
+
+
+def nemotron3_4b(**kw) -> GPTConfig:
+    """reference gpt/model/nemotron.py:72 Nemotron3Config4B."""
+    return nemotron4_15b(num_layers=32, hidden_size=3072, ffn_hidden_size=9216, num_attention_heads=24, num_query_groups=8, kv_channels=128, init_method_std=0.0134, **kw)
+
+
+def nemotron3_22b(**kw) -> GPTConfig:
+    """reference gpt/model/nemotron.py:104 Nemotron3Config22B (MHA)."""
+    return nemotron4_15b(num_layers=40, hidden_size=6144, ffn_hidden_size=24576, num_attention_heads=48, num_query_groups=None, init_method_std=0.008, **kw)
+
+
+def starcoder_15b(**kw) -> GPTConfig:
+    """reference gpt/model/starcoder.py:62 StarcoderConfig15B (starcoder-1:
+    MQA, learned absolute positions, gelu+bias MLP, dropout 0.2)."""
+    return _preset(dict(num_layers=40, hidden_size=6144, ffn_hidden_size=24576, num_attention_heads=48, num_query_groups=1, vocab_size=49152, seq_length=8192, normalization='LayerNorm', gated_linear_unit=False, activation='gelu', add_bias_linear=True, position_embedding_type='learned_absolute', hidden_dropout=0.2, attention_dropout=0.2, init_method_std=0.01), kw)
+
+
+def llama31_nemotron_nano_8b(**kw) -> GPTConfig:
+    """reference gpt/model/llama_nemotron.py:60 (llama31_8b + kv_channels
+    128)."""
+    return llama31_8b(kv_channels=128, **kw)
+
+
+def llama31_nemotron_70b(**kw) -> GPTConfig:
+    """reference gpt/model/llama_nemotron.py:66 (llama31_70b + kv_channels
+    128)."""
+    return llama31_70b(kv_channels=128, **kw)
+
+
+def llama33_nemotron_super_49b(**kw) -> GPTConfig:
+    """reference llama_nemotron.py:88 Llama33NemotronSuper49BConfig.
+
+    UNIFORM-LAYER APPROXIMATION: the reference is a NAS-pruned hetero
+    stack (per-layer ffn/attention from
+    LLAMA_33_NEMOTRON_SUPER_49B_HETEROGENEOUS_CONFIG JSON); this preset
+    keeps the headline dims (80 layers, hidden 8192, 64 heads) with
+    uniform llama-70b-style layers, so it is NOT checkpoint-compatible
+    with the pruned release."""
+    return llama31_70b(num_layers=80, hidden_size=8192,
+                       num_attention_heads=64, **kw)
+
+
+def llama31_nemotron_ultra_253b(**kw) -> GPTConfig:
+    """reference llama_nemotron.py:100 Llama31NemotronUltra253BConfig.
+    UNIFORM-LAYER APPROXIMATION (see llama33_nemotron_super_49b)."""
+    return llama31_405b(num_layers=162, hidden_size=16384,
+                        num_attention_heads=128, **kw)
+
+
 # ---- gemma3 (reference gpt/model/gemma3.py: 5-local+1-global interleaved
 # window pattern, dual rope bases 10k local / 1M global, linear rope
 # scaling on global layers, per-head qk-norm) ------------------------------
@@ -511,6 +609,20 @@ def baichuan2_7b(**kw) -> GPTConfig:
 
 
 PRESETS = {
+    "deepseek_v2": deepseek_v2,
+    "qwen2_500m": qwen2_500m,
+    "qwen2_1p5b": qwen2_1p5b,
+    "qwen2_72b": qwen2_72b,
+    "qwen3_600m": qwen3_600m,
+    "gemma2_2b": gemma2_2b,
+    "mistral_nemo_12b": mistral_nemo_12b,
+    "nemotron3_4b": nemotron3_4b,
+    "nemotron3_22b": nemotron3_22b,
+    "starcoder_15b": starcoder_15b,
+    "llama31_nemotron_nano_8b": llama31_nemotron_nano_8b,
+    "llama31_nemotron_70b": llama31_nemotron_70b,
+    "llama33_nemotron_super_49b": llama33_nemotron_super_49b,
+    "llama31_nemotron_ultra_253b": llama31_nemotron_ultra_253b,
     "llama2_7b": llama2_7b,
     "llama3_8b": llama3_8b,
     "llama3_70b": llama3_70b,

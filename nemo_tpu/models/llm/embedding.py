@@ -66,8 +66,11 @@ class EmbeddingModel(nn.Module):
         self.llm = GPTModel(self.cfg.llm, name="llm")
 
     def __call__(self, tokens, mask, *, train=False):
-        """tokens/mask [B,S] → embeddings [B,D] (unit L2 norm)."""
-        h = self.llm(tokens, train=train, output_hidden=True)
+        """tokens/mask [B,S] → embeddings [B,D] (unit L2 norm). The mask
+        gates ATTENTION too (kv_valid): pad content must not bleed into
+        real positions' hidden states before pooling."""
+        h = self.llm(tokens, kv_valid=mask.astype(bool), train=train,
+                     output_hidden=True)
         pooled = pool_hidden(h.astype(jnp.float32), mask, self.cfg.pool_type)
         return pooled / jnp.maximum(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
@@ -118,7 +121,8 @@ class RerankerModel(nn.Module):
 
     def __call__(self, tokens, mask, *, train=False):
         """tokens [B,S] (query+doc concatenated) → scores [B]."""
-        h = self.llm(tokens, train=train, output_hidden=True)
+        h = self.llm(tokens, kv_valid=mask.astype(bool), train=train,
+                     output_hidden=True)
         pooled = pool_hidden(h.astype(jnp.float32), mask, self.cfg.pool_type)
         return self.score(pooled)[:, 0]
 
@@ -138,17 +142,146 @@ class RerankerModel(nn.Module):
 
 
 def llama32_1b_embedding(**kw) -> EmbeddingConfig:
-    """reference Llama32EmbeddingConfig1B (avg pool, scale 50, 4 negs)."""
-    cfg = EmbeddingConfig(llm=llama32_1b())
+    """reference Llama32EmbeddingConfig1B (avg pool, scale 50, 4 negs;
+    bidirectional attention — get_nv_embedding_layer_spec,
+    llama_embedding.py:67)."""
+    cfg = EmbeddingConfig(llm=llama32_1b(causal=False))
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
 def llama32_3b_embedding(**kw) -> EmbeddingConfig:
-    cfg = EmbeddingConfig(llm=llama32_3b())
+    cfg = EmbeddingConfig(llm=llama32_3b(causal=False))
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
 def llama32_1b_reranker(**kw) -> EmbeddingConfig:
-    """reference Llama32Reranker1BConfig (avg pool, scale 50)."""
-    cfg = EmbeddingConfig(llm=llama32_1b())
+    """reference Llama32Reranker1BConfig (avg pool, scale 50; bidirectional
+    — reranker.py:32 imports get_nv_embedding_layer_spec)."""
+    cfg = EmbeddingConfig(llm=llama32_1b(causal=False))
     return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def bert_embedding_340m(**kw) -> EmbeddingConfig:
+    """reference bert_embedding/e5_340m recipes (BERT-large-geometry
+    bidirectional encoder). Expressed here as a GPTConfig backbone with
+    causal=False + learned absolute positions + LayerNorm + gelu — the
+    same architecture BERT is, on the shared GPT stack."""
+    llm = GPTConfig(num_layers=24, hidden_size=1024, ffn_hidden_size=4096,
+                    num_attention_heads=16, vocab_size=30522, seq_length=512,
+                    causal=False, normalization="LayerNorm",
+                    gated_linear_unit=False, activation="gelu",
+                    add_bias_linear=True,
+                    position_embedding_type="learned_absolute")
+    cfg = EmbeddingConfig(llm=llm, pool_type="avg")
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def bert_embedding_110m(**kw) -> EmbeddingConfig:
+    """BERT-base-geometry bidirectional embedder (see bert_embedding_340m)."""
+    cfg = bert_embedding_340m()
+    llm = dataclasses.replace(cfg.llm, num_layers=12, hidden_size=768,
+                              ffn_hidden_size=3072, num_attention_heads=12)
+    cfg = dataclasses.replace(cfg, llm=llm)
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+class EmbeddingTrainModule:
+    """Trainer-protocol module for contrastive embedding / reranker
+    training (reference finetune path of llama_embedding/reranker recipes).
+
+    batch (embedding): {"q_tokens" [B,S], "q_mask", "d_tokens" [B·G,S],
+    "d_mask"} with G = 1 + num_hard_negatives.
+    batch (reranker): {"tokens" [B·G,S], "mask"}."""
+
+    def __init__(self, cfg: EmbeddingConfig, mesh_cfg=None, lr_schedule=None,
+                 reranker: bool = False):
+        import optax
+
+        self.cfg = cfg
+        self.reranker = reranker
+        self.model = RerankerModel(cfg) if reranker else EmbeddingModel(cfg)
+        sched = lr_schedule or (lambda step: 1e-5)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(sched))
+        self._jit = None
+
+    def init_state(self, seed: int = 0):
+        from nemo_tpu.models.llm.train import TrainState
+
+        S = self.cfg.llm.seq_length
+        toks = jnp.zeros((2, min(S, 64)), jnp.int32)
+        mask = jnp.ones_like(toks)
+        params = nn.meta.unbox(
+            self.model.init(jax.random.PRNGKey(seed), toks, mask)["params"])
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.optimizer.init(params))
+
+    def train_step(self, state, batch, rng=None):
+        import optax
+
+        from nemo_tpu.models.llm.train import TrainState
+
+        if self._jit is None:
+            opt = self.optimizer
+            model, rr = self.model, self.reranker
+
+            def step(state, batch, rng):
+                def lf(p):
+                    if rr:
+                        return model.apply(
+                            {"params": p}, batch["tokens"], batch["mask"],
+                            method=RerankerModel.loss,
+                            rngs={"dropout": rng})
+                    return model.apply(
+                        {"params": p}, batch["q_tokens"], batch["q_mask"],
+                        batch["d_tokens"], batch["d_mask"],
+                        method=EmbeddingModel.ranking_loss,
+                        rngs={"dropout": rng})
+
+                (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(
+                    state.params)
+                updates, new_opt = opt.update(grads, state.opt_state,
+                                              state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(step=state.step + 1, params=params,
+                                   opt_state=new_opt),
+                        {"loss": loss, **aux})
+
+            self._jit = jax.jit(step, donate_argnums=(0,))
+        if rng is None:
+            rng = jax.random.PRNGKey(int(state.step))
+        return self._jit(state, batch, rng)
+
+
+class MockContrastiveDataModule:
+    """Random (query, pos+negs) batches for embedding/reranker recipes
+    (the mock.py analog for the contrastive batch shape)."""
+
+    def __init__(self, seq_length: int, global_batch_size: int,
+                 vocab_size: int, num_hard_negatives: int = 4,
+                 reranker: bool = False, seed: int = 0, **_):
+        self.seq_length = min(seq_length, 128)
+        self.global_batch_size = global_batch_size
+        self.vocab_size = vocab_size
+        self.G = 1 + num_hard_negatives
+        self.reranker = reranker
+        self.seed = seed
+        self.micro_batch_size = None
+
+    def train_batches(self, start_step: int = 0):
+        import numpy as np
+
+        rng = np.random.RandomState(self.seed + start_step)
+        B, S, G = self.global_batch_size, self.seq_length, self.G
+        while True:
+            if self.reranker:
+                yield {"tokens": jnp.asarray(
+                           rng.randint(1, self.vocab_size, (B * G, S))),
+                       "mask": jnp.ones((B * G, S), jnp.int32)}
+            else:
+                yield {"q_tokens": jnp.asarray(
+                           rng.randint(1, self.vocab_size, (B, S))),
+                       "q_mask": jnp.ones((B, S), jnp.int32),
+                       "d_tokens": jnp.asarray(
+                           rng.randint(1, self.vocab_size, (B * G, S))),
+                       "d_mask": jnp.ones((B * G, S), jnp.int32)}

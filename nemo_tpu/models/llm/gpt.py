@@ -326,6 +326,7 @@ def causal_attention(
     chunk: Optional[int] = None,  # llama4 chunked attention (same-chunk mask)
     sink: Optional[jnp.ndarray] = None,  # [G, rep] gpt-oss sink logits
     logit_cap: Optional[float] = None,  # gemma2 attn_logit_softcapping
+    causal: bool = True,  # False → bidirectional (embedding/reranker models)
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
@@ -350,7 +351,12 @@ def causal_attention(
     else:
         qpos = jnp.broadcast_to(jnp.arange(Sq) + kv_off, (B, Sq))
     kpos = jnp.arange(Skv)
-    mask = kpos[None, None, :] <= qpos[:, :, None]  # [B, Sq, Skv]
+    if causal:
+        mask = kpos[None, None, :] <= qpos[:, :, None]  # [B, Sq, Skv]
+    else:
+        # bidirectional (NV-Embed-style encoders); kv_valid/segments still
+        # bound what a query may see
+        mask = jnp.ones((B, Sq, Skv), bool)
     if window is not None:
         mask = mask & (kpos[None, None, :] > qpos[:, :, None] - window)
     if chunk is not None:
@@ -444,8 +450,9 @@ class Attention(nn.Module):
         no_cache = kv_cache is None or _cache_T(kv_cache[0]) == 0
         S = q.shape[1]
         # the flash/ring kernels don't implement attention-logit softcapping
+        # (and are causal-only — bidirectional encoders take the einsum path)
         plain = chunk is None and sink is None \
-            and not cfg.attn_logit_softcapping
+            and not cfg.attn_logit_softcapping and cfg.causal
         use_ring = (
             cfg.cp_size > 1
             and no_cache
@@ -514,6 +521,7 @@ class Attention(nn.Module):
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
                 kv_valid=kv_valid, segment_ids=segment_ids, chunk=chunk,
                 sink=sink, logit_cap=cfg.attn_logit_softcapping,
+                causal=cfg.causal,
             )
         out = dense_layer(
             cfg.quantization,
