@@ -25,7 +25,7 @@ from nemo_tpu.parallel.mesh import MeshConfig
 @dataclasses.dataclass
 class Recipe:
     name: str
-    model: C.GPTConfig
+    model: Any  # GPTConfig | SSMConfig | T5Config | BertConfig | HyenaLM
     mesh: MeshConfig
     global_batch_size: int
     micro_batch_size: Optional[int]
@@ -34,6 +34,9 @@ class Recipe:
     warmup_steps: int = 2000
     max_steps: int = 300000
     seq_length: Optional[int] = None
+    # model family selects the train module in build(): gpt (default) |
+    # ssm | hyena | t5 | bert (reference recipes cover all five stacks)
+    family: str = "gpt"
 
     def lr_schedule(self):
         return get_scheduler(
@@ -46,20 +49,78 @@ class Recipe:
         from nemo_tpu.core.checkpoint import AutoResume, CheckpointIO
         from nemo_tpu.core.trainer import Trainer
         from nemo_tpu.data.gpt_dataset import MockDataModule
-        from nemo_tpu.models.llm.train import GPTTrainModule
 
         steps = max_steps or self.max_steps
-        module = GPTTrainModule(self.model, mesh_cfg=self.mesh, lr_schedule=self.lr_schedule())
+        module = self._build_module()
         if data is None:
-            data = MockDataModule(
-                seq_length=self.model.seq_length,
-                global_batch_size=self.global_batch_size,
-                vocab_size=self.model.vocab_size,
-            )
+            m = self.model
+            if self.family in ("embedding", "reranker"):
+                from nemo_tpu.models.llm.embedding import (
+                    MockContrastiveDataModule)
+
+                data = MockContrastiveDataModule(
+                    seq_length=m.llm.seq_length,
+                    global_batch_size=self.global_batch_size,
+                    vocab_size=m.llm.vocab_size,
+                    num_hard_negatives=m.num_hard_negatives,
+                    reranker=self.family == "reranker")
+            else:
+                seq = self.seq_length or int(getattr(m, "seq_length", 2048))
+                data = MockDataModule(
+                    seq_length=seq,
+                    global_batch_size=self.global_batch_size,
+                    vocab_size=int(m.vocab_size),
+                )
         ckpt = CheckpointIO(f"{log_dir}/checkpoints") if log_dir else None
         trainer = Trainer(max_steps=steps, ckpt_io=ckpt,
                           resume=AutoResume() if ckpt else None)
         return module, data, trainer
+
+    def _build_module(self):
+        sched = self.lr_schedule()
+        if self.family == "gpt":
+            from nemo_tpu.models.llm.train import GPTTrainModule
+
+            return GPTTrainModule(self.model, mesh_cfg=self.mesh,
+                                  lr_schedule=sched)
+        from nemo_tpu.models.llm.train import LMTrainModule
+
+        if self.family == "ssm":
+            from nemo_tpu.models.llm.ssm import SSMModel
+
+            return LMTrainModule(SSMModel(self.model), self.model,
+                                 mesh_cfg=self.mesh, lr_schedule=sched)
+        if self.family == "hyena":
+            # self.model IS the HyenaLM flax module (hyena presets return
+            # modules); seq_length comes from the recipe
+            cfg = type("HyenaCfg", (), {
+                "seq_length": self.seq_length or 8192,
+                "vocab_size": self.model.vocab_size,
+                "num_layers": self.model.n_layers})()
+            return LMTrainModule(self.model, cfg, mesh_cfg=self.mesh,
+                                 lr_schedule=sched)
+        if self.family == "bert":
+            from nemo_tpu.models.llm.bert import BertModel
+
+            return LMTrainModule(BertModel(self.model), self.model,
+                                 mesh_cfg=self.mesh, lr_schedule=sched,
+                                 loss="mlm")
+        if self.family == "t5":
+            from nemo_tpu.models.llm.t5_parallel import T5TrainModule
+
+            return T5TrainModule(self.model, mesh_cfg=self.mesh)
+        if self.family in ("embedding", "reranker"):
+            from nemo_tpu.models.llm.embedding import EmbeddingTrainModule
+
+            return EmbeddingTrainModule(self.model, mesh_cfg=self.mesh,
+                                        lr_schedule=sched,
+                                        reranker=self.family == "reranker")
+        if self.family == "hf":
+            from nemo_tpu.llm.hf_automodel import HFAutoModelForCausalLM
+
+            return HFAutoModelForCausalLM(config=self.model,
+                                          learning_rate=self.lr)
+        raise ValueError(f"unknown recipe family {self.family}")
 
 
 RECIPES: Dict[str, Callable[..., Recipe]] = {}
@@ -452,6 +513,387 @@ def chatglm3_6b(**kw) -> Recipe:
 def baichuan2_7b(**kw) -> Recipe:
     return Recipe("baichuan2_7b", C.baichuan2_7b(attention_backend="flash"),
                   MeshConfig(fsdp=-1).resolved_or_default(), 512, 1, **kw)
+
+
+# ---- qwen2/qwen3/gemma2/mistral/nemotron/starcoder/deepseek sizes
+# (reference recipes/<name>.py; per-family GBS/lr follow the reference's
+# size tiers) ---------------------------------------------------------------
+
+
+@register
+def qwen2_500m(**kw) -> Recipe:
+    return _small("qwen2_500m", C.qwen2_500m(attention_backend="flash"), lr=4e-4, **kw)
+
+
+@register
+def qwen2_1p5b(**kw) -> Recipe:
+    return _small("qwen2_1p5b", C.qwen2_1p5b(attention_backend="flash"), lr=4e-4, **kw)
+
+
+@register
+def qwen2_72b(**kw) -> Recipe:
+    return _large("qwen2_72b", C.qwen2_72b(attention_backend="flash"), **kw)
+
+
+@register
+def qwen3_600m(**kw) -> Recipe:
+    return _small("qwen3_600m", C.qwen3_600m(seq_length=4096, attention_backend="flash"), lr=4e-4, **kw)
+
+
+@register
+def gemma2_2b(**kw) -> Recipe:
+    return _small("gemma2_2b", C.gemma2_2b(), **kw)
+
+
+@register
+def mistral_nemo_12b(**kw) -> Recipe:
+    return _small("mistral_nemo_12b", C.mistral_nemo_12b(attention_backend="flash"), gbs=256, **kw)
+
+
+@register
+def nemotron3_4b(**kw) -> Recipe:
+    return _small("nemotron3_4b", C.nemotron3_4b(), gbs=256, **kw)
+
+
+@register
+def nemotron3_22b(**kw) -> Recipe:
+    return _large("nemotron3_22b", C.nemotron3_22b(), tp=2, **kw)
+
+
+@register
+def nemotron3_22b_16k(**kw) -> Recipe:
+    return _longctx("nemotron3_22b_16k", C.nemotron3_22b(seq_length=16384), cp=2, **kw)
+
+
+@register
+def nemotron3_22b_64k(**kw) -> Recipe:
+    return _longctx("nemotron3_22b_64k", C.nemotron3_22b(seq_length=65536), **kw)
+
+
+@register
+def nemotron4_15b_64k(**kw) -> Recipe:
+    return _longctx("nemotron4_15b_64k", C.nemotron4_15b(seq_length=65536), **kw)
+
+
+@register
+def deepseek_v2(**kw) -> Recipe:
+    return Recipe("deepseek_v2", C.deepseek_v2(),
+                  MeshConfig(fsdp=-1, ep=8).resolved_or_default(), 1024, 1,
+                  **kw)
+
+
+@register
+def starcoder_15b(**kw) -> Recipe:
+    return _large("starcoder_15b", C.starcoder_15b(), tp=2, **kw)
+
+
+@register
+def llama31_nemotron_nano_8b(**kw) -> Recipe:
+    return _small("llama31_nemotron_nano_8b",
+                  C.llama31_nemotron_nano_8b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama31_nemotron_70b(**kw) -> Recipe:
+    return _large("llama31_nemotron_70b",
+                  C.llama31_nemotron_70b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama33_nemotron_super_49b(**kw) -> Recipe:
+    return _large("llama33_nemotron_super_49b",
+                  C.llama33_nemotron_super_49b(seq_length=8192, attention_backend="flash"), **kw)
+
+
+@register
+def llama31_nemotron_ultra_253b(**kw) -> Recipe:
+    return _large("llama31_nemotron_ultra_253b",
+                  C.llama31_nemotron_ultra_253b(seq_length=8192, attention_backend="flash"),
+                  tp=8, gbs=256, **kw)
+
+
+@register
+def llama4_e16(**kw) -> Recipe:
+    """reference recipes/llama4_e16.py (= Llama-4 Scout geometry)."""
+    r = RECIPES["llama4_scout"](**kw)
+    return dataclasses.replace(r, name="llama4_e16")
+
+
+@register
+def llama4_e128(**kw) -> Recipe:
+    """reference recipes/llama4_e128.py (= Llama-4 Maverick geometry)."""
+    r = RECIPES["llama4_maverick"](**kw)
+    return dataclasses.replace(r, name="llama4_e128")
+
+
+@register
+def phi3_mini_4k_instruct(**kw) -> Recipe:
+    r = RECIPES["phi3_mini_4k"](**kw)
+    return dataclasses.replace(r, name="phi3_mini_4k_instruct")
+
+
+@register
+def mixtral_8x7b_64k(**kw) -> Recipe:
+    return Recipe("mixtral_8x7b_64k",
+                  C.mixtral_8x7b(seq_length=65536, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, cp=2, ep=2).resolved_or_default(),
+                  64, 1, **kw)
+
+
+@register
+def mixtral_8x22b_64k(**kw) -> Recipe:
+    return Recipe("mixtral_8x22b_64k",
+                  C.mixtral_8x22b(seq_length=65536, attention_backend="flash"),
+                  MeshConfig(dp=1, fsdp=-1, cp=2, ep=2).resolved_or_default(),
+                  64, 1, **kw)
+
+
+@register
+def hf_auto_model_for_causal_lm(hf_config=None, **kw) -> Recipe:
+    """reference recipes/hf_auto_model_for_causal_lm.py — train any HF
+    causal LM via the AutoModel path (nemo_tpu.llm.hf_automodel,
+    transformers Flax classes). `hf_config` is a transformers config (or
+    None for a small GPT-2 geometry, offline-safe); family='hf' routes
+    build() to HFAutoModelForCausalLM."""
+    if hf_config is None:
+        from transformers import GPT2Config
+
+        hf_config = GPT2Config(n_layer=2, n_embd=128, n_head=4,
+                               n_positions=512, vocab_size=50257)
+    return Recipe("hf_auto_model_for_causal_lm", hf_config,
+                  MeshConfig(fsdp=-1).resolved_or_default(), 64, 1,
+                  family="hf", lr=2e-5, **kw)
+
+
+# ---- SSM / mamba family (reference recipes/mamba2_*.py, nemotronh_*.py;
+# family='ssm' routes build() to LMTrainModule over SSMModel) ---------------
+
+
+def _ssm(name, cfg, gbs=256, **kw):
+    return Recipe(name, cfg, MeshConfig(fsdp=-1).resolved_or_default(),
+                  gbs, 1, family="ssm", **kw)
+
+
+@register
+def mamba2_130m(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_130m", S.mamba2_130m(), **kw)
+
+
+@register
+def mamba2_370m(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_370m", S.mamba2_370m(), **kw)
+
+
+@register
+def mamba2_780m(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_780m", S.mamba2_780m(), **kw)
+
+
+@register
+def mamba2_1_3b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_1_3b", S.mamba2_1_3b(), **kw)
+
+
+@register
+def mamba2_2_7b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_2_7b", S.mamba2_2_7b(), **kw)
+
+
+@register
+def mamba2_8b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_8b", S.mamba2_8b(), **kw)
+
+
+@register
+def mamba2_hybrid_8b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("mamba2_hybrid_8b", S.mamba2_hybrid_8b(), **kw)
+
+
+@register
+def nemotronh_4b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotronh_4b", S.nemotron_h_4b(), **kw)
+
+
+@register
+def nemotronh_8b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotronh_8b", S.nemotron_h_8b(), **kw)
+
+
+@register
+def nemotronh_47b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotronh_47b", S.nemotron_h_47b(), gbs=128, **kw)
+
+
+@register
+def nemotronh_56b(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotronh_56b", S.nemotron_h_56b(), gbs=128, **kw)
+
+
+@register
+def nemotron_nano_9b_v2(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotron_nano_9b_v2", S.nemotron_nano_9b_v2(), **kw)
+
+
+@register
+def nemotron_nano_12b_v2(**kw) -> Recipe:
+    from nemo_tpu.models.llm import ssm as S
+
+    return _ssm("nemotron_nano_12b_v2", S.nemotron_nano_12b_v2(), **kw)
+
+
+# ---- hyena / Evo2 (reference recipes/hyena_{1b,7b,40b,base}.py) -----------
+
+
+def _hyena(name, model, seq=8192, gbs=256, **kw):
+    return Recipe(name, model, MeshConfig(fsdp=-1).resolved_or_default(),
+                  gbs, 1, family="hyena", seq_length=seq, **kw)
+
+
+@register
+def hyena_1b(**kw) -> Recipe:
+    from nemo_tpu.ops.hyena import evo2_1b
+
+    return _hyena("hyena_1b", evo2_1b(), **kw)
+
+
+@register
+def hyena_7b(**kw) -> Recipe:
+    from nemo_tpu.ops.hyena import evo2_7b
+
+    return _hyena("hyena_7b", evo2_7b(), **kw)
+
+
+@register
+def hyena_40b(**kw) -> Recipe:
+    from nemo_tpu.ops.hyena import evo2_40b
+
+    return _hyena("hyena_40b", evo2_40b(), gbs=64, **kw)
+
+
+@register
+def hyena_base(**kw) -> Recipe:
+    from nemo_tpu.ops.hyena import HyenaLM
+
+    return _hyena("hyena_base", HyenaLM(vocab_size=512, d_model=512,
+                                        n_layers=8, pattern="SDH*"),
+                  seq=2048, **kw)
+
+
+# ---- T5 / BERT (reference recipes/t5_*.py, bert_*.py) ---------------------
+
+
+@register
+def t5_220m(**kw) -> Recipe:
+    from nemo_tpu.models.llm.t5 import t5_220m as cfg
+
+    return Recipe("t5_220m", cfg(), MeshConfig(fsdp=-1).resolved_or_default(),
+                  512, 1, family="t5", lr=1e-4, **kw)
+
+
+@register
+def t5_3b(**kw) -> Recipe:
+    from nemo_tpu.models.llm.t5 import t5_3b as cfg
+
+    return Recipe("t5_3b", cfg(),
+                  MeshConfig(dp=1, fsdp=-1, tp=2).resolved_or_default(),
+                  256, 1, family="t5", lr=1e-4, **kw)
+
+
+@register
+def t5_11b(**kw) -> Recipe:
+    from nemo_tpu.models.llm.t5 import t5_11b as cfg
+
+    return Recipe("t5_11b", cfg(),
+                  MeshConfig(dp=1, fsdp=-1, tp=4).resolved_or_default(),
+                  256, 1, family="t5", lr=1e-4, **kw)
+
+
+@register
+def bert_110m(**kw) -> Recipe:
+    from nemo_tpu.models.llm.bert import bert_base
+
+    return Recipe("bert_110m", bert_base(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 256, 1,
+                  family="bert", lr=1e-4, **kw)
+
+
+@register
+def bert_340m(**kw) -> Recipe:
+    from nemo_tpu.models.llm.bert import bert_large
+
+    return Recipe("bert_340m", bert_large(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 256, 1,
+                  family="bert", lr=1e-4, **kw)
+
+
+# ---- embedding / reranker (reference recipes/llama_embedding_{1b,3b}.py,
+# llama_reranker_1b.py, bert_embedding.py, e5_340m.py) ----------------------
+
+
+def _embed(name, cfg, family="embedding", gbs=128, **kw):
+    return Recipe(name, cfg, MeshConfig(fsdp=-1).resolved_or_default(),
+                  gbs, 1, family=family, lr=1e-5, warmup_steps=100,
+                  max_steps=1000, **kw)
+
+
+@register
+def llama_embedding_1b(**kw) -> Recipe:
+    from nemo_tpu.models.llm.embedding import llama32_1b_embedding
+
+    return _embed("llama_embedding_1b", llama32_1b_embedding(), **kw)
+
+
+@register
+def llama_embedding_3b(**kw) -> Recipe:
+    from nemo_tpu.models.llm.embedding import llama32_3b_embedding
+
+    return _embed("llama_embedding_3b", llama32_3b_embedding(), **kw)
+
+
+@register
+def llama_reranker_1b(**kw) -> Recipe:
+    from nemo_tpu.models.llm.embedding import llama32_1b_reranker
+
+    return _embed("llama_reranker_1b", llama32_1b_reranker(),
+                  family="reranker", **kw)
+
+
+@register
+def bert_embedding(**kw) -> Recipe:
+    from nemo_tpu.models.llm.embedding import bert_embedding_340m
+
+    return _embed("bert_embedding", bert_embedding_340m(), **kw)
+
+
+@register
+def e5_340m(**kw) -> Recipe:
+    from nemo_tpu.models.llm.embedding import bert_embedding_340m
+
+    return _embed("e5_340m", bert_embedding_340m(), **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -460,6 +460,40 @@ def nemotron_h_56b(**kw) -> SSMConfig:
                        state_size=256, **kw)
 
 
+def mamba2_hybrid_8b(**kw) -> SSMConfig:
+    """(reference ssm.py:951 NVIDIAMambaHybridConfig8B — 56 blocks in the
+    literal irregular pattern, hidden 4096, ffn 16384, 32/8 attention
+    heads, nemotron 256k vocab)"""
+    pat = "M-M-M--M-M*-M-M-M-M--M*-M-M-M-M-M*--M-M-M-M-M*-M--M-M-M-"
+    d = dict(num_layers=len(pat), hidden_size=4096, vocab_size=256000,
+             seq_length=4096, num_heads=128, head_dim=64, n_groups=8,
+             state_size=128, chunk_size=256, hybrid_override_pattern=pat,
+             attn=GPTConfig(hidden_size=4096, num_attention_heads=32,
+                            num_query_groups=8, ffn_hidden_size=16384,
+                            gated_linear_unit=False,
+                            activation="squared_relu",
+                            position_embedding_type="none"))
+    d.update(kw)
+    return SSMConfig(**d)
+
+
+def nemotron_nano_9b_v2(**kw) -> SSMConfig:
+    """(reference ssm.py:1047 NemotronNano9Bv2 — 56 blocks, hidden 4480,
+    mamba_num_heads 128 × head_dim 80, kv_channels 128, ffn 15680)"""
+    pat = "M-M-M-MM-M-M-M*-M-M-M*-M-M-M-M*-M-M-M-M*-M-MM-M-M-M-M-M-"
+    return _nemotron_h(pat, 4480, 128, 40, 8, 15680, state_size=128,
+                       kv_channels=128, head_dim=80, **kw)
+
+
+def nemotron_nano_12b_v2(**kw) -> SSMConfig:
+    """(reference ssm.py:1062 NemotronNano12Bv2 — 62 blocks, hidden 5120,
+    mamba_num_heads 128 × head_dim 80, kv_channels 128, ffn 20480)"""
+    pat = ("M-M-M-M*-M-M-M-M*-M-M-M-M*-M-M-M-M*-M-M-M-M*-M-M-M-M*-"
+           "M-M-M-M-")
+    return _nemotron_h(pat, 5120, 128, 40, 8, 20480, state_size=128,
+                       kv_channels=128, head_dim=80, **kw)
+
+
 def init_ssm_states(cfg: SSMConfig, batch: int, total_len: int,
                     dtype=jnp.float32):
     """Per-layer decode states: 'M' → (conv_buf [B,K-1,conv_dim],

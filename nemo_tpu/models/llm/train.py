@@ -348,3 +348,79 @@ class GPTTrainModule:
         with jax.set_mesh(self.mesh):
             batch = jax.device_put(batch, self.batch_shardings(batch))
             return step(state, batch, rng)
+
+
+class LMTrainModule:
+    """Generic token-LM train module (Trainer protocol) for non-GPT stacks
+    — SSM/mamba hybrids, hyena/Evo2, BERT MLM — anything whose apply maps
+    tokens [B,S] → logits [B,S,V]. Data-parallel over the mesh's (dp,fsdp)
+    axes via batch sharding; params replicated (these recipe entries are
+    configs-first; the GPT stack keeps the fully sharded path).
+
+    Reference parity: recipes/mamba2_*.py, hyena_*.py, bert_*.py drive
+    their collections through the same pretrain loop as GPT."""
+
+    def __init__(self, model, cfg, mesh_cfg=None, lr_schedule=None,
+                 optimizer=None, loss: str = "causal_lm"):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = make_mesh(mesh_cfg or MeshConfig())
+        if optimizer is None:
+            sched = lr_schedule or (lambda step: 3e-4)
+            optimizer = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.1))
+        self.optimizer = optimizer
+        self.loss_kind = loss
+        self._jit = None
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        tokens = jnp.zeros((1, int(self.cfg.seq_length)), jnp.int32)
+        variables = self.model.init(jax.random.PRNGKey(seed), tokens)
+        params = nn.meta.unbox(variables["params"])
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.optimizer.init(params))
+
+    def _loss(self, params, batch, rng):
+        out = self.model.apply({"params": params}, batch["tokens"])
+        if isinstance(out, tuple):
+            # SSMModel → (logits, states); BertModel → (hidden, mlm_logits)
+            logits = out[-1] if self.loss_kind == "mlm" else out[0]
+        else:
+            logits = out
+        if self.loss_kind == "mlm":
+            from nemo_tpu.models.llm.bert import mlm_loss
+
+            mask = batch.get("loss_mask")
+            if mask is None:
+                mask = jnp.ones(batch["labels"].shape, jnp.float32)
+            return mlm_loss(logits, batch["labels"], mask)
+        loss, _ = masked_token_loss(logits, batch["labels"],
+                                    batch.get("loss_mask"))
+        return loss
+
+    def train_step(self, state, batch, rng=None):
+        if self._jit is None:
+            opt = self.optimizer
+
+            def step(state, batch, rng):
+                loss, grads = jax.value_and_grad(self._loss)(
+                    state.params, batch, rng)
+                updates, new_opt = opt.update(grads, state.opt_state,
+                                              state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(step=state.step + 1, params=params,
+                                   opt_state=new_opt),
+                        {"loss": loss,
+                         "grad_norm": optax.global_norm(grads)})
+
+            with jax.set_mesh(self.mesh):
+                self._jit = jax.jit(step, donate_argnums=(0,))
+        if rng is None:
+            rng = jax.random.PRNGKey(int(state.step))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with jax.set_mesh(self.mesh):
+            batch = jax.device_put(batch, NamedSharding(
+                self.mesh, P(("dp", "fsdp"))))
+            return self._jit(state, batch, rng)
