@@ -64,6 +64,17 @@ class Recipe:
                     vocab_size=m.llm.vocab_size,
                     num_hard_negatives=m.num_hard_negatives,
                     reranker=self.family == "reranker")
+            elif self.family == "vlm":
+                from nemo_tpu.data.vlm_dataset import MockVLMDataModule
+
+                P = m.vision.num_patches
+                data = MockVLMDataModule(
+                    seq_length=self.seq_length or (P + 64),
+                    global_batch_size=self.global_batch_size,
+                    vocab_size=m.llm.vocab_size,
+                    image_size=m.vision.image_size,
+                    image_token_id=m.image_token_id,
+                    num_image_tokens=P)
             else:
                 seq = self.seq_length or int(getattr(m, "seq_length", 2048))
                 data = MockDataModule(
@@ -120,6 +131,13 @@ class Recipe:
 
             return HFAutoModelForCausalLM(config=self.model,
                                           learning_rate=self.lr)
+        if self.family == "vlm":
+            from nemo_tpu.models.vlm.train import VLMTrainModule
+
+            # stage-2 finetune defaults (stage-1 projector-only pretrain:
+            # pass freeze=("vision","language") through a custom build)
+            return VLMTrainModule(self.model, lr_schedule=sched,
+                                  image_size=self.model.vision.image_size)
         raise ValueError(f"unknown recipe family {self.family}")
 
 
@@ -894,6 +912,20 @@ def e5_340m(**kw) -> Recipe:
     from nemo_tpu.models.llm.embedding import bert_embedding_340m
 
     return _embed("e5_340m", bert_embedding_340m(), **kw)
+
+
+@register
+def neva_llama3_8b(**kw) -> Recipe:
+    """reference vlm/recipes/neva_llama3_8b.py (llama3-8B + CLIP-ViT-L/14
+    -336; stage-2 finetune defaults — GBS 128, cosine 2e-5). The dynamic
+    image_token_id placeholder splicing needs a nonnegative token id."""
+    from nemo_tpu.models.vlm.neva import neva_8b
+
+    cfg = neva_8b(image_token_id=128002)  # llama3 reserved_special_token_0
+    return Recipe("neva_llama3_8b", cfg,
+                  MeshConfig(fsdp=-1).resolved_or_default(), 128, 1,
+                  family="vlm", lr=2e-5, warmup_steps=150,
+                  max_steps=5000, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -19,8 +19,8 @@ def test_all_recipes_build_configs():
         m = r.model
         if r.family == "hyena":
             layers = m.n_layers          # HyenaLM flax module
-        elif r.family in ("embedding", "reranker"):
-            layers = m.llm.num_layers    # EmbeddingConfig wraps the backbone
+        elif r.family in ("embedding", "reranker", "vlm"):
+            layers = m.llm.num_layers    # config wraps the LLM backbone
         elif r.family == "hf":
             layers = m.num_hidden_layers  # transformers config
         else:
