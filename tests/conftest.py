@@ -14,6 +14,24 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# Raise the main-thread stack rlimit to 64 MB (Linux grows the main stack
+# lazily up to the rlimit, so a runtime raise works). XLA:CPU's compiler
+# recursion on the deepest programs in this suite — the pipeline-parallel
+# MoE train steps under 8 virtual devices — can overflow the default 8 MB
+# stack and SIGSEGV/SIGABRT *inside backend_compile*, killing the whole
+# run (r03 flaky SIGABRT at test_gpipe_schedule_matches_1f1b; r04 SIGSEGV
+# at test_1f1b_moe_aux_loss_matches_unpipelined, both mid-compile).
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 64 << 20
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new_soft = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new_soft, _hard))
+except Exception:  # non-Linux or restricted env: keep defaults
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
