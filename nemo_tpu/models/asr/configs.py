@@ -103,14 +103,14 @@ def conformer_ctc(
             xscaling=True,
             pos_emb_max_len=5000,
             compute_dtype=compute_dtype,
-            # measured default (scripts/conformer_flash_ab.py, v5e, B=16
-            # x 30 s Conformer-L, full transcribe): decomposed 3254 vs
-            # decomposed_flash 3140 RTFx — XLA's fused einsum WINS at the
-            # bench shape (T'≈752 after x4 subsampling; the augmented
-            # rel-pos features pad the flash head_dim to 256, and at this
-            # T the O(T²) memory the kernel saves is not the bottleneck).
-            # decomposed_flash is the right choice for long-audio T';
-            # select it via encoder.att_impl.
+            # measured default (v5e, full transcribe, Conformer-L bf16):
+            # r04 @ B=32 x 30 s — decomposed 4888 RTFx after the
+            # weight-side trig slicing fix (ops/attention.py) vs
+            # decomposed_flash 3099 and rel-shift einsum ~1800-equiv;
+            # the augmented rel-pos features pad the flash kernel's head
+            # dim to 640 at this shape, so XLA's fused einsum wins.
+            # decomposed_flash remains the choice for long-audio T'
+            # (O(T²) score memory); select via encoder.att_impl.
             att_impl="decomposed",
         ),
         decoder=dict(feat_in=d_model, vocabulary=labels),
