@@ -75,6 +75,22 @@ class Recipe:
                     image_size=m.vision.image_size,
                     image_token_id=m.image_token_id,
                     num_image_tokens=P)
+            elif self.family == "speechlm":
+                from nemo_tpu.models.speechlm.train import (
+                    MockSpeechLMDataModule)
+
+                data = MockSpeechLMDataModule(
+                    seq_length=self.seq_length or 64,
+                    global_batch_size=self.global_batch_size,
+                    vocab_size=m.llm.vocab_size)
+            elif self.family == "diffusion":
+                from nemo_tpu.models.diffusion.train import (
+                    MockLatentDataModule)
+
+                data = MockLatentDataModule(
+                    input_size=m.input_size, in_channels=m.in_channels,
+                    global_batch_size=self.global_batch_size,
+                    num_classes=m.num_classes)
             else:
                 seq = self.seq_length or int(getattr(m, "seq_length", 2048))
                 data = MockDataModule(
@@ -138,6 +154,14 @@ class Recipe:
             # pass freeze=("vision","language") through a custom build)
             return VLMTrainModule(self.model, lr_schedule=sched,
                                   image_size=self.model.vision.image_size)
+        if self.family == "speechlm":
+            from nemo_tpu.models.speechlm.train import SALMTrainModule
+
+            return SALMTrainModule(self.model, lr_schedule=sched)
+        if self.family == "diffusion":
+            from nemo_tpu.models.diffusion.train import DiffusionTrainModule
+
+            return DiffusionTrainModule(self.model, lr_schedule=sched)
         raise ValueError(f"unknown recipe family {self.family}")
 
 
@@ -912,6 +936,36 @@ def e5_340m(**kw) -> Recipe:
     from nemo_tpu.models.llm.embedding import bert_embedding_340m
 
     return _embed("e5_340m", bert_embedding_340m(), **kw)
+
+
+@register
+def salm_llama3_8b(**kw) -> Recipe:
+    """reference speechlm recipes (speech_to_text_llm over llama3-8b:
+    conformer-large audio encoder → frame-stacking adapter → LLM)."""
+    from nemo_tpu.models.asr.configs import conformer_ctc
+    from nemo_tpu.models.speechlm.salm import SALMConfig
+
+    enc = dict(conformer_ctc("large").encoder.to_dict())
+    cfg = SALMConfig(llm=C.llama3_8b(), encoder=enc, mel_features=80,
+                     frame_stacking=2)
+    return Recipe("salm_llama3_8b", cfg,
+                  MeshConfig(fsdp=-1).resolved_or_default(), 64, 1,
+                  family="speechlm", lr=1e-4, warmup_steps=200,
+                  max_steps=10000, **kw)
+
+
+@register
+def dit_xl(**kw) -> Recipe:
+    """reference diffusion training recipes (DiT-XL/2 geometry: 28 layers,
+    hidden 1152, patch 2, class-conditioned; EDM objective)."""
+    from nemo_tpu.models.diffusion.dit import DiTConfig
+
+    cfg = DiTConfig(input_size=32, patch_size=2, in_channels=4,
+                    hidden_size=1152, num_layers=28, num_heads=16,
+                    num_classes=1000)
+    return Recipe("dit_xl", cfg, MeshConfig(fsdp=-1).resolved_or_default(),
+                  256, 1, family="diffusion", lr=1e-4, warmup_steps=1000,
+                  max_steps=400000, **kw)
 
 
 @register

@@ -19,7 +19,7 @@ def test_all_recipes_build_configs():
         m = r.model
         if r.family == "hyena":
             layers = m.n_layers          # HyenaLM flax module
-        elif r.family in ("embedding", "reranker", "vlm"):
+        elif r.family in ("embedding", "reranker", "vlm", "speechlm"):
             layers = m.llm.num_layers    # config wraps the LLM backbone
         elif r.family == "hf":
             layers = m.num_hidden_layers  # transformers config
