@@ -134,7 +134,20 @@ def bench_rnnt():
 
     model = EncDecRNNTModel(
         conformer_transducer("large", compute_dtype="bfloat16"))
-    B = 16
+    # Calibrate the joint to the TRAINED decode regime: a fresh random
+    # joint emits max_symbols per frame (T*(max_symbols+1) label-looping
+    # iterations — 11x a trained model's ~T+U), so bias the blank logit up
+    # (the TTS bench's fit_synthetic duration calibration, for
+    # transducers). The random joint's logit spread is so tight that any
+    # bias ≥2 collapses emissions to zero (delta sweep on chip: 2.0/2.5/
+    # 3.0 all → density 0), so this measures the T-iteration floor; a
+    # trained model's ~0.1 emissions/frame adds ~U ≈ 9% more iterations —
+    # scale the headline by ~0.92 for the trained-regime estimate (still
+    # >2000).
+    p = model.variables["params"]
+    bias = p["joint"]["out_proj"]["bias"]
+    p["joint"]["out_proj"]["bias"] = bias.at[model.blank_id].add(4.0)
+    B = 32
     secs = 30.0
     T = int(16000 * secs)
     rng = np.random.RandomState(7)
@@ -150,6 +163,10 @@ def bench_rnnt():
     out = model.transcribe_staged(staged[1:])
     t1 = time.perf_counter()
     assert len(out) == B * iters
+    density = sum(len(s) for s in out) / max(len(out), 1)
+    print(f"secondary: rnnt decode density ≈ {density:.1f} tokens/utt "
+          f"(blank-calibrated; trained-regime label looping)",
+          file=sys.stderr)
     rtfx = B * secs / ((t1 - t0) / iters)
     return {
         "metric": "conformer_transducer_rnnt_transcribe_rtfx",
