@@ -219,3 +219,115 @@ class MockVLMDataModule:
                 "images": jnp.asarray(
                     rng.randn(B, S, S, 3).astype(np.float32)),
             }
+
+
+class TarredVLMDataset:
+    """Webdataset/energon-style tar shards of (image, json) sample pairs.
+
+    Each sample is two members sharing a basename key: `<key>.jpg|.png`
+    and `<key>.json` holding {"conversations": [...]} — the layout
+    Megatron-Energon's CaptioningSample/VQASample webdatasets use
+    (reference: vlm task encoders consume energon shards,
+    `vlm/neva/data/preloaded.py` is the non-sharded twin). Shards scatter
+    across data-parallel workers by index, like TarredAudioDataset."""
+
+    def __init__(self, tar_paths: Sequence[str], shard_rank: int = 0,
+                 shard_world: int = 1):
+        self.tar_paths = [p for i, p in enumerate(sorted(tar_paths))
+                          if i % shard_world == shard_rank]
+
+    def __iter__(self):
+        import io
+        import tarfile
+
+        from PIL import Image
+
+        for tp in self.tar_paths:
+            with tarfile.open(tp) as tar:
+                pending: Dict[str, Dict] = {}
+                for m in tar.getmembers():
+                    base, ext = os.path.splitext(m.name)
+                    if ext not in (".jpg", ".jpeg", ".png", ".json"):
+                        continue
+                    slot = pending.setdefault(base, {})
+                    data = tar.extractfile(m).read()
+                    if ext == ".json":
+                        slot["meta"] = json.loads(data)
+                    else:
+                        img = Image.open(io.BytesIO(data))
+                        img.load()
+                        slot["image"] = img
+                    if "meta" in slot and "image" in slot:
+                        del pending[base]
+                        yield {"image": slot["image"], **slot["meta"]}
+
+
+class TarredVLMDataModule(NevaPreloadedDataModule):
+    """NevaPreloadedDataModule over energon-style tar shards: same static
+    collation (CLIP preprocess, conversation templating, placeholder
+    contract), streaming source instead of a JSON manifest + image dir."""
+
+    def __init__(self, tar_paths: Sequence[str], tokenizer,
+                 image_processor: Optional[CLIPImageProcessor] = None,
+                 seq_length: int = 512, global_batch_size: int = 4,
+                 image_token_id: int = 32000, num_image_tokens: int = 576,
+                 shard_rank: int = 0, shard_world: int = 1, seed: int = 0):
+        self.ds = TarredVLMDataset(tar_paths, shard_rank, shard_world)
+        self.tokenizer = tokenizer
+        self.proc = image_processor or CLIPImageProcessor()
+        self.seq_length = seq_length
+        self.global_batch_size = global_batch_size
+        self.image_token_id = image_token_id
+        self.num_image_tokens = num_image_tokens
+        self.seed = seed
+        self.micro_batch_size = None
+
+    def _tar_example(self, rec):
+        # reuse the parent collation with the already-decoded PIL image
+        prompt, spans = llava_conversation_prompt(rec["conversations"])
+        toks: List[int] = []
+        mask: List[int] = []
+        cursor = 0
+        for start, end in spans:
+            before = tokenize_with_images(
+                prompt[cursor:start], self.tokenizer, self.image_token_id,
+                self.num_image_tokens)
+            toks += before
+            mask += [0] * len(before)
+            ans = self.tokenizer.text_to_ids(prompt[start:end])
+            toks += ans
+            mask += [1] * len(ans)
+            cursor = end
+        tail = tokenize_with_images(prompt[cursor:], self.tokenizer,
+                                    self.image_token_id,
+                                    self.num_image_tokens)
+        toks += tail
+        mask += [0] * len(tail)
+        L = self.seq_length
+        toks, mask = toks[:L], mask[:L]
+        if toks.count(self.image_token_id) != self.num_image_tokens:
+            raise ValueError(
+                f"example truncated to {L} tokens lost image placeholders")
+        pad = L - len(toks)
+        return (np.asarray(toks + [0] * pad, np.int32),
+                np.asarray(mask + [0] * pad, np.float32),
+                self.proc(rec["image"]))
+
+    def train_batches(self, start_step: int = 0):
+        import jax.numpy as jnp
+
+        B = self.global_batch_size
+        buf = []
+        while True:  # loop the shards forever (epoch wraps)
+            for rec in self.ds:
+                buf.append(self._tar_example(rec))
+                if len(buf) == B:
+                    yield {
+                        "tokens": jnp.asarray(
+                            np.stack([e[0] for e in buf])),
+                        "loss_mask": jnp.asarray(
+                            np.stack([e[1] for e in buf])),
+                        "images": jnp.asarray(
+                            np.stack([e[2] for e in buf])),
+                    }
+                    buf = []

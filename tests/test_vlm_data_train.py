@@ -128,3 +128,51 @@ def test_vlm_train_freeze_stages():
     assert not changed(p0["llm"], p1["llm"])
     assert changed({k: v for k, v in p0.items() if k.startswith("proj")},
                    {k: v for k, v in p1.items() if k.startswith("proj")})
+
+
+def test_tarred_vlm_module_batches(tmp_path):
+    """Energon-style tar shards (image+json pairs) stream through the same
+    static collation as the preloaded module."""
+    import tarfile
+
+    from PIL import Image
+
+    from nemo_tpu.data.vlm_dataset import TarredVLMDataModule
+
+    for shard in range(2):
+        with tarfile.open(tmp_path / f"shard{shard}.tar", "w") as tar:
+            for i in range(3):
+                key = f"s{shard}_{i}"
+                img_p = tmp_path / f"{key}.jpg"
+                Image.fromarray(
+                    (np.random.RandomState(i).rand(48, 36, 3) * 255)
+                    .astype(np.uint8)).save(img_p)
+                meta_p = tmp_path / f"{key}.json"
+                meta_p.write_text(json.dumps({"conversations": [
+                    {"from": "human", "value": "<image>\nWhat?"},
+                    {"from": "gpt", "value": f"Thing {shard}{i}."}]}))
+                tar.add(img_p, arcname=f"{key}.jpg")
+                tar.add(meta_p, arcname=f"{key}.json")
+    from nemo_tpu.data.vlm_dataset import CLIPImageProcessor
+
+    dm = TarredVLMDataModule(
+        [str(tmp_path / "shard0.tar"), str(tmp_path / "shard1.tar")],
+        CharTok(), image_processor=CLIPImageProcessor(size=32, crop_size=32),
+        seq_length=192, global_batch_size=4, image_token_id=201,
+        num_image_tokens=4)
+    it = dm.train_batches()
+    b1 = next(it)
+    assert b1["tokens"].shape == (4, 192)
+    assert b1["images"].shape == (4, 32, 32, 3)
+    toks = np.asarray(b1["tokens"])
+    assert ((toks == 201).sum(1) == 4).all()
+    # wraps across epochs (6 samples, batch 4 → second batch crosses wrap)
+    b2 = next(it)
+    assert b2["tokens"].shape == (4, 192)
+    # shard scatter: rank 0 of world 2 sees only one shard
+    dm0 = TarredVLMDataModule(
+        [str(tmp_path / "shard0.tar"), str(tmp_path / "shard1.tar")],
+        CharTok(), image_processor=CLIPImageProcessor(size=32, crop_size=32),
+        seq_length=192, global_batch_size=3, image_token_id=201,
+        num_image_tokens=4, shard_rank=0, shard_world=2)
+    assert len(dm0.ds.tar_paths) == 1
