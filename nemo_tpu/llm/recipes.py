@@ -75,6 +75,14 @@ class Recipe:
                     image_size=m.vision.image_size,
                     image_token_id=m.image_token_id,
                     num_image_tokens=P)
+            elif self.family == "clip":
+                from nemo_tpu.models.vlm.clip import MockImageTextDataModule
+
+                data = MockImageTextDataModule(
+                    image_size=m.vision.image_size,
+                    seq_length=self.seq_length or m.text.seq_length,
+                    global_batch_size=self.global_batch_size,
+                    vocab_size=m.text.vocab_size)
             elif self.family == "speechlm":
                 from nemo_tpu.models.speechlm.train import (
                     MockSpeechLMDataModule)
@@ -154,6 +162,10 @@ class Recipe:
             # pass freeze=("vision","language") through a custom build)
             return VLMTrainModule(self.model, lr_schedule=sched,
                                   image_size=self.model.vision.image_size)
+        if self.family == "clip":
+            from nemo_tpu.models.vlm.clip import CLIPTrainModule
+
+            return CLIPTrainModule(self.model, lr_schedule=sched)
         if self.family == "speechlm":
             from nemo_tpu.models.speechlm.train import SALMTrainModule
 
@@ -936,6 +948,18 @@ def e5_340m(**kw) -> Recipe:
     from nemo_tpu.models.llm.embedding import bert_embedding_340m
 
     return _embed("e5_340m", bert_embedding_340m(), **kw)
+
+
+@register
+def clip_b32(**kw) -> Recipe:
+    """reference vlm/recipes/clip_b32.py (ViT-B/32 + text tower,
+    symmetric InfoNCE)."""
+    from nemo_tpu.models.vlm.clip import clip_b32 as cfg
+
+    return Recipe("clip_b32", cfg(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 256, 1,
+                  family="clip", lr=1e-3, warmup_steps=2000,
+                  max_steps=400000, **kw)
 
 
 @register

@@ -98,3 +98,100 @@ def make_clip_train_step(model: CLIPModel, lr: float = 1e-3):
         return optax.apply_updates(params, updates), opt_state, loss
 
     return tx, step
+
+
+class CLIPTrainModule:
+    """Trainer-protocol contrastive pretraining (reference
+    vlm/clip/model + recipes/clip_b32: symmetric InfoNCE over in-batch
+    pairs). batch: {"images" [B,S,S,3], "tokens" [B,L], "token_len" [B]}."""
+
+    def __init__(self, cfg: CLIPConfig, lr_schedule=None):
+        self.cfg = cfg
+        self.model = CLIPModel(cfg)
+        sched = lr_schedule or (lambda step: 1e-3)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(sched))
+        self._jit = None
+
+    def init_state(self, seed: int = 0):
+        from nemo_tpu.models.llm.train import TrainState
+
+        S = self.cfg.vision.image_size
+        images = jnp.zeros((2, S, S, 3), jnp.float32)
+        tokens = jnp.zeros((2, 8), jnp.int32)
+        tl = jnp.full((2,), 8, jnp.int32)
+        params = nn.meta.unbox(self.model.init(
+            jax.random.PRNGKey(seed), images, tokens, tl)["params"])
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.optimizer.init(params))
+
+    def train_step(self, state, batch, rng=None):
+        from nemo_tpu.models.llm.train import TrainState
+
+        if self._jit is None:
+            opt, model = self.optimizer, self.model
+
+            def step(state, batch, rng):
+                def lf(p):
+                    return model.apply(
+                        {"params": p}, batch["images"], batch["tokens"],
+                        batch["token_len"], train=True,
+                        method=CLIPModel.loss, rngs={"dropout": rng})
+
+                loss, grads = jax.value_and_grad(lf)(state.params)
+                updates, new_opt = opt.update(grads, state.opt_state,
+                                              state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(step=state.step + 1, params=params,
+                                   opt_state=new_opt),
+                        {"loss": loss,
+                         "grad_norm": optax.global_norm(grads)})
+
+            self._jit = jax.jit(step, donate_argnums=(0,))
+        if rng is None:
+            rng = jax.random.PRNGKey(int(state.step))
+        return self._jit(state, batch, rng)
+
+
+class MockImageTextDataModule:
+    """Random contrastive (image, caption) batches (reference
+    vlm/clip/data/mock.py)."""
+
+    def __init__(self, image_size: int = 32, seq_length: int = 16,
+                 global_batch_size: int = 4, vocab_size: int = 256,
+                 seed: int = 0):
+        self.image_size = image_size
+        self.seq_length = seq_length
+        self.global_batch_size = global_batch_size
+        self.vocab_size = vocab_size
+        self.seed = seed
+        self.micro_batch_size = None
+
+    def train_batches(self, start_step: int = 0):
+        import numpy as np
+
+        rng = np.random.RandomState(self.seed + start_step)
+        B, S, L = (self.global_batch_size, self.image_size, self.seq_length)
+        while True:
+            yield {
+                "images": jnp.asarray(
+                    rng.randn(B, S, S, 3).astype(np.float32)),
+                "tokens": jnp.asarray(
+                    rng.randint(1, self.vocab_size, (B, L)).astype(np.int32)),
+                "token_len": jnp.full((B,), L, jnp.int32),
+            }
+
+
+def clip_b32(**kw) -> CLIPConfig:
+    """reference recipes clip_b32 (ViT-B/32 vision tower + 12-layer text
+    tower, 512-d joint space)."""
+    from nemo_tpu.models.llm.config import _cfg
+
+    d = dict(
+        vision=ViTConfig(image_size=224, patch_size=32, hidden_size=768,
+                         num_layers=12, num_heads=12, ffn_hidden_size=3072),
+        text=_cfg(num_layers=12, hidden_size=512, ffn_hidden_size=2048,
+                  num_attention_heads=8, vocab_size=49408, seq_length=77),
+        proj_dim=512)
+    d.update(kw)
+    return CLIPConfig(**d)

@@ -21,6 +21,8 @@ def test_all_recipes_build_configs():
             layers = m.n_layers          # HyenaLM flax module
         elif r.family in ("embedding", "reranker", "vlm", "speechlm"):
             layers = m.llm.num_layers    # config wraps the LLM backbone
+        elif r.family == "clip":
+            layers = m.text.num_layers   # dual towers; text depth stands in
         elif r.family == "hf":
             layers = m.num_hidden_layers  # transformers config
         else:
