@@ -37,3 +37,7 @@ from nemo_tpu.models.diffusion.video_dit import (  # noqa: F401
     sample_video,
     video_flow_loss,
 )
+from nemo_tpu.models.diffusion.train import (  # noqa: F401
+    DiffusionTrainModule,
+    MockLatentDataModule,
+)

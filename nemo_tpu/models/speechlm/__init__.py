@@ -7,3 +7,7 @@ from nemo_tpu.models.speechlm.duplex_s2s import (  # noqa: F401
     TransformerARSpeechDecoder,
     prepare_duplex_inputs,
 )
+from nemo_tpu.models.speechlm.train import (  # noqa: F401
+    MockSpeechLMDataModule,
+    SALMTrainModule,
+)

@@ -13,3 +13,11 @@ from nemo_tpu.models.vlm.qwen2vl import (  # noqa: F401
     get_mrope_positions,
     qwen2vl_2b,
 )
+from nemo_tpu.models.vlm.train import VLMTrainModule  # noqa: F401
+from nemo_tpu.models.vlm.clip import (  # noqa: F401
+    CLIPConfig,
+    CLIPModel,
+    CLIPTrainModule,
+    MockImageTextDataModule,
+    clip_b32,
+)
