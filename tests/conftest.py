@@ -45,3 +45,37 @@ jax.config.update("jax_platforms", "cpu")
 # this jaxlib (XLA annotates compile features with +prefer-no-gather /
 # +prefer-no-scatter, which never appear in host CPUID). Correctness over
 # compile time: every run compiles fresh.
+
+
+# Run each test's CALL phase on a fresh thread with a big PREALLOCATED
+# stack. Raising RLIMIT_STACK alone is not enough: hours into a run the
+# main thread's stack VMA cannot grow past later mmaps, so XLA:CPU's
+# compiler recursion on the deepest pipeline/MoE programs still
+# segfaults (reproduced at test_1f1b_moe_aux_loss_matches_unpipelined
+# with the 64 MB rlimit in place). A worker thread's stack is allocated
+# up front, so compile-depth never depends on process age.
+import threading
+
+import pytest
+
+
+@pytest.hookimpl(tryfirst=True)
+def pytest_runtest_call(item):
+    result: dict = {}
+
+    def run():
+        try:
+            item.runtest()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            result["exc"] = e
+
+    threading.stack_size(512 << 20)
+    try:
+        t = threading.Thread(target=run, name=f"test:{item.name}")
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(0)
+    if "exc" in result:
+        raise result["exc"]
+    return True
