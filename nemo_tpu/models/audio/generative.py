@@ -298,3 +298,96 @@ class FlowMatchingEnhancementModel(_EnhBase):
     def enhance(self, noisy: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
         return self._jit_enhance(self.variables, noisy,
                                  jax.random.PRNGKey(seed))
+
+
+class SchroedingerBridgeEnhancementModel(_EnhBase):
+    """Schrödinger bridge generative enhancement (reference:
+    SchroedingerBridgeAudioToAudioModel, `audio/models/enhancement.py:947`,
+    schedule/sampler math in `audio/parts/submodules/schroedinger_bridge.py`).
+
+    Variance-exploding bridge between the clean spec x0 (t=0) and the noisy
+    spec y (t=t_max):  alpha_t = 1, sigma_t^2 = c (k^{2t} - 1) / (2 ln k),
+    sigma_bar_t^2 = sigma_max^2 - sigma_t^2. Training perturbs to the
+    marginal  x_t = (sigma_bar^2 x0 + sigma^2 y)/sigma_max^2 +
+    (sigma sigma_bar / sigma_max) z  and the net predicts the DATA x0
+    (estimator_output='data_prediction'). Inference runs the first-order
+    SDE discretization from the reference SBSampler.forward, starting at
+    the noisy spec (prior mean), conditioning the net on [x_t | y]."""
+
+    def __init__(self, cfg=None, init_params: bool = True):
+        cfg = ConfigDict(cfg or {})
+        self.k = float(cfg.get("k", 2.6))
+        self.c = float(cfg.get("c", 0.4))
+        self.t_max = float(cfg.get("time_max", 1.0))
+        self.t_min = float(cfg.get("time_min", 1e-4))
+        self.n_steps = int(cfg.get("sample_steps", 16))
+        self.eps = 1e-8
+        super().__init__(cfg, init_params=init_params, conditioned=True)
+        self._jit_enhance = jax.jit(self._enhance)
+
+    def _sigma(self, t):
+        sig_sq = self.c * (self.k ** (2.0 * t) - 1.0) / (2.0 * np.log(self.k) + self.eps)
+        return jnp.sqrt(sig_sq)
+
+    def _sigmas(self, t):
+        sig = self._sigma(t)
+        sig_max = self._sigma(jnp.asarray(self.t_max))
+        sig_bar = jnp.sqrt(jnp.maximum(sig_max**2 - sig**2, 0.0) + self.eps)
+        return sig, sig_bar, sig_max
+
+    def make_train_step(self, lr: float = 1e-3):
+        tx = optax.adamw(lr)
+        net, n_fft, hop, sc = self.net, self.n_fft, self.hop, self.scale
+        eps, t_min, t_max = self.eps, self.t_min, self.t_max
+
+        @jax.jit
+        def train_step(params, opt_state, noisy, clean, rng):
+            def loss_fn(p):
+                y = _spec(noisy, n_fft, hop) / sc
+                x0 = _spec(clean, n_fft, hop) / sc
+                r1, r2 = jax.random.split(rng)
+                t = jax.random.uniform(r1, (x0.shape[0],), minval=t_min, maxval=t_max)
+                sig, sig_bar, sig_max = self._sigmas(t)
+                w_tgt = (sig_bar**2 / (sig_max**2 + eps))[:, None, None, None]
+                w_in = (sig**2 / (sig_max**2 + eps))[:, None, None, None]
+                std = (sig * sig_bar / (sig_max + eps))[:, None, None, None]
+                z = jax.random.normal(r2, x0.shape)
+                x_t = w_tgt * x0 + w_in * y + std * z
+                pred = net.apply(p, jnp.concatenate([x_t, y], -1), t)
+                return jnp.mean((pred - x0) ** 2)  # data prediction loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return tx, train_step
+
+    def _enhance(self, params, noisy, rng):
+        net, sc, eps = self.net, self.scale, self.eps
+        y = _spec(noisy, self.n_fft, self.hop) / sc
+        N = self.n_steps
+        ts = jnp.linspace(self.t_max, self.t_min, N + 1)
+        rngs = jax.random.split(rng, N)
+
+        def step(carry, i):
+            x, t_prev = carry
+            t = ts[i + 1]
+            sig_prev, _, _ = self._sigmas(t_prev)
+            sig_t, sig_bar_t, _ = self._sigmas(t)
+            # estimator conditioned on the PREVIOUS time (reference default)
+            x0_hat = net.apply(params, jnp.concatenate([x, y], -1),
+                               jnp.full((x.shape[0],), t_prev))
+            # first-order SDE discretization (SBSampler.forward, sde branch)
+            w_prev = sig_t**2 / (sig_prev**2 + eps)
+            tmp = jnp.maximum(1.0 - sig_t**2 / (sig_prev**2 + eps), 0.0)
+            w_est = tmp
+            w_z = sig_t * jnp.sqrt(tmp)
+            z = jax.random.normal(rngs[i], x.shape)
+            x = w_prev * x + w_est * x0_hat + w_z * z
+            return (x, t), None
+
+        (x, _), _ = jax.lax.scan(step, (y, ts[0]), jnp.arange(N))
+        return _wave(x * sc, self.n_fft, self.hop, noisy.shape[1])
+
+    def enhance(self, noisy: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+        return self._jit_enhance(self.variables, noisy, jax.random.PRNGKey(seed))

@@ -103,12 +103,15 @@ def test_predictive_enhancement_trains_and_improves():
     assert enh > base + 1.0, (base, enh)
 
 
-@pytest.mark.parametrize("kind", ["score", "flow"])
+@pytest.mark.parametrize("kind", ["score", "flow", "sb"])
 def test_generative_enhancement_trains_and_samples(kind):
     from nemo_tpu.models.audio.generative import (
-        FlowMatchingEnhancementModel, ScoreBasedEnhancementModel)
+        FlowMatchingEnhancementModel, SchroedingerBridgeEnhancementModel,
+        ScoreBasedEnhancementModel)
 
-    cls = ScoreBasedEnhancementModel if kind == "score" else FlowMatchingEnhancementModel
+    cls = {"score": ScoreBasedEnhancementModel,
+           "flow": FlowMatchingEnhancementModel,
+           "sb": SchroedingerBridgeEnhancementModel}[kind]
     m = cls({**CFG, "sample_steps": 8})
     noisy, clean = _mix()
     tx, step = m.make_train_step(lr=3e-3)
