@@ -327,6 +327,7 @@ def causal_attention(
     sink: Optional[jnp.ndarray] = None,  # [G, rep] gpt-oss sink logits
     logit_cap: Optional[float] = None,  # gemma2 attn_logit_softcapping
     causal: bool = True,  # False → bidirectional (embedding/reranker models)
+    bidir_ids: Optional[jnp.ndarray] = None,  # [B, S] gemma3-VL image spans
 ) -> jnp.ndarray:
     """Grouped-query causal attention as einsums (XLA fuses; Pallas flash
     kernel replaces this for long S). kv_offset shifts query positions for
@@ -361,6 +362,15 @@ def causal_attention(
         mask = mask & (kpos[None, None, :] > qpos[:, :, None] - window)
     if chunk is not None:
         mask = mask & (kpos[None, None, :] // chunk == qpos[:, :, None] // chunk)
+    if bidir_ids is not None:
+        # gemma3-VL: tokens sharing a nonzero span id attend BIDIRECTIONALLY
+        # (image tokens see their whole image), OR'd over the causal/window
+        # mask exactly like HF Gemma3's token_type_ids mask — it overrides
+        # the sliding window on local layers too. Full-seq forward only
+        # (prefill/training): requires Sq == Skv.
+        same = (bidir_ids[:, :, None] == bidir_ids[:, None, :]) \
+            & (bidir_ids[:, :, None] > 0)
+        mask = mask | same
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, :]
     if segment_ids is not None:
@@ -390,7 +400,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
-                 segment_ids=None, *, train=False):
+                 segment_ids=None, bidir_ids=None, *, train=False):
         cfg = self.cfg
         H, G, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
         window = layer_window(cfg, self.layer_idx)
@@ -451,7 +461,7 @@ class Attention(nn.Module):
         S = q.shape[1]
         # the flash/ring kernels don't implement attention-logit softcapping
         # (and are causal-only — bidirectional encoders take the einsum path)
-        plain = chunk is None and sink is None \
+        plain = chunk is None and sink is None and bidir_ids is None \
             and not cfg.attn_logit_softcapping and cfg.causal
         use_ring = (
             cfg.cp_size > 1
@@ -521,7 +531,7 @@ class Attention(nn.Module):
                 softmax_fp32=cfg.attention_softmax_in_fp32, kv_offset=kv_offset,
                 kv_valid=kv_valid, segment_ids=segment_ids, chunk=chunk,
                 sink=sink, logit_cap=cfg.attn_logit_softcapping,
-                causal=cfg.causal,
+                causal=cfg.causal, bidir_ids=bidir_ids,
             )
         out = dense_layer(
             cfg.quantization,
@@ -560,7 +570,9 @@ class MLAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
-                 segment_ids=None, *, train=False):
+                 segment_ids=None, bidir_ids=None, *, train=False):
+        # bidir_ids accepted for call-signature parity with Attention and
+        # ignored: no MLA model (deepseek) is multimodal-bidirectional.
         cfg = self.cfg
         H = cfg.num_attention_heads
         dn, dr, dv = cfg.qk_head_dim, cfg.qk_pos_emb_head_dim, cfg.v_head_dim
@@ -932,7 +944,7 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, decode_index=None, kv_valid=None,
-                 segment_ids=None):
+                 segment_ids=None, bidir_ids=None):
         cfg = self.cfg
         train = self.is_training
         h = make_norm(cfg, "input_norm")(x)
@@ -942,7 +954,8 @@ class TransformerLayer(nn.Module):
             attn = Attention(cfg, layer_idx=self.layer_idx, name="attention")
         attn_out, kv_cache = attn(
             h, positions, kv_cache=kv_cache, decode_index=decode_index,
-            kv_valid=kv_valid, segment_ids=segment_ids, train=train
+            kv_valid=kv_valid, segment_ids=segment_ids, bidir_ids=bidir_ids,
+            train=train
         )
         # remat="selective" saves exactly this [B,S,D] per layer: the
         # backward replay then skips qkv projections + the flash kernel
@@ -976,14 +989,15 @@ class LayerGroup(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_caches, decode_index, kv_valid,
-                 segment_ids):
+                 segment_ids, bidir_ids=None):
         new_c = []
         for j in range(self.period):
             cache_j = (kv_caches[0][j], kv_caches[1][j])
             x, cache_j = TransformerLayer(
                 self.cfg, is_training=self.is_training, layer_idx=j,
                 name=f"sub{j}")(
-                x, positions, cache_j, decode_index, kv_valid, segment_ids)
+                x, positions, cache_j, decode_index, kv_valid, segment_ids,
+                bidir_ids)
             new_c.append(cache_j)
         return x, (jnp.stack([c[0] for c in new_c]),
                    jnp.stack([c[1] for c in new_c]))
@@ -1008,8 +1022,8 @@ class GPTModel(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, positions=None, *, kv_caches=None, decode_index=None,
-                 kv_valid=None, segment_ids=None, train=False, output_hidden=False,
-                 inputs_embeds=None, mtp_targets=None):
+                 kv_valid=None, segment_ids=None, bidir_ids=None, train=False,
+                 output_hidden=False, inputs_embeds=None, mtp_targets=None):
         """output_hidden=True → return the final-norm hidden states [B,S,D]
         instead of logits (the fused-CE training path computes the LM head
         inside the loss to avoid materializing [B,S,V]).
@@ -1083,7 +1097,8 @@ class GPTModel(nn.Module):
                 # (utils/debug_hook.py) sees inside the scanned stack
                 variable_axes={"params": 0, "losses": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, 0, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast),
                 length=cfg.num_layers // period,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
@@ -1102,7 +1117,8 @@ class GPTModel(nn.Module):
             else:
                 mod = ScanLayers(cfg, is_training=train, name="layers")
             x, new_caches = mod(
-                x, positions, caches_in, decode_index, kv_valid, segment_ids
+                x, positions, caches_in, decode_index, kv_valid, segment_ids,
+                bidir_ids
             )
             if kv_caches is None:
                 new_caches = None
@@ -1117,7 +1133,8 @@ class GPTModel(nn.Module):
                 if kv_caches is not None:
                     cache_i = jax.tree.map(lambda c: c[i], kv_caches)
                 x, cache_i = TransformerLayer(cfg, is_training=train, layer_idx=i, name=f"layer{i}")(
-                    x, positions, cache_i, decode_index, kv_valid, segment_ids
+                    x, positions, cache_i, decode_index, kv_valid, segment_ids,
+                    bidir_ids
                 )
                 new_caches.append(cache_i)
             if kv_caches is not None:

@@ -13,6 +13,14 @@ from nemo_tpu.models.vlm.qwen2vl import (  # noqa: F401
     get_mrope_positions,
     qwen2vl_2b,
 )
+from nemo_tpu.models.vlm.gemma3vl import (  # noqa: F401
+    Gemma3VLConfig,
+    Gemma3VLModel,
+    gemma3vl_4b,
+    gemma3vl_12b,
+    gemma3vl_27b,
+    image_span_ids,
+)
 from nemo_tpu.models.vlm.train import VLMTrainModule  # noqa: F401
 from nemo_tpu.models.vlm.clip import (  # noqa: F401
     CLIPConfig,
