@@ -282,3 +282,42 @@ def mel_spectrogram(
         if rem:
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, rem)), constant_values=cfg.pad_value)
     return mel, out_len
+
+
+def dct_matrix(n_mfcc: int, n_mels: int, norm: str = "ortho") -> np.ndarray:
+    """DCT-II basis [n_mels, n_mfcc] (torchaudio create_dct convention:
+    feats @ dct picks the first n_mfcc coefficients)."""
+    n = np.arange(n_mels, dtype=np.float64)
+    k = np.arange(n_mfcc, dtype=np.float64)
+    basis = 2.0 * np.cos(np.pi / n_mels * (n[:, None] + 0.5) * k[None, :])
+    if norm == "ortho":
+        basis[:, 0] *= 1.0 / np.sqrt(2.0)
+        basis *= np.sqrt(1.0 / (2.0 * n_mels))
+    return basis.astype(np.float32)
+
+
+def mfcc(
+    signal: jnp.ndarray,
+    length: jnp.ndarray,
+    cfg: MelSpectrogramConfig = MelSpectrogramConfig(features=64),
+    n_mfcc: int = 64,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T] audio → ([B, n_mfcc, F] MFCCs, [B] frame lens): the
+    AudioToMFCCPreprocessor analog (reference audio_preprocessing.py:307,
+    torchaudio MFCC with log_mels=True): log(mel + 1e-6) then an
+    ortho-normalized DCT-II over the mel axis, first n_mfcc coefficients.
+    The DCT is one [n_mels, n_mfcc] matmul — MXU-shaped like the mel stage.
+    """
+    mcfg = dataclasses.replace(
+        cfg, log=True, log_zero_guard_type="add", log_zero_guard_value=1e-6,
+        normalize="none", preemph=None, mag_power=2.0)
+    mel, out_len = mel_spectrogram(
+        signal, length, mcfg, training=training, rng=rng)  # [B, n_mels, F]
+    basis = jnp.asarray(dct_matrix(n_mfcc, mcfg.features))
+    out = jnp.einsum("bmf,mk->bkf", mel, basis, precision="highest")
+    F = out.shape[2]
+    mask = (jnp.arange(F)[None, :] < out_len[:, None]).astype(out.dtype)
+    return out * mask[:, None, :], out_len
