@@ -21,6 +21,13 @@ from nemo_tpu.models.vlm.gemma3vl import (  # noqa: F401
     gemma3vl_27b,
     image_span_ids,
 )
+from nemo_tpu.models.vlm.llama4vl import (  # noqa: F401
+    Llama4VLConfig,
+    Llama4VLModel,
+    llama4vl_scout,
+    llama4vl_maverick,
+    pixel_shuffle,
+)
 from nemo_tpu.models.vlm.train import VLMTrainModule  # noqa: F401
 from nemo_tpu.models.vlm.clip import (  # noqa: F401
     CLIPConfig,
