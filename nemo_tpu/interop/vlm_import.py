@@ -66,9 +66,12 @@ def vit_params_from_hf_clip_vision(sd: Dict[str, np.ndarray], cfg: ViTConfig,
     D = cfg.hidden_size
     p = {}
     emb = prefix + "embeddings."
-    p["cls_token"] = sd[emb + "class_embedding"].reshape(1, 1, D)
+    if cfg.use_cls_token:
+        p["cls_token"] = sd[emb + "class_embedding"].reshape(1, 1, D)
     p["patch_embed"] = {
         "kernel": np.transpose(sd[emb + "patch_embedding.weight"], (2, 3, 1, 0))}
+    if cfg.patch_bias:  # SigLIP's patch conv carries a bias; CLIP's doesn't
+        p["patch_embed"]["bias"] = sd[emb + "patch_embedding.bias"]
     p["pos_embedding"] = sd[emb + "position_embedding.weight"][None]
     if cfg.pre_layernorm:
         ln = sd.get(prefix + "pre_layrnorm.weight")  # HF's typo'd name
@@ -172,6 +175,87 @@ def import_hf_llava(path_or_model) -> Tuple[Any, Dict[str, Any]]:
     }
     logging.info("Imported HF LLaVA checkpoint into NevaModel")
     return ncfg, params
+
+
+def vit_config_from_hf_siglip(vc) -> ViTConfig:
+    """transformers SiglipVisionConfig → ViTConfig (no CLS token, biased
+    patch conv, tanh-gelu, full tower + post_layernorm — the gemma3 vision
+    tower runs with vision_use_head=False)."""
+    return ViTConfig(
+        image_size=vc.image_size,
+        patch_size=vc.patch_size,
+        hidden_size=vc.hidden_size,
+        num_layers=vc.num_hidden_layers,
+        num_heads=vc.num_attention_heads,
+        ffn_hidden_size=vc.intermediate_size,
+        layernorm_epsilon=getattr(vc, "layer_norm_eps", 1e-6),
+        use_cls_token=False,
+        pre_layernorm=False,
+        hidden_act={"gelu_pytorch_tanh": "gelu", "gelu": "gelu_exact",
+                    "quick_gelu": "quick_gelu"}.get(vc.hidden_act, "gelu"),
+        final_layernorm=True,
+        patch_bias=True,
+    )
+
+
+def import_hf_gemma3vl(path_or_model) -> Tuple[Any, Dict[str, Any]]:
+    """Gemma3ForConditionalGeneration → (Gemma3VLConfig, params): SigLIP
+    tower + avg-pool/RMSNorm/linear projector + gemma3 text tower (the
+    text mapping reuses interop/hf_models.py params_from_hf_gemma3)."""
+    import math
+
+    from nemo_tpu.interop.hf_models import (
+        config_from_hf_gemma3, params_from_hf_gemma3)
+    from nemo_tpu.models.vlm.gemma3vl import Gemma3VLConfig
+
+    if isinstance(path_or_model, str):
+        from transformers import Gemma3ForConditionalGeneration
+
+        hf = Gemma3ForConditionalGeneration.from_pretrained(path_or_model)
+    else:
+        hf = path_or_model
+    c = hf.config
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in hf.state_dict().items()}
+
+    vcfg = vit_config_from_hf_siglip(c.vision_config)
+    lcfg = config_from_hf_gemma3(c.text_config)
+    side = vcfg.image_size // vcfg.patch_size
+    tokens_per_side = int(math.sqrt(int(c.mm_tokens_per_image)))
+    cfg = Gemma3VLConfig(
+        llm=lcfg, vision=vcfg,
+        image_token_id=int(getattr(c, "image_token_id",
+                                   getattr(c, "image_token_index", -1))),
+        pool=side // tokens_per_side,
+        rms_eps=getattr(c.vision_config, "layer_norm_eps", 1e-6),
+    )
+
+    # language tower: model.language_model.* → the text-only key layout
+    lm_sd = {}
+    for k, v in sd.items():
+        if k.startswith("model.language_model."):
+            lm_sd["model." + k[len("model.language_model."):]] = v
+        elif k.startswith("language_model.model."):
+            lm_sd["model." + k[len("language_model.model."):]] = v
+    params = {
+        "vision": vit_params_from_hf_clip_vision(
+            sd, vcfg, prefix=next(
+                p for p in ("model.vision_tower.vision_model.",
+                            "vision_tower.vision_model.")
+                if p + "post_layernorm.weight" in sd)),
+        "llm": params_from_hf_gemma3(lm_sd, lcfg),
+        # mm_input_projection_weight is applied as x @ W — kernel verbatim
+        "mm_input_projection": {"kernel": sd[next(
+            k for k in ("model.multi_modal_projector.mm_input_projection_weight",
+                        "multi_modal_projector.mm_input_projection_weight")
+            if k in sd)]},
+        "mm_soft_emb_norm": sd[next(
+            k for k in ("model.multi_modal_projector.mm_soft_emb_norm.weight",
+                        "multi_modal_projector.mm_soft_emb_norm.weight")
+            if k in sd)],
+    }
+    logging.info("Imported HF Gemma3 VLM checkpoint into Gemma3VLModel")
+    return cfg, params
 
 
 def import_hf_clip(path_or_model) -> Tuple[Any, Dict[str, Any]]:
