@@ -67,7 +67,8 @@ class Recipe:
             elif self.family == "vlm":
                 from nemo_tpu.data.vlm_dataset import MockVLMDataModule
 
-                P = m.vision.num_patches
+                # pooled/shuffled towers emit fewer tokens than patches
+                P = getattr(m, "tokens_per_image", m.vision.num_patches)
                 data = MockVLMDataModule(
                     seq_length=self.seq_length or (P + 64),
                     global_batch_size=self.global_batch_size,
@@ -1002,6 +1003,30 @@ def neva_llama3_8b(**kw) -> Recipe:
     cfg = neva_8b(image_token_id=128002)  # llama3 reserved_special_token_0
     return Recipe("neva_llama3_8b", cfg,
                   MeshConfig(fsdp=-1).resolved_or_default(), 128, 1,
+                  family="vlm", lr=2e-5, warmup_steps=150,
+                  max_steps=5000, **kw)
+
+
+@register
+def gemma3vl_4b(**kw) -> Recipe:
+    """reference vlm gemma3vl recipes (gemma3-4B + SigLIP so400m, pooled
+    256-token projector, bidirectional image-span attention)."""
+    from nemo_tpu.models.vlm.gemma3vl import gemma3vl_4b as cfg
+
+    return Recipe("gemma3vl_4b", cfg(),
+                  MeshConfig(fsdp=-1).resolved_or_default(), 128, 1,
+                  family="vlm", lr=2e-5, warmup_steps=150,
+                  max_steps=5000, **kw)
+
+
+@register
+def llama4vl_scout(**kw) -> Recipe:
+    """reference vlm llama4 omni recipes (Scout MoE LLM + pixel-shuffle
+    vision adapter; EP over the expert axis)."""
+    from nemo_tpu.models.vlm.llama4vl import llama4vl_scout as cfg
+
+    return Recipe("llama4vl_scout", cfg(),
+                  MeshConfig(fsdp=-1, ep=1).resolved_or_default(), 128, 1,
                   family="vlm", lr=2e-5, warmup_steps=150,
                   max_steps=5000, **kw)
 

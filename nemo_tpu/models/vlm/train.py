@@ -19,18 +19,32 @@ import flax.linen as nn
 from nemo_tpu.models.vlm.neva import NevaConfig, NevaModel
 
 
+def build_vlm_model(cfg):
+    """Config type → model (NeVA / Gemma3-VL / Llama4-omni share the
+    (images, tokens, loss_mask) → loss training contract)."""
+    from nemo_tpu.models.vlm.gemma3vl import Gemma3VLConfig, Gemma3VLModel
+    from nemo_tpu.models.vlm.llama4vl import Llama4VLConfig, Llama4VLModel
+
+    if isinstance(cfg, Gemma3VLConfig):
+        return Gemma3VLModel(cfg)
+    if isinstance(cfg, Llama4VLConfig):
+        return Llama4VLModel(cfg)
+    return NevaModel(cfg)
+
+
 class VLMTrainModule:
     """batch: {"images" [B,S,S,3], "tokens" [B,L] (image placeholders
-    included), "loss_mask" [B,L]} → NevaModel.loss.
+    included), "loss_mask" [B,L]} → model.loss (NeVA, Gemma3-VL or
+    Llama4-omni — see build_vlm_model).
 
     freeze: any of {"vision", "language", "projector"} — reference
     neva/model/base.py NevaModel freeze_* config (stage-1 trains the
     projector with both towers frozen)."""
 
-    def __init__(self, cfg: NevaConfig, lr_schedule=None,
+    def __init__(self, cfg, lr_schedule=None,
                  freeze: tuple = ("vision",), image_size: int = 336):
         self.cfg = cfg
-        self.model = NevaModel(cfg)
+        self.model = build_vlm_model(cfg)
         self.image_size = image_size
         sched = lr_schedule or (lambda step: 2e-5)
         base = optax.chain(optax.clip_by_global_norm(1.0),
@@ -78,7 +92,7 @@ class VLMTrainModule:
                 def lf(p):
                     return model.apply(
                         {"params": p}, batch["images"], batch["tokens"],
-                        batch["loss_mask"], method=NevaModel.loss,
+                        batch["loss_mask"], method=type(model).loss,
                         rngs={"dropout": rng})
 
                 loss, grads = jax.value_and_grad(lf)(state.params)

@@ -149,6 +149,28 @@ def test_gemma3vl_trains_and_vision_matters():
     assert float(jnp.abs(l1 - l2).max()) > 1e-4
 
 
+def test_vlm_train_module_dispatches_gemma3vl():
+    """Recipe-family path: VLMTrainModule builds a Gemma3VLModel from a
+    Gemma3VLConfig and runs a jitted step (stage-2 defaults)."""
+    from nemo_tpu.models.vlm.train import VLMTrainModule, build_vlm_model
+    from nemo_tpu.models.vlm.gemma3vl import Gemma3VLModel
+
+    cfg = _tiny_gemma3vl()
+    assert isinstance(build_vlm_model(cfg), Gemma3VLModel)
+    tm = VLMTrainModule(cfg, image_size=16, freeze=("vision",))
+    state = tm.init_state()
+    rng = np.random.RandomState(3)
+    n = cfg.tokens_per_image
+    toks = rng.randint(1, 60, (2, 12))
+    toks[:, 2:2 + n] = 63
+    batch = {"images": jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32),
+             "tokens": jnp.asarray(toks, jnp.int32),
+             "loss_mask": jnp.ones((2, 12), jnp.float32)}
+    state, m1 = tm.train_step(state, batch)
+    state, m2 = tm.train_step(state, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_gemma3vl_4b_preset():
     cfg = gemma3vl_4b()
     assert cfg.tokens_per_image == 256  # 896/14=64 patches/side, pool 4
