@@ -7,6 +7,7 @@ from nemo_tpu.models.audio.multichannel import (  # noqa: F401
     pmwf_weights,
     wpe_dereverb,
 )
+from nemo_tpu.models.audio.ssl_pretrain import SSLPretrainModel  # noqa: F401
 from nemo_tpu.models.audio.train import (  # noqa: F401
     EnhancementTrainModule,
     MockPairedAudioDataModule,
