@@ -21,15 +21,52 @@ from nemo_tpu.models.speechlm.salm import SALM, SALMConfig
 
 class SALMTrainModule:
     """Trainer protocol around SALM.loss_fn (handles the conv-encoder
-    batch_stats collection as part of the train state)."""
+    batch_stats collection as part of the train state).
 
-    def __init__(self, cfg: SALMConfig, lr_schedule=None):
+    freeze: any of {"llm", "speech", "adapter"} — the reference's
+    freeze_llm/freeze_speech/freeze_modality_adapter controls
+    (speech_to_text_llm_model.py:743-779). Frozen subtrees get
+    set_to_zero updates (same params tree, no module surgery)."""
+
+    def __init__(self, cfg: SALMConfig, lr_schedule=None,
+                 freeze: tuple = ()):
         self.cfg = cfg
         self.salm = SALM(cfg, init_params=True)
         sched = lr_schedule or (lambda step: 1e-4)
-        self.optimizer = optax.chain(
+        base = optax.chain(
             optax.clip_by_global_norm(1.0), optax.adamw(sched))
+        if freeze:
+            def label(params):
+                def lab(top):
+                    if top == "llm":
+                        return "llm"
+                    if top == "encoder":
+                        return "speech"
+                    return "adapter"  # projector / frame-stacking head
+
+                return jax.tree_util.tree_map_with_path(
+                    lambda p, _: lab(p[0].key), params)
+
+            self.optimizer = optax.multi_transform(
+                {k: (optax.set_to_zero() if k in freeze else base)
+                 for k in ("llm", "speech", "adapter")}, label)
+        else:
+            self.optimizer = base
+        self.freeze = tuple(freeze)
         self._jit = None
+
+    def trainable_parameters(self, params):
+        """Leaves that receive nonzero updates (reference
+        trainable_parameters, speech_to_text_llm_model.py:779)."""
+        out = []
+
+        def lab(top):
+            return {"llm": "llm", "encoder": "speech"}.get(top, "adapter")
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            if lab(path[0].key) not in self.freeze:
+                out.append(("/".join(str(k.key) for k in path), leaf))
+        return out
 
     def init_state(self, seed: int = 0):
         from nemo_tpu.models.llm.train import TrainState
