@@ -14,8 +14,10 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def read_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """Returns (mono float32 samples in [-1, 1], sample_rate)."""
+def read_wav(path: str, target_sr: Optional[int] = None,
+             mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Returns (float32 samples in [-1, 1], sample_rate). Multichannel
+    files downmix to mono [T] by default; mono=False keeps [T, C]."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -39,18 +41,25 @@ def read_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, in
     else:
         raise ValueError(f"Unsupported WAV sample width: {width}")
     if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
+        x = x.reshape(-1, ch)
+        if mono:
+            x = x.mean(axis=1)
     if target_sr is not None and target_sr != sr:
-        x = resample_linear(x, sr, target_sr)
+        if x.ndim == 2:
+            x = np.stack([resample_linear(x[:, c], sr, target_sr)
+                          for c in range(x.shape[1])], axis=1)
+        else:
+            x = resample_linear(x, sr, target_sr)
         sr = target_sr
     return x, sr
 
 
 def write_wav(path: str, samples: np.ndarray, sr: int) -> None:
+    """samples: [T] mono or [T, C] multichannel float32 in [-1, 1]."""
     x = np.clip(samples, -1.0, 1.0)
     pcm = (x * 32767.0).astype("<i2")
     with wave.open(path, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(1 if x.ndim == 1 else x.shape[1])
         w.setsampwidth(2)
         w.setframerate(sr)
         w.writeframes(pcm.tobytes())
