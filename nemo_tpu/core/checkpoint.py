@@ -55,6 +55,16 @@ class CheckpointIO:
     # -- save ---------------------------------------------------------------
     def save(self, state: Any, step: int, context: Optional[Dict] = None,
              metrics: Optional[Dict] = None) -> str:
+        # Re-saving a step that already exists un-suffixed is a legitimate
+        # production event (crash between save and prune → resume → re-save;
+        # final save landing on the same step as a periodic save). Replace
+        # the stale finalized dir — the reference's ModelCheckpoint handles
+        # the same case with unfinished-markers
+        # (lightning/pytorch/callbacks/model_checkpoint.py).
+        stale = os.path.join(self.directory, f"step={step}")
+        if os.path.exists(stale):
+            self.wait()
+            shutil.rmtree(stale)
         path = os.path.join(self.directory, f"step={step}-last")
         self.ckptr.save(os.path.join(path, "weights"), state, force=True)
         if context is not None:
@@ -85,10 +95,13 @@ class CheckpointIO:
         for name in os.listdir(self.directory):
             m = _STEP_RE.match(name)
             if m and m.group(2) and int(m.group(1)) != newest:
-                os.rename(
-                    os.path.join(self.directory, name),
-                    os.path.join(self.directory, f"step={m.group(1)}"),
-                )
+                dst = os.path.join(self.directory, f"step={m.group(1)}")
+                if os.path.exists(dst):
+                    # a previous re-save of this step left a finalized dir
+                    # behind — replace it with the newer '-last' contents
+                    self.wait()
+                    shutil.rmtree(dst)
+                os.rename(os.path.join(self.directory, name), dst)
 
     def _prune(self):
         steps = sorted(

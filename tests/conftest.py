@@ -59,23 +59,38 @@ import threading
 import pytest
 
 
-@pytest.hookimpl(tryfirst=True)
+# IMPORTANT: pytest_runtest_call is NOT a firstresult hook, so a plain
+# implementation that runs the test itself does not stop the default
+# runner from running it AGAIN (the r04 conftest did exactly that: every
+# test executed twice and 4+ tests failed deterministically on the second
+# pass). The correct shape is a wrapper that swaps item.runtest for the
+# threaded version and yields — the default runner then calls OUR runtest
+# exactly once, on the big-stack worker thread.
+@pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
-    result: dict = {}
+    orig_runtest = item.runtest
 
-    def run():
+    def threaded_runtest():
+        result: dict = {}
+
+        def run():
+            try:
+                orig_runtest()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                result["exc"] = e
+
+        threading.stack_size(512 << 20)
         try:
-            item.runtest()
-        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
-            result["exc"] = e
+            t = threading.Thread(target=run, name=f"test:{item.name}")
+            t.start()
+            t.join()
+        finally:
+            threading.stack_size(0)
+        if "exc" in result:
+            raise result["exc"]
 
-    threading.stack_size(512 << 20)
+    item.runtest = threaded_runtest
     try:
-        t = threading.Thread(target=run, name=f"test:{item.name}")
-        t.start()
-        t.join()
+        return (yield)
     finally:
-        threading.stack_size(0)
-    if "exc" in result:
-        raise result["exc"]
-    return True
+        item.runtest = orig_runtest

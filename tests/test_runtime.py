@@ -153,6 +153,27 @@ def test_checkpoint_metric_topk(tmp_path):
     assert kept == [2, 4], kept
 
 
+def test_checkpoint_resave_same_step(tmp_path):
+    """Re-saving a step that was already finalized must replace, not crash
+    (VERDICT r4: _relink_last raised 'Directory not empty'). The sequence
+    mirrors a crash-between-save-and-prune → resume → re-save cycle."""
+    import jax.numpy as jnp
+
+    from nemo_tpu.core.checkpoint import CheckpointIO
+
+    io = CheckpointIO(str(tmp_path), keep_top_k=3, async_save=False)
+    state = {"w": jnp.zeros((2,))}
+    io.save(state, 5)          # → step=5-last
+    io.save(state, 6)          # relink: step=5-last → step=5; step=6-last
+    io.save({"w": jnp.ones((2,))}, 5)   # re-save existing step=5
+    io.save(state, 6)          # relink must replace the stale step=5 dir
+    kept = sorted(os.listdir(str(tmp_path)))
+    assert kept == ["step=5", "step=6-last"], kept
+    # the re-saved (newer) contents won the replace
+    restored = io.restore({"w": jnp.zeros((2,))}, step=5)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones((2,)))
+
+
 @pytest.mark.parametrize("dst_mesh", [
     MeshConfig(tp=2, fsdp=4),
     MeshConfig(dp=4, tp=2),
