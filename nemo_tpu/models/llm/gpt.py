@@ -366,9 +366,15 @@ def causal_attention(
         # gemma3-VL: tokens sharing a nonzero span id attend BIDIRECTIONALLY
         # (image tokens see their whole image), OR'd over the causal/window
         # mask exactly like HF Gemma3's token_type_ids mask — it overrides
-        # the sliding window on local layers too. Full-seq forward only
-        # (prefill/training): requires Sq == Skv.
-        same = (bidir_ids[:, :, None] == bidir_ids[:, None, :]) \
+        # the sliding window on local layers too. With a KV cache written
+        # from slot 0 (VLM prefill), kv slot i < Sq holds query slot i's
+        # token and later slots are future text — pad the kv-side ids with
+        # zeros (text) so the same mask works when Skv > Sq.
+        kv_bidir = bidir_ids
+        if Skv != bidir_ids.shape[1]:
+            kv_bidir = jnp.zeros((B, Skv), bidir_ids.dtype).at[
+                :, : bidir_ids.shape[1]].set(bidir_ids)
+        same = (bidir_ids[:, :, None] == kv_bidir[:, None, :]) \
             & (bidir_ids[:, :, None] > 0)
         mask = mask | same
     if kv_valid is not None:
