@@ -176,3 +176,45 @@ def export_tts_synthesize(fastpitch_model, hifigan_model, output_path: str,
                          manifest={"kind": "tts_synthesize",
                                    "sample_rate": fastpitch_model.sample_rate,
                                    "hop_length": hifigan_model.hop_length})
+
+
+def export_vlm_generate(model, params, output_path: str, *, batch: int = 1,
+                        prompt_len: int = 32, max_new_tokens: int = 16,
+                        image_shape: Optional[Tuple[int, ...]] = None,
+                        eos_id: int = -1,
+                        platforms: Sequence[str] = ("tpu", "cpu")) -> str:
+    """Export the FULL image→text greedy generation loop as one StableHLO
+    program (reference role: `nemo/export/multimodal/build.py` +
+    `tensorrt_mm_exporter.py` — vision engine + LLM engine + the decode
+    loop; one fused XLA program replaces the three TRT engines and their
+    host glue).
+
+    Program signature: (params, images, tokens [B, prompt_len] left-padded
+    with placeholder runs, prompt_len [B], positions ([B,S] or [B,S,3]
+    M-RoPE), rng) → generated tokens [B, max_new_tokens] (-1 past EOS).
+    """
+    from nemo_tpu.models.llm.generate import SamplingParams
+    from nemo_tpu.models.vlm.inference import VLMGenerationEngine
+
+    engine = VLMGenerationEngine(model, params)
+    sampling = SamplingParams(greedy=True, max_new_tokens=max_new_tokens,
+                              eos_id=eos_id)
+    run = engine._build(batch, prompt_len, sampling)
+    if image_shape is None:
+        v = model.cfg.vision
+        image_shape = (batch, v.image_size, v.image_size, 3)
+    if engine.family == "qwen2vl":
+        positions = jnp.zeros((batch, prompt_len, 3), jnp.int32)
+    else:
+        positions = jnp.zeros((batch, prompt_len), jnp.int32)
+    args = (jnp.zeros(image_shape, jnp.float32),
+            jnp.zeros((batch, prompt_len), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+            positions,
+            jax.random.PRNGKey(0))
+    return save_exported(run, params, args, output_path, platforms=platforms,
+                         manifest={"kind": "vlm_generate",
+                                   "family": engine.family,
+                                   "prompt_len": prompt_len,
+                                   "max_new_tokens": max_new_tokens,
+                                   "image_token_id": engine.image_token_id})

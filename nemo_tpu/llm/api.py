@@ -178,6 +178,20 @@ def generate(
     return _gen(model, params, tokenizer, prompts, sampling, seed)
 
 
+def generate_vlm(model, params, images, prompts: Sequence[str], tokenizer,
+                 *, n_image_tokens: int,
+                 sampling: SamplingParams = SamplingParams(),
+                 seed: int = 0, grids=None) -> List[str]:
+    """Image-conditioned generation (reference:
+    `nemo/collections/vlm/inference/vlm_engine.py` generate). `model` is a
+    NevaModel / Gemma3VLModel / Qwen2VLModel; each prompt's '<image>'
+    marker expands to `n_image_tokens` placeholder ids at that position."""
+    from nemo_tpu.models.vlm.inference import generate_vlm as _gen
+
+    return _gen(model, params, tokenizer, images, prompts, n_image_tokens,
+                sampling, seed, grids=grids)
+
+
 def ptq(cfg: GPTConfig, params, *, algorithm: str = "int8_weight_only",
         min_size: int = 1 << 16):
     """Post-training quantization (reference api.py:305 `ptq`).

@@ -41,6 +41,48 @@ class _StreamRequest:
         self.produced = 0
 
 
+def _decode_image_url(url: str):
+    """OpenAI image_url → float32 HWC array. Accepts data: URLs carrying
+    base64 of (a) an .npy array (any float image tensor — the test/export
+    path, no codec deps) or (b) a PIL-decodable image, normalized to
+    [0, 1]."""
+    import base64
+    import io
+
+    if not url.startswith("data:"):
+        raise ValueError("only data: image URLs are served (zero egress)")
+    payload = base64.b64decode(url.split(",", 1)[1])
+    if payload[:6] == b"\x93NUMPY":
+        return np.load(io.BytesIO(payload)).astype(np.float32)
+    from PIL import Image  # pillow ships with transformers
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def extract_chat_media(messages: Sequence[Dict]) -> "tuple":
+    """Normalize OpenAI content-part messages: list-valued `content`
+    (text / image_url parts, reference multimodal chat contract) becomes a
+    flat string with '<image>' markers; returns (messages, images[])."""
+    out, images = [], []
+    for m in messages:
+        c = m.get("content", "")
+        if isinstance(c, list):
+            pieces = []
+            for part in c:
+                t = part.get("type")
+                if t == "text":
+                    pieces.append(part.get("text", ""))
+                elif t == "image_url":
+                    url = part.get("image_url")
+                    url = url.get("url") if isinstance(url, dict) else url
+                    images.append(_decode_image_url(url))
+                    pieces.append("<image>")
+            c = "".join(pieces)
+        out.append({**m, "content": c})
+    return out, images
+
+
 def format_chat(messages: Sequence[Dict[str, str]], template: str = "chatml") -> str:
     """Chat template (reference: the proxy delegates to the model's
     tokenizer template; here chatml + a plain fallback)."""
@@ -63,7 +105,8 @@ class LLMServer:
                  quantize_weights: bool = False,
                  quantize_kv_cache: bool = False,
                  decode_chunk: int = 8,
-                 mesh_cfg=None):
+                 mesh_cfg=None,
+                 vlm=None):
         import jax.numpy as jnp
 
         from nemo_tpu.models.llm.ssm import (
@@ -101,10 +144,51 @@ class LLMServer:
         # SSM engines have no multi-step path yet.
         self.decode_chunk = (decode_chunk
                              if hasattr(self.engine, "decode_steps") else 1)
+        # optional multimodal sidecar (reference: vlm/inference wrappers
+        # served behind the same OpenAI proxy): a dict with keys
+        # model / params / n_image_tokens. Chat requests carrying
+        # image_url content parts route to a VLMGenerationEngine one-shot.
+        self._vlm = None
+        self._vlm_engine = None
+        if vlm is not None:
+            self._vlm = dict(vlm)
         self._recent_prompts: "deque" = deque(maxlen=8)
         self._queue: "queue.Queue[_StreamRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
+
+    def submit_vlm(self, messages, sampling: SamplingParams) -> str:
+        """One-shot image→text generation for chat requests with image
+        parts. Serialized (engine calls are not thread-safe across jit
+        cache mutation) via a lock."""
+        if self._vlm is None:
+            raise ValueError("server was not configured with a VLM model")
+        from nemo_tpu.models.vlm.inference import VLMGenerationEngine
+
+        msgs, images = extract_chat_media(messages)
+        if not images:
+            raise ValueError("no image parts in request")
+        if self._vlm_engine is None:
+            self._vlm_engine = VLMGenerationEngine(
+                self._vlm["model"], self._vlm["params"])
+        prompt = format_chat(msgs, self.chat_template)
+        image_token_id = int(self._vlm["model"].cfg.image_token_id)
+        n = int(self._vlm["n_image_tokens"])
+        ids: List[int] = []
+        for i, piece in enumerate(prompt.split("<image>")):
+            if i:
+                ids.extend([image_token_id] * n)
+            if piece:
+                ids.extend(self.tokenizer.text_to_ids(piece))
+        if not hasattr(self, "_vlm_lock"):
+            self._vlm_lock = threading.Lock()
+        with self._vlm_lock:
+            out = self._vlm_engine.generate_tokens(
+                np.stack(images), [ids], sampling)
+        toks = out[0]
+        if sampling.eos_id >= 0 and sampling.eos_id in toks:
+            toks = toks[: toks.index(sampling.eos_id)]
+        return self.tokenizer.ids_to_text(toks)
 
     def _maybe_register_prefix(self, ids) -> None:
         """Worker-thread-only: register the longest common prefix this
@@ -334,7 +418,32 @@ class LLMServer:
                     if isinstance(prompt, list):
                         prompt = prompt[0] if prompt else ""
                 elif chat:
-                    prompt = format_chat(req.get("messages", []), outer.chat_template)
+                    messages = req.get("messages", [])
+                    has_images = any(
+                        isinstance(m.get("content"), list)
+                        and any(p.get("type") == "image_url"
+                                for p in m["content"])
+                        for m in messages)
+                    if has_images:
+                        sampling = SamplingParams(
+                            greedy=not req.get("temperature"),
+                            temperature=float(req.get("temperature") or 1.0),
+                            max_new_tokens=int(req.get("max_tokens", 64)),
+                        )
+                        try:
+                            text = outer.submit_vlm(messages, sampling)
+                        except ValueError as e:
+                            return self._json(400, {"error": {"message": str(e)}})
+                        return self._json(200, {
+                            "id": f"cmpl-{uuid.uuid4().hex[:12]}",
+                            "object": "chat.completion",
+                            "model": outer.model_name,
+                            "choices": [{"index": 0,
+                                         "message": {"role": "assistant",
+                                                     "content": text},
+                                         "finish_reason": "length"}],
+                        })
+                    prompt = format_chat(messages, outer.chat_template)
                 else:
                     return self._json(404, {"error": "not found"})
 
