@@ -62,6 +62,15 @@ class AudioPairManifestDataset:
                 if reference_key and reference_key in e:
                     ent["reference"] = absolutize(e[reference_key])
                 self.entries.append(ent)
+        if reference_key:
+            # all-or-none: a mixed manifest would np.stack a reference
+            # batch with fewer rows than noisy/clean — silently misaligned
+            n_ref = sum("reference" in e for e in self.entries)
+            if 0 < n_ref < len(self.entries):
+                raise ValueError(
+                    f"manifest {manifest_path}: reference_key="
+                    f"'{reference_key}' present on {n_ref}/"
+                    f"{len(self.entries)} entries — must be all or none")
         logging.info(f"AudioPairManifestDataset: {len(self.entries)} "
                      f"entries from {manifest_path}")
 
@@ -146,8 +155,11 @@ class AudioToAudioDataModule:
             yield self._batch(order[i:i + self.batch_size], rng)
 
     def train_batches(self, start_step: int = 0) -> Iterator[Dict]:
-        per_epoch = max(1, (len(self.ds) // self.shard_world)
-                        // self.batch_size)
+        # count from the ACTUAL strided shard slice: rank 0 gets
+        # ceil(N/world) examples when N % world != 0, and a mismatched
+        # per_epoch skips/replays a batch on resume
+        shard_n = len(range(self.shard_rank, len(self.ds), self.shard_world))
+        per_epoch = max(1, shard_n // self.batch_size)
         epoch = start_step // per_epoch
         skip = start_step % per_epoch
         while True:

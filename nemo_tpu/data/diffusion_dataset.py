@@ -110,9 +110,28 @@ class TarredDiffusionDataModule:
     def train_batches(self, start_step: int = 0) -> Iterator[Dict]:
         rng = np.random.RandomState(self.seed)
         skip = start_step
+        cycle = 0
         while True:  # cycle shards forever
+            # reshuffle shard order every cycle + a small buffer shuffle
+            # over decoded records (energon shuffles shards/samples between
+            # epochs; a fixed order would repeat identical batches forever)
+            order_rng = np.random.RandomState(self.seed + 31 * cycle)
+            tar_order = list(self.ds.tar_paths)
+            order_rng.shuffle(tar_order)
+            shuffled = type(self.ds)(tar_order)
+            shuffled.tar_paths = tar_order
+
+            def records():
+                buf = []
+                for rec in shuffled:
+                    buf.append(rec)
+                    if len(buf) >= 256:
+                        yield buf.pop(order_rng.randint(len(buf)))
+                while buf:
+                    yield buf.pop(order_rng.randint(len(buf)))
+
             images, labels, captions = [], [], []
-            for rec in self.ds:
+            for rec in records():
                 images.append(_to_array(rec["image"], self.image_size))
                 labels.append(rec.get("label"))
                 captions.append(rec.get("caption"))
@@ -122,6 +141,7 @@ class TarredDiffusionDataModule:
                     else:
                         yield self._finalize(images, labels, captions, rng)
                     images, labels, captions = [], [], []
+            cycle += 1
 
 
 class PrecomputedLatentDataModule:

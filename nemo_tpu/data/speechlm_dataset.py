@@ -167,11 +167,20 @@ class SpeechLMDataModule:
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.ds))
+        rng = np.random.RandomState(self.seed + epoch_idx)
         if self.shuffle:
-            np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+            rng.shuffle(order)
         # duration-sorted batching within the shuffled epoch: minimizes
-        # padding waste per bucket (lhotse-style; asr_dataset.py pattern)
-        order = np.asarray(sorted(order, key=lambda i: self.ds[int(i)]["duration"]))
+        # padding waste per bucket (lhotse-style; asr_dataset.py pattern).
+        # Epoch-seeded multiplicative jitter on the sort key keeps rough
+        # bucketing while varying BATCH MEMBERSHIP across epochs — a
+        # stable sort would otherwise regroup the exact same examples
+        # every epoch (reference bucketed sampling has within-bucket
+        # randomness).
+        durs = np.asarray([self.ds[int(i)]["duration"] for i in order])
+        if self.shuffle:
+            durs = durs * rng.uniform(0.85, 1.15, len(durs))
+        order = order[np.argsort(durs, kind="stable")]
         order = order[self.shard_rank::self.shard_world]
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
@@ -181,10 +190,17 @@ class SpeechLMDataModule:
         for b in batches:
             yield self._batch(b)
 
+    def _per_epoch(self) -> int:
+        """Batches one epoch() actually yields for THIS shard: rank 0's
+        strided slice gets ceil(N/world) examples when N % world != 0, so
+        deriving from (N // world) would skip/replay a batch on resume."""
+        shard_n = len(range(self.shard_rank, len(self.ds), self.shard_world))
+        return max(1, shard_n // self.batch_size)
+
     def train_batches(self, start_step: int = 0) -> Iterator[Dict]:
         """Infinite epoch-cycling iterator; start_step skips consumed
         batches for AutoResume (MegatronDataSampler analog)."""
-        per_epoch = max(1, (len(self.ds) // self.shard_world) // self.batch_size)
+        per_epoch = self._per_epoch()
         epoch = start_step // per_epoch
         skip = start_step % per_epoch
         while True:

@@ -47,9 +47,14 @@ class SALMTrainModule:
                 return jax.tree_util.tree_map_with_path(
                     lambda p, _: lab(p[0].key), params)
 
-            self.optimizer = optax.multi_transform(
-                {k: (optax.set_to_zero() if k in freeze else base)
+            # zero frozen grads FIRST, then ONE shared clip+adamw chain:
+            # per-group clipping (multi_transform of whole chains) would
+            # clip each unfrozen group independently — different dynamics
+            # from the reference's single global clip
+            zero_frozen = optax.multi_transform(
+                {k: (optax.set_to_zero() if k in freeze else optax.identity())
                  for k in ("llm", "speech", "adapter")}, label)
+            self.optimizer = optax.chain(zero_frozen, base)
         else:
             self.optimizer = base
         self.freeze = tuple(freeze)

@@ -175,16 +175,18 @@ class QuantDense(nn.Module):
                 "scale", nn.initializers.ones,
                 (1,) * len(contract) + features, jnp.float32)
             k2 = qkernel.reshape(int(np.prod(contract)), int(np.prod(features)))
-            # dynamic per-token activation quant (W8A8)
-            amax = jnp.max(jnp.abs(xt.astype(jnp.float32)), -1, keepdims=True)
-            sx = jnp.maximum(amax, 1e-12) / 127.0
-            xq = jnp.round(
-                jnp.clip(xt.astype(jnp.float32) / sx, -127, 127)).astype(jnp.int8)
+            # W8A16 dequant-on-read: XLA fuses the int8→bf16 convert into
+            # the matmul's weight load, so HBM reads stay at int8 bytes
+            # while the GEMM runs at full bf16 speed. Chip-measured at
+            # serving shapes ([8,2048]x[2048,8192]): 871 GB/s of int8
+            # bytes vs 167 GB/s for the int8xint8->int32 dot (XLA lowers
+            # that without a fast path) and 215 GB/s for f32-accum — the
+            # int8 serving win is bandwidth, not the MXU int8 pipe. Also
+            # strictly more accurate than W8A8 (activations unquantized).
             acc = jax.lax.dot_general(
-                xq, k2, (((xt.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            y = (acc.astype(jnp.float32) * sx
-                 * scale.reshape(-1)).astype(self.dtype)
+                xt.astype(self.dtype), k2.astype(self.dtype),
+                (((xt.ndim - 1,), (0,)), ((), ())))
+            y = (acc * scale.reshape(-1).astype(acc.dtype)).astype(self.dtype)
         else:
             kernel = self.param(
                 "kernel", self.kernel_init, contract + features, self.param_dtype)
