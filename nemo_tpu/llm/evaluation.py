@@ -200,27 +200,29 @@ class EndpointEvaluator:
 
 def make_lm_eval_adapter(evaluator):
     """Wrap an LMEvaluator/EndpointEvaluator as an lm-evaluation-harness
-    `LM` (reference: NeMoFWLMEval subclasses lm_eval.api.model.LM). Returns
-    None with a log message when lm_eval isn't installed in this image."""
+    `LM` (reference: NeMoFWLMEval subclasses lm_eval.api.model.LM). Uses
+    the real lm_eval base when installed; otherwise the vendored
+    protocol-compatible base (`llm/lm_eval_compat.py`) — same request
+    shapes, so the adapter is exercised either way."""
     try:
         from lm_eval.api.model import LM
     except ImportError:
-        from nemo_tpu.utils.logging import logging
-
-        logging.warning("lm_eval not installed — returning None "
-                        "(pip install lm-eval to run harness tasks)")
-        return None
+        from nemo_tpu.llm.lm_eval_compat import LM
 
     class NemoTPULM(LM):
         def loglikelihood(self, requests):
+            if hasattr(evaluator, "loglikelihood_batch"):
+                return evaluator.loglikelihood_batch(
+                    [(r.args[0], r.args[1]) for r in requests])
             return [evaluator.loglikelihood(r.args[0], r.args[1]) for r in requests]
 
         def loglikelihood_rolling(self, requests):
             return [evaluator.loglikelihood_rolling(r.args[0]) for r in requests]
 
         def generate_until(self, requests):
-            return [evaluator.generate_until(r.args[0],
-                                             r.args[1].get("until", []))
+            return [evaluator.generate_until(
+                        r.args[0], r.args[1].get("until", []),
+                        max_new=int(r.args[1].get("max_gen_toks", 64)))
                     for r in requests]
 
     return NemoTPULM()
