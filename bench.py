@@ -43,6 +43,46 @@ def _speechlike(B, T, fs, rng):
     return out / peak
 
 
+def _calibrated_tone_batches(model, B, secs, utt_tokens, iters, *,
+                             fit_steps, density_floor, lr=3e-3, seed=0):
+    """Tone-calibrate `model` (fit_synthetic_asr) until a held-out probe
+    decodes ≥ density_floor tokens/utt, then build `iters`+1 staged
+    held-out eval batches. Returns (staged, probe_density). Raises if the
+    calibration can't reach the floor — an under-dense decode times the
+    iteration floor, not the trained-regime decode (VERDICT r4 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.asr.synthetic import (fit_synthetic_asr,
+                                               make_eval_batch)
+
+    T = int(model.sample_rate * secs)
+    lens = jnp.full((B,), T, jnp.int32)
+    density = 0.0
+    for round_i in range(3):
+        fit_synthetic_asr(model, steps=fit_steps, batch=8, secs=2.0,
+                          utt_tokens=4, lr=lr, seed=seed + round_i)
+        _, probe_pcm = make_eval_batch(model, B, secs, utt_tokens,
+                                       seed=900 + round_i)
+        probe = model.transcribe_staged(
+            [(jax.device_put(jnp.asarray(probe_pcm)), lens, B)])
+        density = sum(len(s) for s in probe) / max(len(probe), 1)
+        print(f"secondary: tone-calibration round {round_i}: decode "
+              f"density {density:.1f} tokens/utt (floor {density_floor})",
+              file=sys.stderr)
+        if density >= density_floor:
+            break
+    if density < density_floor:
+        raise RuntimeError(
+            f"tone calibration failed: density {density:.1f} < "
+            f"{density_floor} — bench would time a degenerate decode")
+    staged = []
+    for i in range(iters + 1):
+        _, pcm = make_eval_batch(model, B, secs, utt_tokens, seed=100 + i)
+        staged.append((jax.device_put(jnp.asarray(pcm)), lens, B))
+    return staged, density
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -52,24 +92,20 @@ def main():
 
     model = EncDecCTCModel(conformer_ctc("large", compute_dtype="bfloat16"))
 
-    # B=32 is the measured-best batch at 30 s clips (chip A/B this round:
+    # B=32 is the measured-best batch at 30 s clips (chip A/B r4:
     # B=16 3041, B=32 3346, B=64 2942 RTFx — HBM pressure past 32)
     B = 32
     secs = 30.0
-    T = int(16000 * secs)
     rng = np.random.RandomState(0)
     iters = 5
-    # distinct speech-like audio per batch (identical inputs can be served
-    # from relay caches and undercount the work)
-    host_batches = []
-    for i in range(iters + 1):
-        sig = (np.clip(_speechlike(B, T, 16000, rng), -1, 1) * 32767).astype(np.int16)
-        host_batches.append(sig)
-    lens = jnp.full((B,), T, jnp.int32)
-
-    # stage on device (the reference's local-disk analog), warm up compiles
-    staged = [(jax.device_put(jnp.asarray(s)), lens, B) for s in host_batches]
-    model.transcribe_staged(staged[:1])
+    # TRAINED-REGIME decode: tone-calibrate briefly so greedy emits a
+    # realistic time-distributed token stream on held-out tone audio
+    # (utt_tokens=60 → ≥50 chars/utt enforced, VERDICT r4 weak #3)
+    staged, density = _calibrated_tone_batches(
+        model, B, secs, utt_tokens=60, iters=iters,
+        fit_steps=250, density_floor=50.0)
+    lens = staged[0][1]
+    model.transcribe_staged(staged[:1])  # warm the compile
 
     t0 = time.perf_counter()
     out = model.transcribe_staged(staged[1:])
@@ -81,18 +117,20 @@ def main():
     rtfx = audio_seconds / wall
     baseline = 2000.0
 
+    n_tok = sum(len(s) for s in out) / max(len(out), 1)
+    assert n_tok > 50.0, f"decode density {n_tok:.1f} ≤ 50 chars/utt"
+    print(f"secondary: decoded token density ≈ {n_tok:.1f} chars/utt "
+          f"(tone-calibrated model, held-out audio)", file=sys.stderr)
+
     # secondary: WAN-included number (upload inside the timed region)
+    host_batches = [np.asarray(s[0]) for s in staged[1:]]
     t2 = time.perf_counter()
-    staged2 = ((jax.device_put(jnp.asarray(s)), lens, B) for s in host_batches[1:])
+    staged2 = ((jax.device_put(jnp.asarray(s)), lens, B) for s in host_batches)
     out2 = model.transcribe_staged(staged2)
     t3 = time.perf_counter()
     rtfx_wan = audio_seconds / ((t3 - t2) / iters)
     print(f"secondary: wan_included_rtfx={rtfx_wan:.1f} "
           f"(tunnel ~49MB/s; not the production topology)", file=sys.stderr)
-
-    n_tok = sum(len(s.split()) + len(s) for s in out) / max(len(out), 1)
-    print(f"secondary: decoded token density ≈ {n_tok:.1f} chars/utt "
-          f"(speech-like audio, non-trivial decode)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "conformer_large_ctc_transcribe_rtfx",
@@ -134,29 +172,19 @@ def bench_rnnt():
 
     model = EncDecRNNTModel(
         conformer_transducer("large", compute_dtype="bfloat16"))
-    # Calibrate the joint to the TRAINED decode regime: a fresh random
-    # joint emits max_symbols per frame (T*(max_symbols+1) label-looping
-    # iterations — 11x a trained model's ~T+U), so bias the blank logit up
-    # (the TTS bench's fit_synthetic duration calibration, for
-    # transducers). The random joint's logit spread is so tight that any
-    # bias ≥2 collapses emissions to zero (delta sweep on chip: 2.0/2.5/
-    # 3.0 all → density 0), so this measures the T-iteration floor; a
-    # trained model's ~0.1 emissions/frame adds ~U ≈ 9% more iterations —
-    # scale the headline by ~0.92 for the trained-regime estimate (still
-    # >2000).
-    p = model.variables["params"]
-    bias = p["joint"]["out_proj"]["bias"]
-    p["joint"]["out_proj"]["bias"] = bias.at[model.blank_id].add(4.0)
+    # TRAINED-REGIME decode: tone-calibrate the whole model (the TTS
+    # bench's fit_synthetic approach, for transducers) so label-looping
+    # greedy emits a real time-distributed token stream — the measured
+    # region then includes prediction-network advance + hypothesis
+    # assembly at realistic density (VERDICT r4 weak #3: the old
+    # blank-biased bench emitted ZERO tokens and timed only the
+    # T-iteration floor).
     B = 32
     secs = 30.0
-    T = int(16000 * secs)
-    rng = np.random.RandomState(7)
     iters = 3
-    lens = jnp.full((B,), T, jnp.int32)
-    staged = []
-    for i in range(iters + 1):
-        sig = (np.clip(_speechlike(B, T, 16000, rng), -1, 1) * 32767).astype(np.int16)
-        staged.append((jax.device_put(jnp.asarray(sig)), lens, B))
+    staged, _ = _calibrated_tone_batches(
+        model, B, secs, utt_tokens=40, iters=iters,
+        fit_steps=400, density_floor=20.0)
     model.transcribe_staged(staged[:1])  # compile
 
     t0 = time.perf_counter()
@@ -164,8 +192,9 @@ def bench_rnnt():
     t1 = time.perf_counter()
     assert len(out) == B * iters
     density = sum(len(s) for s in out) / max(len(out), 1)
+    assert density > 20.0, f"rnnt density {density:.1f} ≤ 20 tokens/utt"
     print(f"secondary: rnnt decode density ≈ {density:.1f} tokens/utt "
-          f"(blank-calibrated; trained-regime label looping)",
+          f"(tone-calibrated; trained-regime label looping)",
           file=sys.stderr)
     rtfx = B * secs / ((t1 - t0) / iters)
     return {

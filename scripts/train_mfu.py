@@ -41,16 +41,35 @@ def make_cfg(quantization=None, seq_length=2048, heads=12):
     )
 
 
-def run(quantization, steps, B, S, seed=0, chunk=100):
+def make_cfg_1b(seq_length=2048):
+    """llama3.2-1B geometry (the ≥1B single-chip MFU point, VERDICT r5
+    item 5): 1.24B params. Adam fp32 m+v (~10 GB) would not fit next to
+    fp32 params on a 16 GB chip, so run() pairs this with adafactor
+    (factored second moment — the HBM model's predicted fit)."""
+    from nemo_tpu.models.llm.config import llama32_1b
+
+    return llama32_1b(
+        seq_length=seq_length, compute_dtype="bfloat16",
+        attention_backend="flash", remat="full", scan_layers=True)
+
+
+def run(quantization, steps, B, S, seed=0, chunk=100, model="551m"):
     import jax
     import jax.numpy as jnp
+    import optax
 
     from nemo_tpu.models.llm.train import GPTTrainModule
     from nemo_tpu.parallel.mesh import MeshConfig
     from nemo_tpu.llm.auto_configurator import model_flops_per_token
 
-    cfg = make_cfg(quantization, seq_length=S)
-    mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=1))
+    if model == "llama32_1b":
+        cfg = make_cfg_1b(seq_length=S)
+        opt = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adafactor(3e-4))
+        mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=1), optimizer=opt)
+    else:
+        cfg = make_cfg(quantization, seq_length=S)
+        mod = GPTTrainModule(cfg, mesh_cfg=MeshConfig(dp=1))
     state = mod.init_state(seed=seed)
     step_fn = mod.train_step_jit()
 
@@ -100,11 +119,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--quant", nargs="+", default=["bf16", "fp8"])
+    ap.add_argument("--model", default="551m",
+                    choices=["551m", "llama32_1b"])
     args = ap.parse_args()
 
     results = {}
     for q in args.quant:
-        r = run(None if q == "bf16" else q, args.steps, args.batch, args.seq)
+        r = run(None if q == "bf16" else q, args.steps, args.batch,
+                args.seq, model=args.model)
         results[q] = r
         print(json.dumps({k: v for k, v in r.items() if k != "losses"}), flush=True)
     if "bf16" in results and "fp8" in results:
