@@ -63,12 +63,24 @@ class VLMTrainModule:
             return jax.tree_util.tree_map_with_path(
                 lambda p, _: lab([k.key for k in p]), params)
 
-        self.optimizer = optax.multi_transform(
-            {"vision": optax.set_to_zero() if "vision" in freeze else base,
-             "language": optax.set_to_zero() if "language" in freeze else base,
-             "projector": (optax.set_to_zero() if "projector" in freeze
-                           else base)},
-            label)
+        # ONE clip+adamw chain masked to the trainable subset (clip stays
+        # GLOBAL over all trainable params — per-group chains would clip
+        # each unfrozen tower independently, different dynamics from the
+        # reference's single global clip), plus set_to_zero on the frozen
+        # subset. optax.masked keeps optimizer state ONLY for trainable
+        # leaves — frozen towers cost no Adam-moment HBM (stage-1 trains
+        # a few-M-param projector under a multi-B frozen LLM).
+        def trainable_mask(params):
+            lbl = label(params)
+            return jax.tree.map(lambda g: g not in freeze, lbl)
+
+        def frozen_mask(params):
+            lbl = label(params)
+            return jax.tree.map(lambda g: g in freeze, lbl)
+
+        self.optimizer = optax.chain(
+            optax.masked(base, trainable_mask),
+            optax.masked(optax.set_to_zero(), frozen_mask))
         self._jit = None
 
     def init_state(self, seed: int = 0):
