@@ -303,11 +303,13 @@ class ContinuousBatchingEngine:
             def step(carry, r):
                 k, v, tok, cl, act = carry
                 positions = cl[:, None].astype(jnp.int32)
-                kv_valid = jnp.arange(attend_len)[None, :] <= cl[:, None]
+                # NO kv_valid here: the per-slot causal offset
+                # (kv_offset=cl in causal_attention) already masks every
+                # slot > cl, and prefill leaves no holes below cl — one
+                # fewer [B, attend_len] mask build+AND per decode step
                 logits, (k, v) = model.apply(
                     {"params": params}, tok[:, None], positions,
-                    kv_caches=(k, v), decode_index=cl.astype(jnp.int32),
-                    kv_valid=kv_valid)
+                    kv_caches=(k, v), decode_index=cl.astype(jnp.int32))
                 nxt = _temp_sample(logits[:, 0], r, temperature, top_k, top_p)
                 nxt = jnp.where(act, nxt, tok)
                 cl = jnp.where(act, cl + 1, cl)

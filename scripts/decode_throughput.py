@@ -55,8 +55,9 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     # pin ONE kv-length bucket covering the whole run (prefill 48 + warmup
     # + timed steps): a bucket-boundary crossing mid-run recompiles inside
     # the timed region and poisons the number
+    n_chunks = max(2, steps // chunk)
     kv_bucket = 128
-    while kv_bucket < min(48 + chunk + steps + chunk + 2, max_len):
+    while kv_bucket < min(48 + chunk + n_chunks * chunk + 2, max_len):
         kv_bucket *= 2
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=slots, max_len=max_len,
@@ -72,7 +73,6 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     # decode_steps returns synced numpy, so each call is a full round-trip).
     # Warm the program, then time whole chunks; report the MEDIAN chunk
     # (host-load spikes and stray compiles show up as outliers).
-    n_chunks = max(3, steps // chunk)
     toks, _, _ = eng.decode_steps(feed, active, n_steps=chunk)
     chunk_ts = []
     for i in range(n_chunks):

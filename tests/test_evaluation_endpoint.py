@@ -74,13 +74,17 @@ def test_endpoint_evaluator_matches_local(setup):
         srv.shutdown()
 
 
-def test_lm_eval_adapter_gated(setup):
+def test_lm_eval_adapter_always_constructs(setup):
+    """The adapter now falls back to the vendored protocol base
+    (llm/lm_eval_compat.py) when the external wheel is absent — it must
+    construct and answer requests either way (full harness loop covered
+    in test_lm_eval_harness.py)."""
     cfg, params = setup
     ev = LMEvaluator(cfg, params, ByteTok(), max_len=64)
     adapter = make_lm_eval_adapter(ev)
-    # lm_eval isn't in this image: the adapter degrades to None with a log
-    try:
-        import lm_eval  # noqa: F401
-        assert adapter is not None
-    except ImportError:
-        assert adapter is None
+    assert adapter is not None
+    from nemo_tpu.llm.lm_eval_compat import Instance
+
+    out = adapter.loglikelihood(
+        [Instance("loglikelihood", {}, ("a context", " cont"))])
+    assert len(out) == 1 and out[0][0] < 0.0
