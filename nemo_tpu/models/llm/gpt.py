@@ -1144,9 +1144,13 @@ class GPTModel(nn.Module):
                 )
                 new_caches.append(cache_i)
             if kv_caches is not None:
+                # tree-map stacking: int8 caches are {'q','s'} dicts per
+                # side, not bare arrays (unrolled layers + quantized KV)
+                k_list = [c[0] for c in new_caches]
+                v_list = [c[1] for c in new_caches]
                 new_caches = (
-                    jnp.stack([c[0] for c in new_caches]),
-                    jnp.stack([c[1] for c in new_caches]),
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *k_list),
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *v_list),
                 )
             else:
                 new_caches = None

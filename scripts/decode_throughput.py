@@ -21,7 +21,7 @@ import numpy as np
 
 
 def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
-        kv_int8: bool = False, chunk: int = 32):
+        kv_int8: bool = False, chunk: int = 32, scan_layers: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,7 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     cfg = _cfg(
         num_layers=layers, hidden_size=2048, ffn_hidden_size=8192,
         num_attention_heads=16, kv_channels=128,
-        vocab_size=32000, seq_length=max_len, scan_layers=True,
+        vocab_size=32000, seq_length=max_len, scan_layers=scan_layers,
         attention_backend="xla",
     )
     model = GPTModel(cfg)

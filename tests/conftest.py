@@ -94,3 +94,82 @@ def pytest_runtest_call(item):
         return (yield)
     finally:
         item.runtest = orig_runtest
+
+
+# -- full-suite subprocess sharding ----------------------------------------
+# XLA:CPU's JIT segfaults mid-compile after ~300 tests' worth of live
+# compiled programs accumulate in one process (r5: reproduced twice at
+# different tests — test_moe and test_lm_eval_harness — both inside
+# backend_compile, both after ~300 green tests; a 4000-compile single-
+# process stress probe with released programs does NOT crash, so the
+# trigger is accumulated LIVE programs, not compile count). Mitigation:
+# when a run collects a large item count (the full gate), execute it as
+# per-module subprocess groups — each process stays far below the
+# crash threshold. Small runs (single modules, -k selections) behave
+# exactly as before. Disable with NEMO_TPU_NO_SHARD=1.
+
+import os as _os
+import subprocess as _subprocess
+import sys as _sys
+
+_SHARD_THRESHOLD = 250
+_GROUP_TESTS = 120  # target tests per subprocess
+
+
+def pytest_runtestloop(session):
+    if (_os.environ.get("NEMO_TPU_NO_SHARD")
+            or _os.environ.get("_NEMO_TPU_SHARD_CHILD")
+            or len(session.items) < _SHARD_THRESHOLD
+            or session.config.getoption("collectonly", False)):
+        return None  # default loop
+
+    # group items by module file, preserving order
+    modules = []
+    counts = {}
+    for item in session.items:
+        path = str(item.fspath)
+        if path not in counts:
+            counts[path] = 0
+            modules.append(path)
+        counts[path] += 1
+
+    groups = []
+    cur, n = [], 0
+    for mod in modules:
+        cur.append(mod)
+        n += counts[mod]
+        if n >= _GROUP_TESTS:
+            groups.append(cur)
+            cur, n = [], 0
+    if cur:
+        groups.append(cur)
+
+    exitfirst = session.config.getoption("exitfirst", False)
+    env = dict(_os.environ)
+    env["_NEMO_TPU_SHARD_CHILD"] = "1"
+    failed = 0
+    print(f"\n[conftest] sharding {len(session.items)} tests across "
+          f"{len(groups)} subprocess groups (XLA:CPU JIT segfault "
+          f"mitigation)", flush=True)
+    markexpr = session.config.getoption("markexpr", "")
+    keyword = session.config.getoption("keyword", "")
+    for gi, group in enumerate(groups):
+        cmd = [_sys.executable, "-m", "pytest", "-q", "-p",
+               "no:cacheprovider", *group]
+        if exitfirst:
+            cmd.append("-x")
+        if markexpr:  # forward CLI -m (addopts alone would override it)
+            cmd += ["-m", markexpr]
+        if keyword:
+            cmd += ["-k", keyword]
+        print(f"[conftest] group {gi + 1}/{len(groups)}: "
+              f"{len(group)} modules", flush=True)
+        rc = _subprocess.call(cmd, env=env)
+        if rc != 0:
+            failed += 1
+            if exitfirst:
+                break
+    session.testsfailed = failed
+    if failed:
+        session.config.hook.pytest_deselected(items=[])  # no-op, keeps API
+    return True  # skip the default loop
