@@ -153,6 +153,10 @@ def main():
     except Exception as e:
         print(f"llm bench failed: {e}", file=sys.stderr)
     try:
+        print(json.dumps(bench_llm_1b()), flush=True)
+    except Exception as e:
+        print(f"llm 1b bench failed: {e}", file=sys.stderr)
+    try:
         print(json.dumps(bench_decode()), flush=True)
     except Exception as e:
         print(f"decode bench failed: {e}", file=sys.stderr)
@@ -222,7 +226,7 @@ def bench_decode():
     import scripts.decode_throughput as dt
 
     r = dt.run(True, layers=16, slots=8, max_len=1024, steps=128,
-               kv_int8=True, chunk=32)
+               kv_int8=True, chunk=64)
     return {
         "metric": "gpt1b_decode_tokens_per_sec_chip",
         "value": r["tokens_per_sec"],
@@ -285,17 +289,39 @@ def bench_tts():
 
 
 def bench_llm():
-    """GPT training tokens/sec/chip on the 551M config (BASELINE metric 3)."""
+    """GPT training tokens/sec/chip on the 551M config (BASELINE metric 3).
+    300 sustained steps — the unit string cites exactly what ran
+    (VERDICT r4 weak #5: the claim must match the measured protocol)."""
     import scripts.train_mfu as mfu
 
     # B=8 + dh=128: the measured-best single-chip point (scripts/mfu_probe.py)
-    r = mfu.run(None, steps=40, B=8, S=2048, chunk=40)
+    r = mfu.run(None, steps=300, B=8, S=2048, chunk=100)
     # vs_baseline: utilization vs the reference's own headline MFU
     # (LLAMA2-7B fp8 H100 = 768/1979 ≈ 39%)
     return {
         "metric": "gpt551m_train_tokens_per_sec_chip",
         "value": r["tokens_per_sec"],
-        "unit": f"tokens/sec/chip bf16 ({r['mfu_vs_bf16_peak']*100:.0f}% MFU; ref headline 39%)",
+        "unit": f"tokens/sec/chip bf16, {r['steps']} sustained steps "
+                f"({r['mfu_vs_bf16_peak']*100:.0f}% MFU; ref headline 39%)",
+        "vs_baseline": round(r["mfu_vs_bf16_peak"] / 0.39, 3),
+    }
+
+
+def bench_llm_1b():
+    """Train MFU at ≥1B params on chip (VERDICT r5 item 5): llama3.2-1B
+    geometry, adafactor (Adam fp32 m+v would not fit 16 GB HBM beside
+    fp32 params — the HBM model's prediction), fused-CE loss (128k vocab
+    logits never materialize)."""
+    import scripts.train_mfu as mfu
+
+    r = mfu.run(None, steps=200, B=8, S=2048, chunk=100,
+                model="llama32_1b")
+    return {
+        "metric": "llama32_1b_train_tokens_per_sec_chip",
+        "value": r["tokens_per_sec"],
+        "unit": f"tokens/sec/chip bf16+adafactor, {r['steps']} sustained "
+                f"steps ({r['mfu_vs_bf16_peak']*100:.0f}% MFU; ref "
+                f"headline 39%)",
         "vs_baseline": round(r["mfu_vs_bf16_peak"] / 0.39, 3),
     }
 
