@@ -162,3 +162,120 @@ def mmi_loss(log_probs: jnp.ndarray, frame_len: jnp.ndarray,
         [token_lm_graph(V - 1, blank, den_unigram)] * B)
     den = graph_forward_logp(log_probs, frame_len, den_g)
     return -(num - den_scale * den)
+
+
+# --------------------------------------------------------------------------
+# Graph transducer (lattice RNNT)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TransducerGraph:
+    """Supervision acceptor for lattice RNNT: DenseGraph arcs plus a
+    per-state predictor row `pred_index` (which joint row u scores arcs
+    leaving that state — for a linear transcript, state u ↔ u emitted
+    labels)."""
+
+    graph: DenseGraph
+    pred_index: jnp.ndarray  # [B, S] int32
+
+
+def rnnt_topology_graph(targets: Sequence[int]) -> Tuple[np.ndarray, ...]:
+    """Linear RNNT supervision: U+1 states, arc u --y_u--> u+1 (weight 0),
+    final at state U (blank time-advances are implicit in the forward).
+    The k2 GraphRnntLoss 'minimal' topology for a linear transcript
+    (reference asr/parts/k2/graph_transducer.py GraphRnntLoss)."""
+    U = len(targets)
+    S = U + 1
+    frm = np.arange(U, dtype=np.int32)
+    to = frm + 1
+    lab = np.asarray([int(t) for t in targets], np.int32)
+    final = np.full(S, NEG_INF, np.float32)
+    final[U] = 0.0
+    return (frm, to, lab, np.zeros(U, np.float32), final, S)
+
+
+def graph_transducer_logp(logits: jnp.ndarray, f_len: jnp.ndarray,
+                          tg: TransducerGraph,
+                          blank_last: bool = True) -> jnp.ndarray:
+    """Lattice RNNT log-likelihood [B] over joint logits [B, T, U1, V+1].
+
+    Per frame: (a) label closure — relax the supervision graph's label
+    arcs S−1 times (a transducer may emit any number of labels per frame;
+    for an acyclic supervision S−1 relaxations reach the fixpoint), each
+    arc scored by lp[t, pred_index[from], ilabel]; then (b) the blank
+    time-advance adds lp[t, pred_index[s], blank] to every state. The
+    path ends with the last valid frame's blank (standard transducer
+    semantics), so the total is lse(alpha + final_weight) after the scan.
+    With `rnnt_topology_graph` this EQUALS `ops.rnnt.rnnt_loss` in values
+    and gradients (parity-tested) — and the same machinery accepts
+    arbitrary supervision graphs (pronunciation variants, boosted
+    phrases) like the reference's k2 GraphRnntLoss. O(T·S·A) — a tools/
+    research path, not the production chunked loss."""
+    g = tg.graph
+    B, T, U1, V1 = logits.shape
+    S = g.n_states
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank = V1 - 1 if blank_last else 0
+    rows = jnp.arange(B)[:, None]
+    pu_from = jnp.take_along_axis(tg.pred_index, g.arc_from, axis=1)  # [B,A]
+    flat_idx = pu_from * V1 + g.arc_ilabel  # [B, A] into [U1*V1]
+
+    def seg_lse_into(score, base):
+        """logaddexp(base, segment-lse of score by arc_to) — stabilized."""
+        both_max = base.at[rows, g.arc_to].max(score)
+        gmax = jnp.maximum(both_max, NEG_INF / 2)
+        ex_base = jnp.where(base > NEG_INF / 2,
+                            jnp.exp(base - gmax), 0.0)
+        sc_max = jnp.take_along_axis(gmax, g.arc_to, axis=1)
+        ex_arc = jnp.where(score > NEG_INF / 2,
+                           jnp.exp(score - sc_max), 0.0)
+        sums = ex_base.at[rows, g.arc_to].add(ex_arc)
+        return jnp.where(sums > 0, jnp.log(sums) + gmax, NEG_INF)
+
+    neg = jnp.full((B, S), NEG_INF, jnp.float32)
+
+    def frame(alpha, t):
+        lp_t = lp[:, t].reshape(B, U1 * V1)  # [B, U1·V1]
+        arc_lp = jnp.take_along_axis(lp_t, flat_idx, axis=1)  # [B, A]
+
+        # frontier closure: each iteration extends ONLY the newest mass by
+        # one label arc (re-relaxing the accumulated total would count a
+        # k-label path once per remaining iteration — double counting)
+        def relax(_, carry):
+            total, frontier = carry
+            src = jnp.take_along_axis(frontier, g.arc_from, axis=1)
+            moved = seg_lse_into(src + arc_lp + g.arc_weight, neg)
+            return jnp.logaddexp(total, moved), moved
+
+        closed, _ = jax.lax.fori_loop(
+            0, max(S - 1, 1), relax, (alpha, alpha))
+        pb = jnp.take_along_axis(
+            lp[:, t, :, blank], tg.pred_index, axis=1)  # [B, S]
+        advanced = closed + pb
+        alive = (t < f_len)[:, None]
+        return jnp.where(alive, advanced, alpha), None
+
+    alpha0 = jnp.full((B, S), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    alpha, _ = jax.lax.scan(frame, alpha0, jnp.arange(T))
+    return jax.scipy.special.logsumexp(alpha + g.final_weight, axis=1)
+
+
+def graph_transducer_loss(logits: jnp.ndarray, targets: np.ndarray,
+                          f_len: jnp.ndarray, t_len: np.ndarray
+                          ) -> jnp.ndarray:
+    """NLL [B] for linear transcripts through the lattice machinery
+    (reference GraphRnntLoss forward; == ops.rnnt.rnnt_loss)."""
+    B = logits.shape[0]
+    graphs = [rnnt_topology_graph(
+        [int(x) for x in np.asarray(targets[b])[: int(t_len[b])]])
+        for b in range(B)]
+    g = build_dense_batch(graphs)
+    S = g.n_states
+    pred = np.zeros((B, S), np.int32)
+    for b in range(B):
+        U = int(t_len[b])
+        pred[b, : U + 1] = np.arange(U + 1)
+        pred[b, U + 1:] = U  # padded states score the last row (unused)
+    tg = TransducerGraph(graph=g, pred_index=jnp.asarray(pred))
+    return -graph_transducer_logp(logits, f_len, tg)
