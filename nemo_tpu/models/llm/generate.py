@@ -225,7 +225,15 @@ class ContinuousBatchingEngine:
                 kv_len_buckets.append(b)
                 b *= 2
         self.kv_len_buckets = sorted(set(list(kv_len_buckets) + [max_len]))
-        self.caches = init_kv_caches(cfg, max_slots, max_len, cache_dtype)
+        # GROWABLE pool: allocate the smallest KV bucket and pad the time
+        # axis up bucket-by-bucket as requests lengthen. Decode programs
+        # then run DIRECTLY on the pool — no per-dispatch prefix slice +
+        # write-back of a max_len pool (which cost a pool-sized HBM
+        # round-trip per dispatch), and reads still scale with the live
+        # bucket, not max_len.
+        self.alloc_len = self.kv_len_buckets[0]
+        self.caches = init_kv_caches(cfg, max_slots, self.alloc_len,
+                                     cache_dtype)
         self.cache_dtype = cache_dtype
         self.cur_len = np.zeros(max_slots, np.int64)  # next write index per slot
         self._prefill_jit = {}
@@ -234,6 +242,8 @@ class ContinuousBatchingEngine:
         # LRU-evicted (vLLM/TRT-LLM prefix-caching analog: shared system
         # prompts are prefilled once, then injected per admission)
         self._prefix_store: "dict" = {}
+        self._pending = None  # in-flight begin_decode_steps dispatch
+        self._cur_len_ub = 0  # host-side upper bound on max(cur_len)
         self._max_prefixes = max_prefixes
         self._prefix_jit = {}
         self._inject_jit = None
@@ -246,8 +256,9 @@ class ContinuousBatchingEngine:
             earlier chunks — chunked prefill). Writes this chunk's KV at
             [start, start+Sb) and samples from the chunk's last real row."""
             Sb = tokens.shape[1]
+            pool_len = jax.tree.leaves(k_cache)[0].shape[2]
             positions = start + jnp.arange(Sb)[None, :]
-            kv_valid = (jnp.arange(self.max_len) < start + plen)[None, :]
+            kv_valid = (jnp.arange(pool_len) < start + plen)[None, :]
             take = partial(jax.lax.dynamic_slice_in_dim, start_index=slot,
                            slice_size=1, axis=1)
             kc = jax.tree.map(take, k_cache)
@@ -266,8 +277,9 @@ class ContinuousBatchingEngine:
         def decode(params, k_cache, v_cache, tok, cur_len, temperature,
                    top_k, top_p, rng):
             """One step for every slot: tok [B] feeds, writes at cur_len [B]."""
+            pool_len = jax.tree.leaves(k_cache)[0].shape[2]
             positions = cur_len[:, None].astype(jnp.int32)
-            kv_valid = jnp.arange(self.max_len)[None, :] <= cur_len[:, None]
+            kv_valid = jnp.arange(pool_len)[None, :] <= cur_len[:, None]
             logits, (k_cache, v_cache) = model.apply(
                 {"params": params}, tok[:, None], positions,
                 kv_caches=(k_cache, v_cache),
@@ -294,7 +306,7 @@ class ContinuousBatchingEngine:
             friendly form). Returns (caches, toks [N, B], emitted [N, B] —
             was the slot live when that token was produced, cur_len [B],
             active [B])."""
-            sliced = attend_len < self.max_len
+            sliced = attend_len < jax.tree.leaves(k_cache)[0].shape[2]
             k_sub = jax.tree.map(lambda c: c[:, :, :attend_len], k_cache) \
                 if sliced else k_cache
             v_sub = jax.tree.map(lambda c: c[:, :, :attend_len], v_cache) \
@@ -337,6 +349,28 @@ class ContinuousBatchingEngine:
             if n <= b:
                 return b
         return self.buckets[-1]
+
+    def _bucket_for(self, need: int) -> int:
+        return next((b for b in self.kv_len_buckets if b >= need),
+                    self.max_len)
+
+    def _grow_pool(self, new_len: int) -> None:
+        """Pad the KV pool's time axis to `new_len` (≤ max_len). Runs once
+        per bucket crossing — a single pool-sized copy instead of the old
+        per-dispatch slice + write-back."""
+        new_len = min(new_len, self.max_len)
+        if new_len <= self.alloc_len:
+            return
+
+        def grow(c):
+            z = jnp.zeros(c.shape[:2] + (new_len - c.shape[2],) + c.shape[3:],
+                          c.dtype)
+            return jnp.concatenate([c, z], axis=2)
+
+        with self._ctx():
+            self.caches = (jax.tree.map(grow, self.caches[0]),
+                           jax.tree.map(grow, self.caches[1]))
+        self.alloc_len = new_len
 
     def _ctx(self):
         import contextlib
@@ -404,6 +438,7 @@ class ContinuousBatchingEngine:
         ids = list(prompt_ids)
         if len(ids) >= self.max_len:
             ids = ids[-(self.max_len - 1):]
+        self._grow_pool(self._bucket_for(len(ids) + 1))
         start = 0
         P = self._match_prefix(ids)
         if P:
@@ -452,6 +487,7 @@ class ContinuousBatchingEngine:
         `temperature`/`top_k`/`top_p` are scalars or per-slot [slots]
         vectors (each request's own sampling params under continuous
         batching)."""
+        self._grow_pool(self._bucket_for(int(self.cur_len.max()) + 2))
         if self._decode_jit is None:
             self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(1, 2))
         with self._ctx():
@@ -465,6 +501,68 @@ class ContinuousBatchingEngine:
         self.cur_len = np.where(active, self.cur_len + 1, self.cur_len)
         return np.asarray(nxt)
 
+    def begin_decode_steps(self, feed_tokens=None, active=None,
+                           n_steps: int = 8, temperature=0.0, seed: int = 0,
+                           top_k=0, top_p=0.0, eos_id=-1):
+        """Enqueue one multi-step decode dispatch WITHOUT fetching its
+        results — the pipelined serving hot path. feed_tokens/active=None
+        chains from the previous dispatch's ON-DEVICE carry (tokens,
+        cur_len, active never leave the chip between dispatches), so the
+        device starts the next chunk immediately while the host fetches
+        the previous one — through a network relay the ~25 ms fetch RTT
+        fully hides behind chunk execution. Call finish_decode_steps() to
+        collect."""
+        if feed_tokens is None:
+            if self._pending is None:
+                raise ValueError("no previous dispatch to chain from")
+            feed_dev = self._pending["feed"]
+            active_dev = self._pending["active"]
+            cur_dev = self._pending["cur_len"]
+        else:
+            feed_dev = jnp.asarray(feed_tokens, jnp.int32)
+            active_dev = jnp.asarray(active, bool)
+            cur_dev = jnp.asarray(self.cur_len, jnp.int32)
+            self._cur_len_ub = int(self.cur_len.max())
+        # KV length bucket from a HOST-side upper bound (cur_len grows at
+        # most n_steps per dispatch — no fetch needed to pick the bucket)
+        need = self._cur_len_ub + n_steps + 1
+        self._grow_pool(self._bucket_for(need))
+        attend_len = self.alloc_len
+        if attend_len not in self._decode_multi_jit:
+            # donate the KV pool: without it XLA copies the whole cache
+            # (hundreds of MB) at every dispatch entry
+            self._decode_multi_jit[attend_len] = jax.jit(
+                partial(self._decode_multi_fn, attend_len=attend_len),
+                donate_argnums=(1, 2))
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_steps)
+        with self._ctx():
+            k, v, toks, emitted, cur_len, act = self._decode_multi_jit[attend_len](
+                self.params, self.caches[0], self.caches[1],
+                feed_dev, cur_dev, active_dev,
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
+                keys, jnp.asarray(eos_id, jnp.int32))
+        self.caches = (k, v)
+        self._cur_len_ub += n_steps
+        self._pending = {"toks": toks, "emitted": emitted,
+                         "cur_len": cur_len, "active": act,
+                         "feed": toks[-1]}
+        return self._pending
+
+    def finish_decode_steps(self, handle=None):
+        """Fetch the pending dispatch's results in ONE batched device_get
+        (separate np.asarray calls serialize into four ~25 ms relay
+        round-trips each — the dominant fixed serving cost before this,
+        VERDICT r4 weak #4). Returns (tokens [n_steps, slots], emitted
+        [n_steps, slots], active_out [slots]); syncs self.cur_len."""
+        p = handle if handle is not None else self._pending
+        toks, emitted, cur_len, act = jax.device_get(
+            (p["toks"], p["emitted"], p["cur_len"], p["active"]))
+        self.cur_len = np.asarray(cur_len).astype(np.int64)
+        if p is self._pending:
+            self._cur_len_ub = int(self.cur_len.max())
+        return np.asarray(toks), np.asarray(emitted), np.asarray(act)
+
     def decode_steps(self, feed_tokens: np.ndarray, active: np.ndarray,
                      n_steps: int = 8, temperature=0.0, seed: int = 0,
                      top_k=0, top_p=0.0, eos_id=-1):
@@ -476,39 +574,12 @@ class ContinuousBatchingEngine:
         slot ON DEVICE; its later rows repeat the frozen token with
         emitted=False. Returns (tokens [n_steps, slots], emitted
         [n_steps, slots] bool, active_out [slots] bool); self.cur_len is
-        synced from the device."""
-        # KV length bucket: every write this dispatch lands below
-        # max(cur_len) + n_steps, so the scan can run on a static prefix
-        # slice of the pool (see decode_multi) — reads scale with live KV
-        need = int(self.cur_len.max()) + n_steps + 1
-        attend_len = next((b for b in self.kv_len_buckets if b >= need),
-                          self.max_len)
-        if attend_len not in self._decode_multi_jit:
-            # donate the KV pool: without it XLA copies the whole cache
-            # (hundreds of MB) at every dispatch entry
-            self._decode_multi_jit[attend_len] = jax.jit(
-                partial(self._decode_multi_fn, attend_len=attend_len),
-                donate_argnums=(1, 2))
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_steps)
-        with self._ctx():
-            k, v, toks, emitted, cur_len, act = self._decode_multi_jit[attend_len](
-                self.params, self.caches[0], self.caches[1],
-                jnp.asarray(feed_tokens, jnp.int32),
-                jnp.asarray(self.cur_len, jnp.int32),
-                jnp.asarray(active, bool),
-                jnp.asarray(temperature, jnp.float32),
-                jnp.asarray(top_k, jnp.int32), jnp.asarray(top_p, jnp.float32),
-                keys, jnp.asarray(eos_id, jnp.int32))
-        self.caches = (k, v)
-        # ONE batched device_get for all four host-needed outputs: separate
-        # np.asarray calls serialize into four device round-trips, and when
-        # the chip sits behind a network relay each costs a full RTT
-        # (~25 ms/fetch measured) — 4 serial fetches were the dominant
-        # fixed cost of every serving dispatch (VERDICT r4 weak #4)
-        toks, emitted, cur_len, act = jax.device_get(
-            (toks, emitted, cur_len, act))
-        self.cur_len = np.asarray(cur_len).astype(np.int64)
-        return np.asarray(toks), np.asarray(emitted), np.asarray(act)
+        synced from the device. (= begin_decode_steps + finish — the
+        pipelined pair overlaps the fetch with the NEXT chunk's compute.)"""
+        self.begin_decode_steps(feed_tokens, active, n_steps=n_steps,
+                                temperature=temperature, seed=seed,
+                                top_k=top_k, top_p=top_p, eos_id=eos_id)
+        return self.finish_decode_steps()
 
     def free_slot(self, slot: int):
         self.cur_len[slot] = 0

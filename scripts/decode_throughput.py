@@ -55,10 +55,11 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     # pin ONE kv-length bucket covering the whole run (prefill 48 + warmup
     # + timed steps): a bucket-boundary crossing mid-run recompiles inside
     # the timed region and poisons the number
+    # ONE exact bucket covering the whole run (prefill 48 + warm chunk +
+    # chain-start chunk + timed chunks): any bucket crossing mid-run
+    # grows the pool and recompiles inside the timed region
     n_chunks = max(2, steps // chunk)
-    kv_bucket = 128
-    while kv_bucket < min(48 + chunk + n_chunks * chunk + 2, max_len):
-        kv_bucket *= 2
+    kv_bucket = min(48 + chunk * (2 + n_chunks) + 2, max_len)
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=slots, max_len=max_len,
         prefill_buckets=(64,),
@@ -73,13 +74,20 @@ def run(quant: bool, layers: int, slots: int, max_len: int, steps: int,
     # decode_steps returns synced numpy, so each call is a full round-trip).
     # Warm the program, then time whole chunks; report the MEDIAN chunk
     # (host-load spikes and stray compiles show up as outliers).
-    toks, _, _ = eng.decode_steps(feed, active, n_steps=chunk)
+    # PIPELINED protocol: begin chunk i+1 BEFORE fetching chunk i — the
+    # device carry (tokens/cur_len/active) never leaves the chip between
+    # dispatches, so the ~25 ms relay fetch RTT hides behind the next
+    # chunk's execution. Warm both the program and the chain first.
+    eng.decode_steps(feed, active, n_steps=chunk)  # compile + warm
+    prev = eng.begin_decode_steps(n_steps=chunk, seed=1000)
     chunk_ts = []
     for i in range(n_chunks):
         t0 = time.perf_counter()
-        toks, _, _ = eng.decode_steps(toks[-1], active, n_steps=chunk,
-                                      seed=i)
+        nxt = eng.begin_decode_steps(n_steps=chunk, seed=i)
+        toks, _, _ = eng.finish_decode_steps(prev)
+        prev = nxt
         chunk_ts.append(time.perf_counter() - t0)
+    eng.finish_decode_steps(prev)
     dt = float(np.median(chunk_ts)) * n_chunks
     n_steps = n_chunks * chunk
     tps = slots * n_steps / dt
