@@ -335,8 +335,8 @@ class EncDecRNNTModel(Model):
             full_lens[: len(sigs)] = lens
             tokens, counts, frames, logps = self._jit_decode_aligned(
                 self.variables, jnp.asarray(padded), jnp.asarray(full_lens))
-            tokens, counts = np.asarray(tokens), np.asarray(counts)
-            frames, logps = np.asarray(frames), np.asarray(logps)
+            tokens, counts, frames, logps = jax.device_get(
+                (tokens, counts, frames, logps))
             for b in range(len(sigs)):
                 n = int(counts[b])
                 ids = tokens[b, :n]
@@ -371,8 +371,7 @@ class EncDecRNNTModel(Model):
             tokens, counts = self._jit_decode(
                 self.variables, jnp.asarray(padded), jnp.asarray(full_lens)
             )
-            tokens = np.asarray(tokens)
-            counts = np.asarray(counts)
+            tokens, counts = jax.device_get((tokens, counts))
             for b in range(len(sigs)):
                 ids = tokens[b, : counts[b]]
                 results.append("".join(self.labels[i] for i in ids))
@@ -395,8 +394,8 @@ class EncDecRNNTModel(Model):
                 return
             tokens, counts, n = pending
             pending = None
-            tokens = np.asarray(tokens)
-            counts = np.asarray(counts)
+            # one batched fetch (two np.asarray calls = two relay RTTs)
+            tokens, counts = jax.device_get((tokens, counts))
             for b in range(n):
                 ids = tokens[b, : counts[b]]
                 results.append("".join(self.labels[i] for i in ids))

@@ -108,19 +108,25 @@ def ctc_collapse(
     """Host-side collapse: dedup repeats then drop blanks → list of id lists.
 
     (String assembly is host work; the device produces only argmax ids.)
+    Device-array inputs are fetched in ONE batched device_get (two
+    np.asarray calls serialize into two relay round-trips), and the
+    collapse itself is vectorized numpy, not a per-frame Python loop.
     """
     import numpy as np
 
+    if hasattr(predictions, "devices") or hasattr(lengths, "devices"):
+        import jax
+
+        predictions, lengths = jax.device_get((predictions, lengths))
     predictions = np.asarray(predictions)
     lengths = np.asarray(lengths)
     out = []
     for b in range(predictions.shape[0]):
         seq = predictions[b, : int(lengths[b])]
-        prev = -1
-        ids = []
-        for p in seq:
-            if p != prev and p != blank:
-                ids.append(int(p))
-            prev = p
-        out.append(ids)
+        keep = np.empty(len(seq), bool)
+        if len(seq):
+            keep[0] = True
+            np.not_equal(seq[1:], seq[:-1], out=keep[1:])
+            keep &= seq != blank
+        out.append(seq[keep].astype(int).tolist())
     return out

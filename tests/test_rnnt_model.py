@@ -142,12 +142,23 @@ def test_rnnt_transcribe_staged_matches_transcribe(model):
     must produce the same text as transcribe() on the same audio."""
     import jax
 
+    from nemo_tpu.models.asr.ctc_models import _bucket
+
     rng = np.random.RandomState(4)
     audio = [rng.randn(8000).astype(np.float32) * 0.3 for _ in range(2)]
-    ref = model.transcribe(audio, batch_size=2)
     sig = np.stack([(np.clip(a, -1, 1) * 32767).astype(np.int16) for a in audio])
+    # bit-exact contract: feed transcribe() the exact dequantized values the
+    # staged int16 path computes on-device (int16/32768), and pad the staged
+    # array to the same bucket width transcribe() pads to — the mel frontend
+    # reflect-pads at the array edge, so a different width changes the tail
+    # frames and (via Conformer global attention) every encoder output; a
+    # random-init model's argmax flips on those sub-LSB differences
+    deq = [s.astype(np.float32) / 32768.0 for s in sig]
+    ref = model.transcribe(deq, batch_size=2)
+    pad = np.zeros((2, _bucket(8000)), np.int16)
+    pad[:, :8000] = sig
     lens = jnp.full((2,), 8000, jnp.int32)
-    staged = [(jax.device_put(jnp.asarray(sig)), lens, 2)]
+    staged = [(jax.device_put(jnp.asarray(pad)), lens, 2)]
     assert model.transcribe_staged(staged) == ref
 
 
