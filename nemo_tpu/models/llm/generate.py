@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nemo_tpu.models.llm.config import GPTConfig
-from nemo_tpu.models.llm.gpt import GPTModel, init_kv_caches
+from nemo_tpu.models.llm.gpt import (GPTModel, init_kv_caches,
+                                     uses_scan_layers)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,6 +312,18 @@ class ContinuousBatchingEngine:
                 if sliced else k_cache
             v_sub = jax.tree.map(lambda c: c[:, :, :attend_len], v_cache) \
                 if sliced else v_cache
+            # Unrolled stacks: carry the cache through the scan as per-layer
+            # TUPLES, unstacked ONCE here — a stacked [L, ...] carry makes
+            # every scan step slice all L layers out of the pool and
+            # re-stack them (a pool-sized read + write + loop-carry copy
+            # per TOKEN; ~25% of a 1B decode step in the chip trace).
+            unstacked = not uses_scan_layers(cfg)
+            if unstacked:
+                L = cfg.num_layers
+                k_sub = tuple(
+                    jax.tree.map(lambda c: c[i], k_sub) for i in range(L))
+                v_sub = tuple(
+                    jax.tree.map(lambda c: c[i], v_sub) for i in range(L))
 
             def step(carry, r):
                 k, v, tok, cl, act = carry
@@ -330,6 +343,9 @@ class ContinuousBatchingEngine:
 
             (k_sub, v_sub, tok, cur_len, active), (toks, emitted) = \
                 jax.lax.scan(step, (k_sub, v_sub, tok, cur_len, active), keys)
+            if unstacked:
+                k_sub = jax.tree.map(lambda *xs: jnp.stack(xs), *k_sub)
+                v_sub = jax.tree.map(lambda *xs: jnp.stack(xs), *v_sub)
             if sliced:
                 wb = lambda full, sub: jax.lax.dynamic_update_slice(
                     full, sub, (0,) * full.ndim)

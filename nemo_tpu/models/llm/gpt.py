@@ -154,6 +154,17 @@ def hetero_period(cfg: GPTConfig) -> int:
     return p
 
 
+def uses_scan_layers(cfg: GPTConfig) -> bool:
+    """Whether the stack compiles as one nn.scan'd layer body (vs unrolled).
+
+    Callers that drive decode (generate.py) branch on this to pick the KV
+    cache layout: stacked [L, ...] for the scan path, per-layer tuples for
+    the unrolled path (avoids per-step pool slicing/stacking)."""
+    period = hetero_period(cfg)
+    return bool(cfg.scan_layers) and cfg.moe_first_k_dense == 0 and (
+        period == 1 or cfg.num_layers % period == 0)
+
+
 def rope_frequencies(cfg: GPTConfig, local: bool = False) -> np.ndarray:
     """Inverse frequencies [head_dim/2], with llama3 wavelength-dependent,
     linear (gemma3), or yarn (gpt-oss) scaling (reference: llama rope
@@ -400,6 +411,50 @@ def causal_attention(
     return out.reshape(B, Sq, H, v.shape[-1])
 
 
+def _decode_attention(q, ck, cv, k_new, v_new, *, cl, scale, window,
+                      softmax_fp32):
+    """Hazard-free single-token decode attention (continuous batching).
+
+    Attends over the PRE-UPDATE cache plus an explicit current-token term,
+    so the KV cache write can happen AFTER the read: inside a lax.scan the
+    cache carry then updates in place (one-token scatter), where the
+    read-after-write ordering of `_update_kv_cache` forced XLA to
+    double-buffer a full cache side per layer per token (~12% of a 1B
+    decode step in the chip trace).
+
+    q [B,1,H,D]; ck/cv [B,T,G,D] (bf16 or int8 {'q','s'}); k_new/v_new
+    [B,1,G,D] ALREADY round-tripped through the cache dtype (numerics
+    identical to attending over the written cache); cl [B] per-slot write
+    positions. History mask: kpos < cl (slot cl holds stale data; the
+    current token joins as the extra column)."""
+    B, _, H, D = q.shape
+    k_hist = _dequantize_kv(ck, q.dtype)  # XLA fuses dequant into the einsum
+    v_hist = _dequantize_kv(cv, q.dtype)
+    G = k_hist.shape[2]
+    rep = H // G
+    qg = q.reshape(B, 1, G, rep, D)
+    s_hist = jnp.einsum("bsgrd,btgd->bgrst", qg, k_hist,
+                        preferred_element_type=jnp.float32) * scale
+    s_new = jnp.einsum("bsgrd,bsgd->bgrs", qg, k_new,
+                       preferred_element_type=jnp.float32)[..., None] * scale
+    T = k_hist.shape[1]
+    kpos = jnp.arange(T)
+    mask = kpos[None, :] < cl[:, None]  # [B, T]
+    if window is not None:
+        mask = mask & (kpos[None, :] > cl[:, None] - window)
+    s_hist = jnp.where(mask[:, None, None, None, :], s_hist, -1e30)
+    s_all = jnp.concatenate([s_hist, s_new], axis=-1)
+    if not softmax_fp32:
+        s_all = s_all.astype(q.dtype)
+    probs = jax.nn.softmax(s_all, axis=-1)
+    p_hist = probs[..., :T].astype(v_hist.dtype)
+    p_new = probs[..., T:].astype(v_new.dtype)  # [B,G,rep,1,1]
+    out = jnp.einsum("bgrst,btgd->bsgrd", p_hist, v_hist)
+    out = out + p_new[..., 0].transpose(0, 3, 1, 2)[..., None] \
+        * v_new[:, :, :, None, :]
+    return out.reshape(B, 1, H, v_hist.shape[-1])
+
+
 class Attention(nn.Module):
     cfg: GPTConfig
     layer_idx: Optional[int] = None  # pattern position for hetero stacks
@@ -450,13 +505,62 @@ class Attention(nn.Module):
         k = with_constraint(k, ("batch", "act_seq", "kv_heads", None))
         v = with_constraint(v, ("batch", "act_seq", "kv_heads", None))
 
+        scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
+        scale = scale * yarn_mscale(cfg) ** 2
+
+        # Continuous-batching decode hot path (Sq=1, per-slot write index):
+        # attend BEFORE writing the cache (history + explicit current-token
+        # term) so the scan-carried cache updates in place — see
+        # _decode_attention. Gated to the plain-attention feature set.
+        dec_idx = jnp.asarray(decode_index) if decode_index is not None \
+            else None
+        if (kv_cache is not None and _cache_T(kv_cache[0]) > 0
+                and q.shape[1] == 1 and dec_idx is not None
+                and dec_idx.ndim == 1 and kv_valid is None
+                and chunk is None and bidir_ids is None
+                and not cfg.attention_sinks
+                and not cfg.attn_logit_softcapping and cfg.causal):
+            ck, cv = kv_cache
+            if isinstance(ck, dict):
+                kq, ks = _quantize_kv(k)
+                vq, vs = _quantize_kv(v)
+                # round-trip the current token through the cache dtype so
+                # numerics match attending over the written cache exactly
+                k_cur = (kq.astype(jnp.float32) * ks).astype(k.dtype)
+                v_cur = (vq.astype(jnp.float32) * vs).astype(v.dtype)
+            else:
+                k_cur = k.astype(ck.dtype).astype(k.dtype)
+                v_cur = v.astype(cv.dtype).astype(v.dtype)
+            out = _decode_attention(
+                q, ck, cv, k_cur, v_cur, cl=dec_idx, scale=float(scale),
+                window=window, softmax_fp32=cfg.attention_softmax_in_fp32)
+            if isinstance(ck, dict):
+                ck = {"q": _cache_write(ck["q"], kq, dec_idx),
+                      "s": _cache_write(ck["s"], ks, dec_idx)}
+                cv = {"q": _cache_write(cv["q"], vq, dec_idx),
+                      "s": _cache_write(cv["s"], vs, dec_idx)}
+            else:
+                ck = _cache_write(ck, k, dec_idx)
+                cv = _cache_write(cv, v, dec_idx)
+            out = dense_layer(
+                cfg.quantization,
+                features=cfg.hidden_size,
+                axis=(-2, -1),
+                use_bias=cfg.add_bias_linear,
+                dtype=dtype,
+                param_dtype=_dtype(cfg.params_dtype),
+                kernel_init=_init(cfg.init_method_std, ("heads", "qkv", "embed")),
+                name="o_proj",
+            )(out)
+            if cfg.attention_dropout:
+                out = nn.Dropout(cfg.attention_dropout,
+                                 deterministic=not train)(out)
+            return out, (ck, cv)
+
         kv_offset = 0
         if kv_cache is not None and _cache_T(kv_cache[0]) > 0:
             ck, cv = kv_cache
             k, v, kv_cache, kv_offset = _update_kv_cache(ck, cv, k, v, decode_index)
-
-        scale = cfg.attention_multiplier or (1.0 / np.sqrt(D))
-        scale = scale * yarn_mscale(cfg) ** 2
         sink = None
         if cfg.attention_sinks:
             sink = self.param(
@@ -1070,8 +1174,7 @@ class GPTModel(nn.Module):
 
         new_caches = None
         period = hetero_period(cfg)
-        use_scan = cfg.scan_layers and cfg.moe_first_k_dense == 0 and (
-            period == 1 or cfg.num_layers % period == 0)
+        use_scan = uses_scan_layers(cfg)
         if use_scan:
             layer = TransformerLayer if period == 1 else LayerGroup
             if cfg.remat == "full":
@@ -1133,17 +1236,31 @@ class GPTModel(nn.Module):
                     lambda c: c.reshape(cfg.num_layers, *c.shape[2:]),
                     new_caches)
         else:
+            # caches may arrive stacked ([L, ...] arrays) or as per-layer
+            # tuples ((k_0..k_L-1), (v_0..v_L-1)). The tuple form is the
+            # decode hot path: slicing layer i out of a stacked pool every
+            # step costs a pool-sized HBM read, and re-stacking writes the
+            # whole pool back — ~25% of a 1B decode step in the chip trace
+            # (slice_bitcast_fusion + loop-carry copy). Callers that scan
+            # decode steps unstack ONCE outside the scan and pass tuples.
+            tupled = kv_caches is not None and isinstance(
+                kv_caches[0], (list, tuple))
             new_caches = []
             for i in range(cfg.num_layers):
                 cache_i = None
-                if kv_caches is not None:
+                if tupled:
+                    cache_i = (kv_caches[0][i], kv_caches[1][i])
+                elif kv_caches is not None:
                     cache_i = jax.tree.map(lambda c: c[i], kv_caches)
                 x, cache_i = TransformerLayer(cfg, is_training=train, layer_idx=i, name=f"layer{i}")(
                     x, positions, cache_i, decode_index, kv_valid, segment_ids,
                     bidir_ids
                 )
                 new_caches.append(cache_i)
-            if kv_caches is not None:
+            if tupled:
+                new_caches = (tuple(c[0] for c in new_caches),
+                              tuple(c[1] for c in new_caches))
+            elif kv_caches is not None:
                 # tree-map stacking: int8 caches are {'q','s'} dicts per
                 # side, not bare arrays (unrolled layers + quantized KV)
                 k_list = [c[0] for c in new_caches]

@@ -120,12 +120,16 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--unroll", action="store_true",
+                    help="unrolled layers (no lax.scan over the stack)")
     ap.add_argument("--modes", nargs="+",
                     default=["bf16", "int8_ptq", "int8_ptq+kv8"])
     args = ap.parse_args()
     for mode in args.modes:
         r = run(mode.startswith("int8_ptq"), args.layers, args.slots,
-                args.max_len, args.steps, kv_int8=mode.endswith("+kv8"))
+                args.max_len, args.steps, kv_int8=mode.endswith("+kv8"),
+                chunk=args.chunk, scan_layers=not args.unroll)
         print(json.dumps(r), flush=True)
 
 
