@@ -226,7 +226,7 @@ def bench_decode():
     import scripts.decode_throughput as dt
 
     r = dt.run(True, layers=16, slots=8, max_len=1024, steps=128,
-               kv_int8=True, chunk=64)
+               kv_int8=True, chunk=64, scan_layers=False)
     return {
         "metric": "gpt1b_decode_tokens_per_sec_chip",
         "value": r["tokens_per_sec"],

@@ -367,14 +367,24 @@ class ContinuousBatchingEngine:
         return self.buckets[-1]
 
     def _bucket_for(self, need: int) -> int:
-        return next((b for b in self.kv_len_buckets if b >= need),
-                    self.max_len)
+        for b in self.kv_len_buckets:
+            if b >= need:
+                return b
+        if need > self.max_len:
+            # prefill-chunk overrun guard: a chunk whose PADDED bucket
+            # extends past the pool end would have its dynamic_update_slice
+            # start CLAMPED back, silently overwriting earlier KV rows
+            # (cached-prefix corruption). One overflow bucket absorbs the
+            # worst-case chunk padding past max_len.
+            return self.max_len + self.buckets[-1]
+        return self.max_len
 
     def _grow_pool(self, new_len: int) -> None:
-        """Pad the KV pool's time axis to `new_len` (≤ max_len). Runs once
-        per bucket crossing — a single pool-sized copy instead of the old
-        per-dispatch slice + write-back."""
-        new_len = min(new_len, self.max_len)
+        """Pad the KV pool's time axis to `new_len` (≤ max_len + the
+        largest prefill bucket — see _bucket_for's overrun guard). Runs
+        once per bucket crossing — a single pool-sized copy instead of the
+        old per-dispatch slice + write-back."""
+        new_len = min(new_len, self.max_len + self.buckets[-1])
         if new_len <= self.alloc_len:
             return
 
@@ -479,6 +489,12 @@ class ContinuousBatchingEngine:
         while rest:
             piece, rest = rest[:chunk_cap], rest[chunk_cap:]
             Sb = self._bucket(len(piece))
+            # the write covers [start, start + Sb) INCLUDING bucket padding
+            # rows — the pool must span it, or dynamic_update_slice clamps
+            # the start back and overwrites earlier rows (a cached-prefix
+            # leaves `start` unaligned, e.g. P=106 + bucket 32 in a 128
+            # pool shifted the write to row 96 — reproduced)
+            self._grow_pool(self._bucket_for(start + Sb))
             if Sb not in self._prefill_jit:
                 self._prefill_jit[Sb] = jax.jit(self._prefill_fn)
             toks = np.zeros((1, Sb), np.int32)

@@ -154,6 +154,21 @@ def hetero_period(cfg: GPTConfig) -> int:
     return p
 
 
+def unroll_params(cfg: GPTConfig, params):
+    """Convert a scan-stacked param tree (one 'layers' subtree with [L, ...]
+    leaves) to the unrolled layout ('layer0'..'layerN-1' subtrees) so a
+    checkpoint trained with scan_layers=True can serve with
+    scan_layers=False (the decode fast path). Homogeneous stacks only
+    (hetero_period == 1); returns params unchanged if not applicable."""
+    if "layers" not in params or hetero_period(cfg) != 1:
+        return params
+    out = {k: v for k, v in params.items() if k != "layers"}
+    stacked = params["layers"]
+    for i in range(cfg.num_layers):
+        out[f"layer{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
 def uses_scan_layers(cfg: GPTConfig) -> bool:
     """Whether the stack compiles as one nn.scan'd layer body (vs unrolled).
 

@@ -125,6 +125,18 @@ class LLMServer:
                 from nemo_tpu.llm.api import ptq
 
                 cfg, params = ptq(cfg, params, algorithm="int8_serve")
+            from nemo_tpu.models.llm.gpt import (hetero_period,
+                                                 unroll_params,
+                                                 uses_scan_layers)
+            if uses_scan_layers(cfg) and hetero_period(cfg) == 1:
+                # serving is a long-lived process: trade the one-time
+                # unrolled-stack compile for the per-layer-tuple KV carry
+                # decode path (~40% faster steps than the scanned stack —
+                # scripts/decode_throughput.py chip A/B)
+                import dataclasses
+
+                params = unroll_params(cfg, params)
+                cfg = dataclasses.replace(cfg, scan_layers=False)
             self.engine = ContinuousBatchingEngine(
                 cfg, params, max_slots=max_slots, max_len=max_len,
                 cache_dtype=jnp.int8 if quantize_kv_cache else jnp.bfloat16,

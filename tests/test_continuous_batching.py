@@ -497,3 +497,28 @@ def test_sharded_continuous_batching(setup):
 
     got = run_sharded(prompts, 5)
     assert got == ref
+
+
+def test_unaligned_prefix_chunk_write_no_overrun(setup):
+    """A cached prefix leaves the remainder chunk's write start unaligned;
+    if its PADDED bucket extends past the pool end, dynamic_update_slice
+    clamps the start back and silently overwrites prefix KV rows (row 96
+    of a 128 pool at P=106 + bucket 32 — the round-5 regression). The
+    prefix path must stay token-exact vs plain prefill."""
+    cfg, params = setup
+    rng = np.random.RandomState(11)
+    prompt = list(rng.randint(1, 100, 112))
+    prefix = prompt[:106]
+
+    def run(register):
+        eng = ContinuousBatchingEngine(
+            cfg, params, max_slots=2, max_len=512,
+            cache_dtype=jnp.float32)
+        if register:
+            eng.register_prefix(prefix)
+        t = eng.prefill_slot(0, prompt)
+        toks, _, _ = eng.decode_steps(
+            np.array([t, 0]), np.array([True, False]), n_steps=4)
+        return [t] + [int(x) for x in toks[:, 0]]
+
+    assert run(True) == run(False)

@@ -240,3 +240,19 @@ def test_new_presets_construct():
     assert llama4_maverick().moe_layer_freq == (0, 1)
     assert hetero_period(llama4_scout()) == 4
     assert chatglm3_6b().rotary_percent == 0.5
+
+
+def test_unroll_params_matches_scan():
+    """gpt.unroll_params: scan-stacked checkpoint → unrolled layout gives
+    the same logits (the serving fast-path conversion, openai_server)."""
+    from nemo_tpu.models.llm.gpt import unroll_params
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    cfg = _tiny()  # homogeneous, scan_layers=True
+    out_s, params_s, _ = _logits(cfg, toks)
+    cfg_u = dataclasses.replace(cfg, scan_layers=False)
+    pu = unroll_params(cfg, dict(params_s["params"]))
+    out_u = GPTModel(cfg_u).apply({"params": pu}, toks)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               atol=1e-5)
