@@ -44,26 +44,35 @@ def _speechlike(B, T, fs, rng):
 
 
 def _calibrated_tone_batches(model, B, secs, utt_tokens, iters, *,
-                             fit_steps, density_floor, lr=3e-3, seed=0,
-                             fit_secs=2.0, fit_tokens=4, fit_batch=8):
-    """Tone-calibrate `model` (fit_synthetic_asr) until a held-out probe
-    decodes ≥ density_floor tokens/utt, then build `iters`+1 staged
-    held-out eval batches. Returns (staged, probe_density). Raises if the
-    calibration can't reach the floor — an under-dense decode times the
-    iteration floor, not the trained-regime decode (VERDICT r4 weak #3)."""
+                             fit_steps, density_floor, lr=1e-3, seed=0,
+                             fit_batch=4):
+    """Tone-calibrate `model` (framewise_calibrate, AT the bench regime —
+    2-s fits don't transfer to 30-s clips through global attention,
+    chip-verified) until a held-out probe decodes ≥ density_floor
+    tokens/utt, then build `iters`+1 staged held-out eval batches.
+    Returns (staged, probe_density). Raises if the calibration can't
+    reach the floor — an under-dense decode times the iteration floor,
+    not the trained-regime decode (VERDICT r4 weak #3)."""
     import jax
     import jax.numpy as jnp
 
-    from nemo_tpu.models.asr.synthetic import (fit_synthetic_asr,
+    from nemo_tpu.models.asr.synthetic import (framewise_calibrate,
                                                make_eval_batch)
 
     T = int(model.sample_rate * secs)
     lens = jnp.full((B,), T, jnp.int32)
     density = 0.0
     for round_i in range(3):
-        fit_synthetic_asr(model, steps=fit_steps, batch=fit_batch,
-                          secs=fit_secs, utt_tokens=fit_tokens, lr=lr,
-                          seed=seed + round_i)
+        framewise_calibrate(model, steps=fit_steps, batch=fit_batch,
+                            secs=secs, utt_tokens=utt_tokens, lr=lr,
+                            seed=seed + round_i)
+        if hasattr(model, "blank_id"):  # transducer: pin the emission
+            from nemo_tpu.models.asr.synthetic import trim_blank_bias
+
+            delta, dtrim = trim_blank_bias(model, secs, utt_tokens)
+            print(f"secondary: rnnt blank-bias trim delta={delta:+.2f} -> "
+                  f"{dtrim:.1f} tokens/utt on held-out probe",
+                  file=sys.stderr)
         _, probe_pcm = make_eval_batch(model, B, secs, utt_tokens,
                                        seed=900 + round_i)
         probe = model.transcribe_staged(
@@ -194,8 +203,7 @@ def bench_rnnt():
     # trained-regime density even before full audio-dependence lands
     staged, _ = _calibrated_tone_batches(
         model, B, secs, utt_tokens=40, iters=iters,
-        fit_steps=250, density_floor=20.0,
-        fit_secs=secs, fit_tokens=40, fit_batch=8)
+        fit_steps=150, density_floor=20.0, fit_batch=4)
     model.transcribe_staged(staged[:1])  # compile
 
     t0 = time.perf_counter()

@@ -982,7 +982,11 @@ def salm_llama3_8b(**kw) -> Recipe:
 @register
 def dit_xl(**kw) -> Recipe:
     """reference diffusion training recipes (DiT-XL/2 geometry: 28 layers,
-    hidden 1152, patch 2, class-conditioned; EDM objective)."""
+    hidden 1152, patch 2, class-conditioned; EDM objective).
+
+    Chip-validated (scripts/multimodal_chip_validate.py, v5e-1): 0.082
+    s/step at micro-batch 8 on 32x32x4 latents, full Adam — see
+    scripts/hbm_validate_results.jsonl."""
     from nemo_tpu.models.diffusion.dit import DiTConfig
 
     cfg = DiTConfig(input_size=32, patch_size=2, in_channels=4,
@@ -1010,7 +1014,11 @@ def neva_llama3_8b(**kw) -> Recipe:
 @register
 def gemma3vl_4b(**kw) -> Recipe:
     """reference vlm gemma3vl recipes (gemma3-4B + SigLIP so400m, pooled
-    256-token projector, bidirectional image-span attention)."""
+    256-token projector, bidirectional image-span attention).
+
+    Chip-validated (scripts/multimodal_chip_validate.py, v5e-1): stage-1
+    projector training under frozen towers runs 0.272 s/step at
+    (B=1, S=512) bf16 — see scripts/hbm_validate_results.jsonl."""
     from nemo_tpu.models.vlm.gemma3vl import gemma3vl_4b as cfg
 
     return Recipe("gemma3vl_4b", cfg(),

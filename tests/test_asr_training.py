@@ -115,3 +115,26 @@ def test_interctc_training(toy_corpus):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
     assert losses[-1] < losses[0]
+
+
+def test_framewise_calibrate_emits_tokens():
+    """framewise_calibrate (the bench's trained-regime calibration) makes
+    greedy decode emit a nonzero, input-dependent token stream on held-out
+    tone audio — dense supervision on the KNOWN planted alignment, no CTC
+    all-blank basin (bench.py _calibrated_tone_batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.models.asr.synthetic import (framewise_calibrate,
+                                               make_eval_batch)
+
+    model = EncDecCTCModel(quartznet_tiny())
+    ce = framewise_calibrate(model, steps=150, batch=4, secs=1.0,
+                             utt_tokens=3, lr=5e-3)
+    assert np.isfinite(ce)
+    _, pcm = make_eval_batch(model, 4, 1.0, 3, seed=901)
+    lens = jnp.full((4,), model.sample_rate, jnp.int32)
+    out = model.transcribe_staged(
+        [(jax.device_put(jnp.asarray(pcm)), lens, 4)])
+    density = sum(len(s) for s in out) / len(out)
+    assert density >= 1.0, f"degenerate decode after calibration: {out}"
